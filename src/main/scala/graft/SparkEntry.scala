@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 appears here as a named query;
+  * `oracleSql` carries the DuckDB-equivalent ANSI SQL for the hash-compare gate.
+  * Registries live next to the code they exercise (operators/, functions/, ...).
+  */
 object SparkEntry {
+
+  /** All verifiable queries, grouped by subsystem. */
+  def allQ: Seq[Q] =
+    operators.RelationalQueries.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.RelationalQueries.aggPricingSummary.run(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQ.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    allQ.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+
+  /** Headline subset timed by Bench (the TPC-H-style shapes that stress scans,
+    * shuffles, joins and aggregation — not the micro capability probes). */
+  def benchNames: Seq[String] = Seq(
+    "agg_pricing_summary", "join_inner", "join_sort_merge", "join_left",
+    "agg_count_distinct", "limit_topk")
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Named-table access over the driver's parquet fixtures (see TESTDATA.md).
+  *
+  * Counterpart of the reference's StorageManager lookup feeding GetTable
+  * (reference: src/lib/storage/storage_manager.hpp:23, src/lib/operators/get_table.hpp:23):
+  * the scan is declarative, so Catalyst performs column pruning and predicate
+  * pushdown into the parquet reader — the moral equivalent of the reference's
+  * static column/chunk pruning lists.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def df(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    // rejects by default; read it as a nanosecond-epoch long instead. Queries
+    // convert explicitly (floor(ts/1000) == DuckDB's microsecond truncation).
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every fixture table as a temp view so `spark.sql` works 1:1 with
+    * the oracle SQL (DuckDB sees the same relation names). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => df(spark, dir, n).createOrReplaceTempView(n))
+}
