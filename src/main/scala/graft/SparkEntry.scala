@@ -12,7 +12,11 @@ object SparkEntry {
 
   /** All verifiable queries, grouped by subsystem. */
   def allQ: Seq[Q] =
-    operators.RelationalQueries.all
+    operators.RelationalQueries.all ++
+      operators.WindowQueries.all ++
+      operators.SubqueryQueries.all ++
+      operators.TpchQueries.all ++
+      operators.EventsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -30,6 +34,9 @@ object SparkEntry {
   /** Headline subset timed by Bench (the TPC-H-style shapes that stress scans,
     * shuffles, joins and aggregation — not the micro capability probes). */
   def benchNames: Seq[String] = Seq(
-    "agg_pricing_summary", "join_inner", "join_sort_merge", "join_left",
-    "agg_count_distinct", "limit_topk")
+    "agg_pricing_summary",
+    "tpch_q3_shipping_priority", "tpch_q4_order_priority", "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue", "tpch_q10_returned_items", "tpch_q14_promo_effect",
+    "tpch_q18_large_volume", "tpch_q19_disjunction",
+    "agg_count_distinct", "events_hourly")
 }

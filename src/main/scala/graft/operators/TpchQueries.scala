@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TPC-H-style headline queries adapted to the driver's star schema (TESTDATA.md;
+  * the fixture lacks partsupp and some lineitem columns, so shapes are adapted, not
+  * verbatim). These mirror the reference's benchmark query set
+  * (reference: src/lib/benchmarklib/tpch/tpch_queries.cpp) and are the queries Bench
+  * times at sf0.1.
+  *
+  * Scale design notes (100 TB / 1000-executor framing):
+  *  - Dimensions (region/nation/customer/supplier/part) are broadcast — the fact
+  *    table is never shuffled for them.
+  *  - fact⋈fact (lineitem⋈orders) shuffles on the join key once; group-bys reuse
+  *    that partitioning where keys align (orderkey).
+  *  - Aggregates are partial (map-side) by construction; filters sit directly on
+  *    the parquet scan so row groups are skipped via min/max stats.
+  */
+object TpchQueries {
+  import Det._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
+
+  /** Q3 — shipping priority: top unshipped-revenue orders for one segment. */
+  val q3ShippingPriority: Q = Q(
+    "tpch_q3_shipping_priority",
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, orderdate, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < "1998-06-15 00:00:00")
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > "1998-06-15 00:00:00")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(col("revenue").desc, col("orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q4 — order priority checking (EXISTS → semi join; adapted: "late line exists"). */
+  val q4OrderPriority: Q = Q(
+    "tpch_q4_order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= "1996-01-01 00:00:00" && col("o_orderdate") < "1997-01-01 00:00:00")
+    val l = t(s, dir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q5 — local supplier volume: one region, customer and supplier in same nation. */
+  val q5LocalSupplier: Q = Q(
+    "tpch_q5_local_supplier",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= "1996-01-01 00:00:00" && col("o_orderdate") < "1998-01-01 00:00:00")
+    val l = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q6 — forecasting revenue change: pure scan+filter+global agg. The filter sits
+    * on the parquet scan (PushedFilters), so at 100 TB whole row groups skip. */
+  val q6ForecastRevenue: Q = Q(
+    "tpch_q6_forecast_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= "1996-01-01 00:00:00" && col("l_shipdate") < "1997-01-01 00:00:00"
+          && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"))
+  }
+
+  /** Q10 — returned item reporting: top 20 customers by lost revenue. */
+  val q10ReturnedItems: Q = Q(
+    "tpch_q10_returned_items",
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") >= "1997-01-01 00:00:00")
+    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val n = t(s, dir, "nation")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q14 — promotion effect: conditional aggregation ratio over a part join. */
+  val q14PromoEffect: Q = Q(
+    "tpch_q14_promo_effect",
+    """SELECT
+      |  100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""".stripMargin) { (s, dir) =>
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1997-01-01 00:00:00" && col("l_shipdate") < "1997-07-01 00:00:00")
+    val p = t(s, dir, "part")
+    val net = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .agg((lit(100.0) * asDouble(sum(when(col("p_type").like("PROMO%"), net)
+          .otherwise(lit(0).cast("decimal(18,2)"))))
+        / asDouble(sum(net))).as("promo_revenue"))
+  }
+
+  /** Q18 — large volume customers: HAVING over a fact-side group-by joined back.
+    * The groupBy(l_orderkey) and the join to orders share the orderkey hash
+    * partitioning — one shuffle serves both at scale. */
+  val q18LargeVolume: Q = Q(
+    "tpch_q18_large_volume",
+    """SELECT c_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM orders
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |GROUP BY c_custkey, o_orderkey, o_orderdate
+      |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+      |ORDER BY total_qty DESC, o_orderkey""".stripMargin) { (s, dir) =>
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    val c = t(s, dir, "customer")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+      .filter(col("qty_dec") > 250)
+      .select(col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        asDouble(col("qty_dec")).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  /** Q19-style — disjunction of conjunctive range predicates across a join
+    * (reference Q19 shape; exercises OR-pushdown through a broadcast join). */
+  val q19Disjunction: Q = Q(
+    "tpch_q19_disjunction",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 15 AND 35)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 25 AND 50)""".stripMargin) { (s, dir) =>
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 20))
+          || (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) && col("l_quantity").between(15, 35))
+          || (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) && col("l_quantity").between(25, 50)))
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q3ShippingPriority, q4OrderPriority, q5LocalSupplier, q6ForecastRevenue,
+    q10ReturnedItems, q14PromoEffect, q18LargeVolume, q19Disjunction)
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions. The reference parses and plans the full OVER(...) surface —
+  * ranking set {CumeDist, DenseRank, PercentRank, Rank, RowNumber} + aggregates
+  * over ROWS/RANGE frames (reference: src/lib/expression/window_function_expression.hpp:19-33,
+  * window_expression.hpp:11,30) — but its physical translator rejects it
+  * (reference: src/lib/logical_query_plan/lqp_translator.cpp:523-526, "does not yet
+  * support window functions"). We implement the declared capability natively via
+  * `org.apache.spark.sql.expressions.Window`.
+  *
+  * Scale note: every window here partitions by a key before ordering, so Spark
+  * shuffles once on the partition key and sorts within partitions — no global
+  * sort, no driver involvement.
+  */
+object WindowQueries {
+  import Det._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
+
+  /** RANK + DENSE_RANK over a partitioned ordering (ties rank identically). */
+  val windowRank: Q = Q(
+    "window_rank",
+    """SELECT o_orderkey, o_orderpriority,
+      |  RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+      |  DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk
+      |FROM orders
+      |QUALIFY rnk <= 10
+      |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_orderpriority"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      .filter(col("rnk") <= 10)
+      .orderBy("o_orderpriority", "rnk", "o_orderkey")
+  }
+
+  /** ROW_NUMBER with a total order in the frame spec (deterministic). */
+  val windowRowNumber: Q = Q(
+    "window_row_number",
+    """SELECT c_custkey, c_mktsegment, rn FROM (
+      |  SELECT c_custkey, c_mktsegment,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer)
+      |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** PERCENT_RANK + CUME_DIST — integer-ratio doubles, deterministic across engines. */
+  val windowPercentRank: Q = Q(
+    "window_percent_rank",
+    """SELECT s_suppkey,
+      |  PERCENT_RANK() OVER (ORDER BY s_acctbal, s_suppkey) AS pr,
+      |  CUME_DIST() OVER (ORDER BY s_acctbal, s_suppkey) AS cd
+      |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val w = Window.orderBy(col("s_acctbal"), col("s_suppkey"))
+    t(s, dir, "supplier")
+      .select(
+        col("s_suppkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Aggregate over a running ROWS frame (decimal sum → deterministic double). */
+  val windowRunningSum: Q = Q(
+    "window_running_sum",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_orderkey ORDER BY l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      |FROM lineitem WHERE l_orderkey < 200
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 200)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        asDouble(sum(dec(col("l_quantity"))).over(w)).as("running_qty"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** RANGE frame over an integer ordering key (value-based bounds). */
+  val windowRangeFrame: Q = Q(
+    "window_range_frame",
+    """SELECT n_nationkey,
+      |  COUNT(*) OVER (ORDER BY n_nationkey RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS neighbors
+      |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    val w = Window.orderBy(col("n_nationkey").cast("long")).rangeBetween(-2, 2)
+    t(s, dir, "nation")
+      .select(col("n_nationkey"), count(lit(1)).over(w).as("neighbors"))
+      .orderBy("n_nationkey")
+  }
+
+  /** LAG/LEAD — beyond the reference's parsed set, native in Spark (superset,
+    * same spirit as SURVEY §2.5's "exceeds executable surface"). */
+  val windowLagLead: Q = Q(
+    "window_lag_lead",
+    """SELECT o_orderkey, o_custkey,
+      |  LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+      |  LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order
+      |FROM orders WHERE o_custkey < 50
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(
+    windowRank, windowRowNumber, windowPercentRank,
+    windowRunningSum, windowRangeFrame, windowLagLead)
+}
