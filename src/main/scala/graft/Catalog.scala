@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import scala.collection.concurrent.TrieMap
+
+/** Named-table catalog with statement-level snapshot DML.
+  *
+  * Counterpart of the reference's StorageManager (tables + views + prepared plans,
+  * reference: src/lib/storage/storage_manager.hpp:23,29,46,54) and its read-write
+  * operators Insert/Delete/Update (reference: src/lib/operators/insert.hpp:9-22,
+  * delete.hpp:18, update.hpp:28). The reference needs MVCC begin/end-CIDs per row
+  * (reference: src/lib/storage/mvcc_data.hpp:54-56) because tables mutate in place;
+  * DataFrames are immutable, so each DML statement swaps the catalog binding to a
+  * rewritten immutable plan — readers that captured the old binding keep their
+  * snapshot for free, which is exactly the reference's snapshot-isolation
+  * visibility rule collapsed to statement granularity (full transaction conflict
+  * semantics are an explicit non-goal, SURVEY §7.4).
+  *
+  * Every binding is also published as a temp view so `spark.sql` sees the same
+  * state as the DataFrame API.
+  */
+final class Catalog(val spark: SparkSession) {
+  private val tables = TrieMap.empty[String, DataFrame]
+  private val views = TrieMap.empty[String, String] // name -> SQL text (like LQPView)
+
+  def register(name: String, df: DataFrame): Unit = {
+    tables.put(name, df)
+    df.createOrReplaceTempView(name)
+  }
+
+  def table(name: String): DataFrame =
+    tables.getOrElse(name, sys.error(s"no such table: $name"))
+
+  def exists(name: String): Boolean = tables.contains(name)
+  def tableNames: Seq[String] = tables.keys.toSeq.sorted
+
+  def dropTable(name: String): Unit = {
+    tables.remove(name)
+    spark.catalog.dropTempView(name)
+  }
+
+  /** INSERT: bag-append via union (reference: insert.cpp appends to chunks). */
+  def insert(name: String, rows: DataFrame): Unit =
+    register(name, table(name).unionByName(rows))
+
+  /** INSERT INTO ... VALUES with the target's schema enforced. */
+  def insertValues(name: String, values: Seq[Seq[Any]]): Unit = {
+    val schema = table(name).schema
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(values.map(Row.fromSeq): _*), schema)
+    insert(name, rows)
+  }
+
+  /** DELETE: anti-filter rewrite; NULL predicate = not deleted (SQL semantics). */
+  def delete(name: String, cond: Column): Unit =
+    register(name, table(name).filter(!coalesce(cond, lit(false))))
+
+  /** UPDATE: per-column CASE rewrite (reference models it as Delete+Insert,
+    * update.hpp:28 — same end state). */
+  def update(name: String, cond: Column, set: Map[String, Column]): Unit = {
+    val t = table(name)
+    val cols = t.columns.map { c =>
+      set.get(c) match {
+        case Some(v) => when(coalesce(cond, lit(false)), v.cast(t.schema(c).dataType))
+          .otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }
+    register(name, t.select(cols.toSeq: _*))
+  }
+
+  // ------------------------------------------------------------- views
+
+  def createView(name: String, sqlText: String): Unit = {
+    views.put(name, sqlText)
+    spark.sql(sqlText).createOrReplaceTempView(name)
+  }
+
+  def dropView(name: String): Unit = {
+    views.remove(name)
+    spark.catalog.dropTempView(name)
+  }
+
+  def viewNames: Seq[String] = views.keys.toSeq.sorted
+
+  // --------------------------------------------------------- meta tables
+
+  /** `meta_tables` — mirrors the reference's virtual meta tables
+    * (reference: src/lib/utils/meta_tables/meta_tables_table.cpp). */
+  def metaTables: DataFrame = {
+    val rows = tableNames.map { n =>
+      val t = tables(n)
+      Row(n, t.schema.length, t.isStreaming)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("table_name", StringType, nullable = false),
+        StructField("column_count", IntegerType, nullable = false),
+        StructField("is_streaming", org.apache.spark.sql.types.BooleanType, nullable = false))))
+  }
+
+  /** `meta_columns` — table/column/type/nullable inventory
+    * (reference: src/lib/utils/meta_tables/meta_columns_table.cpp). */
+  def metaColumns: DataFrame = {
+    val rows = for {
+      n <- tableNames
+      f <- tables(n).schema.fields
+    } yield Row(n, f.name, f.dataType.simpleString, f.nullable)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("table_name", StringType, nullable = false),
+        StructField("column_name", StringType, nullable = false),
+        StructField("data_type", StringType, nullable = false),
+        StructField("is_nullable", org.apache.spark.sql.types.BooleanType, nullable = false))))
+  }
+}

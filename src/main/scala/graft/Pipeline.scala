@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+/** SQL pipeline façade: multi-statement execution with per-statement status, an
+  * LRU logical-plan memo, and PREPARE/EXECUTE.
+  *
+  * Mirrors the reference's SQLPipeline lifecycle (reference:
+  * src/lib/sql/sql_pipeline.hpp:29-36, sql_pipeline_statement.cpp — parse →
+  * translate → optimize → execute, with GDFS-cached LQP/PQP keyed by SQL text,
+  * reference: src/lib/sql/sql_plan_cache.hpp:13-14). Here parse/translate/optimize
+  * ARE `SparkSession.sql` (ANTLR → analyzer → Catalyst), so the pipeline's own
+  * work is statement splitting, DML/DDL dispatch to the Catalog, prepared-plan
+  * binding (reference: src/lib/operators/maintenance/create_prepared_plan.hpp:12),
+  * and the plan memo.
+  */
+final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
+  private val spark: SparkSession = catalog.spark
+
+  sealed trait Status
+  case object Ok extends Status
+  final case class Failed(error: String) extends Status
+
+  final case class StatementResult(sql: String, status: Status, df: Option[DataFrame]) {
+    def rows: Long = df.map(_.count()).getOrElse(0L)
+  }
+
+  // LRU plan memo (access-order LinkedHashMap), keyed by normalized SQL text.
+  private val planCache = new java.util.LinkedHashMap[String, DataFrame](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, DataFrame]): Boolean =
+      size() > planCacheSize
+  }
+  private var cacheHits = 0L
+  private var cacheMisses = 0L
+  def planCacheStats: (Long, Long) = (cacheHits, cacheMisses)
+
+  private val prepared = mutable.Map.empty[String, String]
+
+  /** Execute a multi-statement SQL script; statements run in order, failures
+    * don't abort the script (per-statement status, like SQLPipelineStatement). */
+  def run(script: String): Seq[StatementResult] =
+    splitStatements(script).map(runOne)
+
+  /** Single-statement entry point returning the DataFrame (throws on failure). */
+  def sql(statement: String): DataFrame =
+    runOne(statement) match {
+      case StatementResult(_, Ok, Some(df)) => df
+      case StatementResult(_, Ok, None) => spark.emptyDataFrame
+      case StatementResult(s, Failed(e), _) => throw new IllegalArgumentException(s"$s failed: $e")
+    }
+
+  private def runOne(statement: String): StatementResult = {
+    val s = statement.trim
+    try {
+      val upper = s.toUpperCase
+      if (upper.startsWith("PREPARE ")) {
+        // PREPARE name AS <statement>  (placeholders are ?)
+        val rest = s.drop("PREPARE ".length)
+        val asIdx = rest.toUpperCase.indexOf(" AS ")
+        require(asIdx > 0, "PREPARE syntax: PREPARE <name> AS <statement>")
+        prepared.put(rest.take(asIdx).trim, rest.drop(asIdx + 4).trim)
+        StatementResult(s, Ok, None)
+      } else if (upper.startsWith("EXECUTE ")) {
+        // EXECUTE name (arg, arg, ...)
+        val rest = s.drop("EXECUTE ".length).trim
+        val (name, args) = rest.indexOf('(') match {
+          case -1 => (rest, Seq.empty[String])
+          case i => (rest.take(i).trim,
+            splitTopLevel(rest.drop(i + 1).reverse.dropWhile(_ != ')').drop(1).reverse, ','))
+        }
+        val template = prepared.getOrElse(name, sys.error(s"no prepared statement: $name"))
+        val bound = args.foldLeft(template)((t, a) => t.replaceFirst("\\?",
+          java.util.regex.Matcher.quoteReplacement(a.trim)))
+        StatementResult(s, Ok, Some(cachedSql(bound)))
+      } else if (upper.startsWith("CREATE VIEW ") || upper.startsWith("CREATE OR REPLACE VIEW ")) {
+        val rest = s.drop(upper.indexOf("VIEW ") + 5)
+        val asIdx = rest.toUpperCase.indexOf(" AS ")
+        catalog.createView(rest.take(asIdx).trim, rest.drop(asIdx + 4).trim)
+        StatementResult(s, Ok, None)
+      } else if (upper.startsWith("DROP VIEW ")) {
+        catalog.dropView(s.drop("DROP VIEW ".length).trim)
+        StatementResult(s, Ok, None)
+      } else if (upper.startsWith("CREATE TABLE ")) {
+        // CREATE TABLE name AS <select>
+        val rest = s.drop("CREATE TABLE ".length)
+        val asIdx = rest.toUpperCase.indexOf(" AS ")
+        require(asIdx > 0, "only CREATE TABLE <name> AS <select> is supported")
+        catalog.register(rest.take(asIdx).trim, spark.sql(rest.drop(asIdx + 4).trim))
+        StatementResult(s, Ok, None)
+      } else if (upper.startsWith("DROP TABLE ")) {
+        catalog.dropTable(s.drop("DROP TABLE ".length).trim)
+        StatementResult(s, Ok, None)
+      } else if (upper.startsWith("SELECT ") && upper.contains("META_TABLES")) {
+        catalog.metaTables.createOrReplaceTempView("meta_tables")
+        StatementResult(s, Ok, Some(cachedSql(s)))
+      } else if (upper.startsWith("SELECT ") && upper.contains("META_COLUMNS")) {
+        catalog.metaColumns.createOrReplaceTempView("meta_columns")
+        StatementResult(s, Ok, Some(cachedSql(s)))
+      } else {
+        // SELECT / INSERT / DELETE / UPDATE / WITH — Spark SQL handles all of
+        // these natively against the catalog's temp views; DML on catalog tables
+        // re-binds the snapshot afterwards.
+        StatementResult(s, Ok, Some(dispatchDml(s, upper)))
+      }
+    } catch {
+      case e: Throwable => StatementResult(s, Failed(String.valueOf(e.getMessage)), None)
+    }
+  }
+
+  /** Spark SQL temp views reject native INSERT/DELETE/UPDATE, so DML statements
+    * on catalog tables are rewritten through the Catalog's snapshot swap. */
+  private def dispatchDml(s: String, upper: String): DataFrame = {
+    if (upper.startsWith("INSERT INTO ")) {
+      val rest = s.drop("INSERT INTO ".length).trim
+      val name = rest.takeWhile(c => !c.isWhitespace && c != '(')
+      val tail = rest.drop(name.length).trim
+      if (tail.toUpperCase.startsWith("VALUES")) {
+        val df = spark.sql(s"SELECT * FROM ( ${tail} ) AS v")
+        catalog.insert(name, df.toDF(catalog.table(name).columns: _*))
+      } else catalog.insert(name, spark.sql(tail).toDF(catalog.table(name).columns: _*))
+      spark.emptyDataFrame
+    } else if (upper.startsWith("DELETE FROM ")) {
+      val rest = s.drop("DELETE FROM ".length).trim
+      val name = rest.takeWhile(!_.isWhitespace)
+      val whereIdx = rest.toUpperCase.indexOf("WHERE ")
+      val cond = if (whereIdx >= 0) rest.drop(whereIdx + 6) else "true"
+      catalog.delete(name, org.apache.spark.sql.functions.expr(cond))
+      spark.emptyDataFrame
+    } else if (upper.startsWith("UPDATE ")) {
+      val rest = s.drop("UPDATE ".length).trim
+      val name = rest.takeWhile(!_.isWhitespace)
+      val setIdx = rest.toUpperCase.indexOf("SET ")
+      val whereIdx = rest.toUpperCase.indexOf(" WHERE ")
+      val setPart = if (whereIdx >= 0) rest.substring(setIdx + 4, whereIdx) else rest.drop(setIdx + 4)
+      val cond = if (whereIdx >= 0) rest.drop(whereIdx + 7) else "true"
+      val assignments = splitTopLevel(setPart, ',').map { a =>
+        val eq = a.indexOf('=')
+        a.take(eq).trim -> org.apache.spark.sql.functions.expr(a.drop(eq + 1).trim)
+      }.toMap
+      catalog.update(name, org.apache.spark.sql.functions.expr(cond), assignments)
+      spark.emptyDataFrame
+    } else cachedSql(s)
+  }
+
+  private def cachedSql(s: String): DataFrame = {
+    val key = s.trim.replaceAll("\\s+", " ")
+    planCache.synchronized {
+      val hit = planCache.get(key)
+      if (hit != null) { cacheHits += 1; hit }
+      else { cacheMisses += 1; val df = spark.sql(s); planCache.put(key, df); df }
+    }
+  }
+
+  /** Split on ';' at top level (outside quotes). */
+  private[graft] def splitStatements(script: String): Seq[String] =
+    splitTopLevel(script, ';').map(_.trim).filter(_.nonEmpty)
+
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = mutable.Buffer.empty[String]
+    val cur = new StringBuilder
+    var quote: Option[Char] = None
+    var depth = 0
+    for (c <- s) {
+      quote match {
+        case Some(q) =>
+          cur += c
+          if (c == q) quote = None
+        case None => c match {
+          case '\'' | '"' => quote = Some(c); cur += c
+          case '(' => depth += 1; cur += c
+          case ')' => depth -= 1; cur += c
+          case `sep` if depth == 0 => out += cur.toString; cur.clear()
+          case _ => cur += c
+        }
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+}

@@ -16,7 +16,12 @@ object SparkEntry {
       operators.WindowQueries.all ++
       operators.SubqueryQueries.all ++
       operators.TpchQueries.all ++
-      operators.EventsQueries.all
+      operators.EventsQueries.all ++
+      operators.LifecycleQueries.all ++
+      functions.TextQueries.all ++
+      functions.DedupQueries.all ++
+      functions.SimilarityQueries.all ++
+      functions.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

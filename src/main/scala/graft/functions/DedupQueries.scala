@@ -1,0 +1,191 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication over the `documents` table: exact (fingerprint group-by),
+  * n-gram Jaccard, MinHash+LSH banding, SimHash. All formulations are the
+  * shuffle-bounded MapReduce shapes that survive 100 TB:
+  *
+  *  - exact: one hash-partitioned groupBy on the fingerprint.
+  *  - jaccard: explode shingles → self-join on the shingle (inverted index);
+  *    pair revenue is computed from colliding postings, never a cross join.
+  *  - MinHash LSH: per-doc signature (map-only) → explode 4 band keys →
+  *    self-join per band bucket. Candidate volume is bounded by bucket sizes,
+  *    the classic sub-quadratic near-dup path.
+  *  - SimHash: explode distinct tokens → per-bit vote aggregation (map-side
+  *    combinable) → 32-bit signature per doc.
+  *
+  * Every query has an exact DuckDB oracle generated from the same constants in
+  * TextFunctions (shared md5-based hash64).
+  */
+object DedupQueries {
+  import TextFunctions._
+
+  private val K = 12            // minhash signature length
+  private val BANDS = 4         // LSH bands (rows-per-band = K / BANDS = 3)
+  private val ROWS = K / BANDS
+  private val NGRAM = 3         // shingle width (words)
+  private val JACCARD_MIN = 0.2 // near-dup threshold (calibrated: 25 planted pairs)
+  private val SIMHASH_BITS = 32
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "documents")
+
+  /** Exact dedup: keep lowest doc_id per normalized-text fingerprint. */
+  val dedupExact: Q = Q(
+    "dedup_exact",
+    s"""SELECT ${fingerprintSql("text")} AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+       |FROM documents GROUP BY fp ORDER BY fp""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("fp")
+  }
+
+  /** N-gram Jaccard near-dup pairs via inverted shingle index (no cross join). */
+  val dedupNgramJaccard: Q = Q(
+    "dedup_ngram_jaccard",
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(${shinglesSql(tokensSql("text"), NGRAM)}) AS s FROM documents
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+       |), shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+       |FROM shared
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $JACCARD_MIN
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val sh = docs(s, dir)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), NGRAM)).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))
+    shared
+      .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= JACCARD_MIN)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signatures (first 4 of K values dumped for inspection/verification). */
+  val dedupMinhashSig: Q = {
+    val sigCols = (0 until 4).map(i => s"${minhashSigSql("sg", i)} AS h$i").mkString(",\n       |  ")
+    Q(
+      "dedup_minhash_sig",
+      s"""SELECT doc_id,
+         |  $sigCols
+         |FROM (SELECT doc_id, ${shinglesSql(tokensSql("text"), NGRAM)} AS sg FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val withSg = docs(s, dir)
+        .select(col("doc_id"), shingles(tokens(col("text")), NGRAM).as("sg"))
+      withSg.select(col("doc_id") +: minhashSig(col("sg"), 4): _*).orderBy("doc_id")
+    }
+  }
+
+  /** MinHash + LSH banding: candidate pairs sharing ≥1 of BANDS band keys. */
+  val dedupMinhashLsh: Q = {
+    val sigList = (0 until K).map(i => minhashSigSql("sg", i)).mkString("[", ",\n       |   ", "]")
+    val bandExpr = (0 until ROWS).map(r => s"hs[$ROWS*i + ${r + 1}]::VARCHAR").mkString(" || '_' || ")
+    Q(
+      "dedup_minhash_lsh",
+      s"""WITH sig AS (
+         |  SELECT doc_id, $sigList AS hs
+         |  FROM (SELECT doc_id, ${shinglesSql(tokensSql("text"), NGRAM)} AS sg FROM documents)
+         |), bands AS (
+         |  SELECT doc_id, i AS band_idx, $bandExpr AS band_key
+         |  FROM sig CROSS JOIN range(0, $BANDS) t(i)
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val withSig = docs(s, dir)
+        .select(col("doc_id"), shingles(tokens(col("text")), NGRAM).as("sg"))
+        .select(col("doc_id") +: minhashSig(col("sg"), K): _*)
+      val hs = (0 until K).map(i => col(s"h$i"))
+      val bands = withSig.select(
+        col("doc_id"),
+        posexplode(array((0 until BANDS).map(b => bandKey(hs, b, ROWS)): _*))
+          .as(Seq("band_idx", "band_key")))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx")
+            && col("a.band_key") === col("b.band_key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
+  /** SimHash: 32-bit signature from per-bit votes over distinct tokens. */
+  val dedupSimhash: Q = {
+    val voteSumsSql = (0 until SIMHASH_BITS)
+      .map(b => s"SUM(${bitVoteSql("h", b)}) AS v$b").mkString(",\n       |    ")
+    val combineSql = (0 until SIMHASH_BITS)
+      .map(b => s"(CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0 END)").mkString(" + ")
+    Q(
+      "dedup_simhash",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct(${tokensSql("text")})) AS w FROM documents
+         |), h AS (
+         |  SELECT doc_id, ${simhashTokenHashSql("w")} AS h FROM tok
+         |), votes AS (
+         |  SELECT doc_id,
+         |    $voteSumsSql
+         |  FROM h GROUP BY doc_id
+         |)
+         |SELECT doc_id, $combineSql AS simhash
+         |FROM votes ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("w"))
+        .select(col("doc_id"), simhashTokenHash(col("w")).as("h"))
+      val votes = tok.groupBy("doc_id")
+        .agg(sum(bitVote(col("h"), 0)).as("v0"),
+          (1 until SIMHASH_BITS).map(b => sum(bitVote(col("h"), b)).as(s"v$b")): _*)
+      val sig = (0 until SIMHASH_BITS)
+        .map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+        .reduce(_ + _)
+      votes.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+    }
+  }
+
+  /** SimHash near-dup pairs: Hamming distance ≤ 1 over the 32-bit signatures
+    * (bucket by signature halves first at scale; here the pair scan is exact).
+    * The fixture docs share one small vocabulary, so looser thresholds match
+    * tens of thousands of pairs — ≤1 keeps the output a near-dup signal. */
+  val dedupSimhashPairs: Q = {
+    // Reuse the simhash CTE text by regenerating it (same constants → same SQL).
+    val inner = dedupSimhash.oracle.get.replace("ORDER BY doc_id", "")
+    Q(
+      "dedup_simhash_pairs",
+      s"""WITH sims AS ($inner)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val sims = dedupSimhash.run(s, dir)
+      val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+      sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), ham.as("hamming"))
+        .filter(col("hamming") <= 1)
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
+  val all: Seq[Q] = Seq(
+    dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashLsh,
+    dedupSimhash, dedupSimhashPairs)
+}

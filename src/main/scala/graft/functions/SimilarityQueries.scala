@@ -1,0 +1,141 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`embedding: array<float>`,
+  * dim 64). Two paths, as a production corpus needs both:
+  *
+  *  - Brute-force cosine top-k: exact, O(Q·N) — correct baseline, fine when the
+  *    query set is small and broadcastable (the query side here is 10 vectors).
+  *  - Sign-LSH (random-hyperplane) bucketing: each vector gets a B-bit signature
+  *    from B deterministic pseudo-hyperplanes; candidates = same bucket, then
+  *    exact cosine re-rank. Sub-quadratic: at 100 TB the bucket join replaces
+  *    the cross join, the same inverted-index shape as MinHash LSH.
+  *
+  * Determinism: all dot products fold float elements into double sequentially
+  * (Spark `aggregate` over `zip_with` == DuckDB `list_sum` over `list_transform`,
+  * both left-to-right), so scores are bit-identical to the oracle.
+  */
+object SimilarityQueries {
+
+  private val TOPK = 3
+  private val NQUERY = 10  // vec_id < 10 are the query vectors
+  private val SIM_MIN = 0.45
+  private val LSH_BITS = 8
+
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "embeddings")
+
+  /** dot(a,b) with per-element double casts, sequential fold. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  /** Exact cosine top-k for a small query set against the whole corpus.
+    * The query side broadcasts; the corpus is scanned once. */
+  val annBruteForce: Q = Q(
+    "ann_brute_force_topk",
+    s"""WITH normed AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS sim
+       |  FROM normed q JOIN normed c ON q.vec_id < $NQUERY AND c.vec_id <> q.vec_id
+       |), ranked AS (
+       |  SELECT q_id, n_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT q_id, n_id, sim, rk FROM ranked WHERE rk <= $TOPK
+       |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < NQUERY)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), norm(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("ce"), norm(col("embedding")).as("cn"))
+    val sim = (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim")
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    broadcast(q).join(c, col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), sim)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TOPK)
+      .orderBy("q_id", "rk")
+  }
+
+  /** All-pairs similarity join above a threshold (exact; the verification stage
+    * any ANN candidate set feeds at scale). */
+  val annThresholdPairs: Q = Q(
+    "ann_threshold_pairs",
+    s"""WITH normed AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+       |)
+       |SELECT id_a, id_b, sim FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+       |  FROM normed a JOIN normed b ON a.vec_id < b.vec_id)
+       |WHERE sim >= $SIM_MIN
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), norm(col("embedding")).as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), norm(col("embedding")).as("nb"))
+    val sim = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), sim.as("sim"))
+      .filter(col("sim") >= SIM_MIN)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Deterministic ±1 hyperplanes: component j of plane p comes from bit
+    * (j mod 60) of the portable md5-based hash of "p<p>:plane<j/60>". Computed
+    * once here and injected as LITERALS into both the Spark plan and the oracle
+    * SQL — the engines share the exact planes without per-row hashing. */
+  private[functions] def plane(p: Int): IndexedSeq[Double] = {
+    def h(seed: String, content: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$seed:$content".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (0 until 64).map { j =>
+      val word = h(s"p$p", s"plane${j / 60}")
+      if (((word >> (j % 60)) & 1L) == 1L) 1.0 else -1.0
+    }
+  }
+
+  /** Sign-LSH bucket signature: bit p = 1 iff dot(x, hyperplane_p) > 0.
+    * Output: bucket histogram (the data layout an ANN index shuffles by —
+    * candidates at query time are same-bucket rows only). */
+  val annLshBuckets: Q = {
+    val bitsSql = (0 until LSH_BITS).map { p =>
+      val lst = plane(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) * ($lst)[j])) > 0 THEN (1 << $p) ELSE 0 END)"
+    }.mkString("\n         |  + ")
+    Q(
+      "ann_lsh_buckets",
+      s"""SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_id
+         |FROM (SELECT vec_id, $bitsSql AS bucket FROM embeddings)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val bits = (0 until LSH_BITS).map { p =>
+        val planeLit = array(plane(p).map(lit): _*)
+        val proj = aggregate(
+          zip_with(col("embedding"), planeLit, (x, s) => x.cast("double") * s),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      emb(s, dir)
+        .select(col("vec_id"), bits.as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"))
+        .orderBy("bucket")
+    }
+  }
+
+  val all: Seq[Q] = Seq(annBruteForce, annThresholdPairs, annLshBuckets)
+}

@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+
+/** Text-analysis primitives for large-scale training-data pipelines: tokenizing,
+  * shingling, portable 64-bit hashing, MinHash signatures, SimHash, language-ID
+  * markers, quality ratios, document fingerprints.
+  *
+  * Everything here is a pure Catalyst `Column` expression (no UDFs) so it stays
+  * inside whole-stage codegen, and every primitive has a DuckDB-SQL twin
+  * (`*Sql` methods) generated from the SAME constants — that twin is what the
+  * correctness oracle executes, so Spark and oracle can never drift.
+  *
+  * Portable hashing: both engines share md5, so
+  * `hash64(s, seed) = int64(md5(seed ':' s)[0,15 hex])` is identical in Spark
+  * (`conv(substring(md5(..),1,15),16,10)`) and DuckDB (`('0x'||substr(..))::BIGINT`).
+  * 60 bits, always non-negative — safe for shifts and mins.
+  */
+object TextFunctions {
+
+  // ------------------------------------------------------------ tokens
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(c: Column): Column = F.split(F.trim(c), "\\s+")
+  def tokensSql(c: String): String = s"string_split_regex(trim($c), '\\s+')"
+
+  def tokenCount(c: Column): Column = F.size(tokens(c))
+  def tokenCountSql(c: String): String = s"len(${tokensSql(c)})"
+
+  /** Normalized text: lowercase, single-spaced. */
+  def normalized(c: Column): Column =
+    F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")
+  def normalizedSql(c: String): String =
+    s"regexp_replace(lower(trim($c)), '\\s+', ' ', 'g')"
+
+  /** Document fingerprint = md5 of normalized text (exact-dedup key). */
+  def fingerprint(c: Column): Column = F.md5(normalized(c))
+  def fingerprintSql(c: String): String = s"md5(${normalizedSql(c)})"
+
+  // ------------------------------------------------------------ hashing
+
+  /** Portable deterministic 64-bit (60-bit, non-negative) hash. `seed` gives
+    * independent hash families for MinHash. */
+  def hash64(c: Column, seed: String): Column =
+    F.conv(F.substring(F.md5(F.concat(F.lit(seed), F.lit(":"), c)), 1, 15), 16, 10)
+      .cast("long")
+  def hash64Sql(c: String, seed: String): String =
+    s"('0x' || substr(md5('$seed' || ':' || $c), 1, 15))::BIGINT"
+
+  // ------------------------------------------------------------ shingles
+
+  /** Distinct word n-gram shingles (space-joined). Short docs (<n tokens)
+    * collapse to one whole-text shingle. */
+  def shingles(ws: Column, n: Int): Column = {
+    val grams = F.transform(
+      F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+      i => F.concat_ws(" ", (0 until n).map(o => F.element_at(ws, i + o)): _*))
+    F.when(F.size(ws) >= n, F.array_distinct(grams))
+      .otherwise(F.array(F.concat_ws(" ", ws)))
+  }
+  def shinglesSql(ws: String, n: Int): String = {
+    val parts = (0 until n).map(o => s"$ws[i+$o]").mkString(" || ' ' || ")
+    s"(CASE WHEN len($ws) >= $n THEN list_distinct([$parts for i in range(1, len($ws) - ${n - 2})]) " +
+      s"ELSE [array_to_string($ws, ' ')] END)"
+  }
+
+  // ------------------------------------------------------------ MinHash
+
+  /** MinHash signature: k independent min-hashes over a shingle array. */
+  def minhashSig(sg: Column, k: Int): Seq[Column] =
+    (0 until k).map(i => F.array_min(F.transform(sg, s => hash64(s, s"mh$i"))).as(s"h$i"))
+  def minhashSigSql(sg: String, i: Int): String =
+    s"list_min([${hash64Sql("s", s"mh$i")} for s in $sg])"
+
+  /** LSH band key: rows-per-band consecutive signature values joined to a string. */
+  def bandKey(hs: Seq[Column], band: Int, rowsPerBand: Int): Column =
+    F.concat_ws("_", (0 until rowsPerBand).map(r => hs(band * rowsPerBand + r)): _*)
+
+  // ------------------------------------------------------------ SimHash
+
+  /** SimHash over distinct tokens, `bits` wide. Returns per-token hash plus the
+    * per-bit vote combiner is assembled by the caller (needs a groupBy). */
+  def simhashTokenHash(w: Column): Column = hash64(w, "sim")
+  def simhashTokenHashSql(w: String): String = hash64Sql(w, "sim")
+
+  /** Per-bit vote: +1 if bit set else -1 (sum > 0 ⇒ bit set in signature). */
+  def bitVote(h: Column, bit: Int): Column =
+    (F.shiftright(h, bit).bitwiseAND(F.lit(1L)) * 2 - 1)
+  def bitVoteSql(h: String, bit: Int): String =
+    s"((($h >> $bit) & 1) * 2 - 1)"
+
+  // ------------------------------------------------------------ language ID
+
+  /** Marker stopwords per language; order = deterministic tie-break priority. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pour"),
+    "es" -> Seq("el", "los", "de", "y", "es", "una", "que", "por"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "不", "人"))
+
+  /** Count of tokens contained in a marker set. */
+  def markerCount(ws: Column, markers: Seq[String]): Column =
+    F.size(F.filter(ws, w => w.isInCollection(markers)))
+  def markerCountSql(ws: String, markers: Seq[String]): String = {
+    val list = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+    s"len(list_filter($ws, w -> list_contains($list, w)))"
+  }
+
+  /** Predicted language = argmax marker count, ties to earlier language. */
+  def langId(ws: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> markerCount(ws, ms) }
+    scores.zipWithIndex.foldRight(F.lit(langMarkers.last._1)) {
+      case (((lang, score), i), acc) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        if (laterScores.isEmpty) acc
+        else F.when(laterScores.foldLeft(F.lit(true))((c, s2) => c && score >= s2), lang)
+          .otherwise(acc)
+    }
+  }
+  def langIdSql(ws: String): String = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> markerCountSql(ws, ms) }
+    val cases = scores.zipWithIndex.dropRight(1).map { case ((lang, s), i) =>
+      val conds = scores.drop(i + 1).map { case (_, s2) => s"$s >= $s2" }.mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }
+    s"(CASE ${cases.mkString(" ")} ELSE '${langMarkers.last._1}' END)"
+  }
+
+  // ------------------------------------------------------------ quality
+
+  /** Sum of token lengths (integer; the basis for avg word length). */
+  def tokenLenSum(ws: Column): Column =
+    F.aggregate(F.transform(ws, w => F.length(w)), F.lit(0), (a, x) => a + x)
+  def tokenLenSumSql(ws: String): String =
+    s"list_sum(list_transform($ws, w -> len(w)))"
+
+  /** Digit character count. */
+  def digitCount(c: Column): Column =
+    F.length(F.regexp_replace(c, "[^0-9]", ""))
+  def digitCountSql(c: String): String =
+    s"len(regexp_replace($c, '[^0-9]', '', 'g'))"
+}

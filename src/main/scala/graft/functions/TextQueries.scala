@@ -1,0 +1,106 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over the `documents` table: token stats, quality
+  * scoring, language ID, fingerprinting. No reference counterpart (hyrise has no
+  * text functions beyond SUBSTR/CONCAT — reference:
+  * src/lib/expression/function_expression.hpp:14-18); these are the
+  * training-data-pipeline extensions, built as pure codegen expressions so a
+  * 100 TB corpus scans them at parquet speed with zero shuffles (all per-row). */
+object TextQueries {
+  import TextFunctions._
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "documents")
+
+  /** Token + char counting (BPE-ish subword estimate = ceil(chars/4) heuristic). */
+  val textTokenCount: Q = Q(
+    "text_token_count",
+    s"""SELECT doc_id,
+       |  ${tokenCountSql("text")} AS n_tokens,
+       |  length(text) AS chars,
+       |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docs(s, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      length(col("text")).cast("long").as("chars"),
+      ceil(length(col("text")) / 4.0).cast("long").as("bpe_est"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality ratios: avg word length, stopword ratio, digit ratio, plus a
+    * composite score — all integer-ratio doubles, deterministic across engines. */
+  val textQuality: Q = {
+    val stops = langMarkers.flatMap(_._2)
+    Q(
+      "text_quality",
+      s"""SELECT doc_id, n_tokens,
+         |  lensum / n_tokens AS avg_word_len,
+         |  n_stop / n_tokens AS stop_ratio,
+         |  n_digit / chars AS digit_ratio,
+         |  0.5 * (n_stop / n_tokens) + 0.3 * least(lensum / n_tokens / 10.0, 1.0)
+         |    + 0.2 * (1.0 - n_digit / chars) AS quality_score
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(${tokenCountSql("text")} AS DOUBLE) AS n_tokens,
+         |    CAST(${tokenLenSumSql(tokensSql("text"))} AS DOUBLE) AS lensum,
+         |    CAST(${markerCountSql(tokensSql("text"), stops)} AS DOUBLE) AS n_stop,
+         |    CAST(${digitCountSql("text")} AS DOUBLE) AS n_digit,
+         |    CAST(length(text) AS DOUBLE) AS chars
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = tokens(col("text"))
+      val base = docs(s, dir).select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("double").as("n_tokens"),
+        tokenLenSum(ws).cast("double").as("lensum"),
+        markerCount(ws, stops).cast("double").as("n_stop"),
+        digitCount(col("text")).cast("double").as("n_digit"),
+        length(col("text")).cast("double").as("chars"))
+      base.select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("lensum") / col("n_tokens")).as("avg_word_len"),
+        (col("n_stop") / col("n_tokens")).as("stop_ratio"),
+        (col("n_digit") / col("chars")).as("digit_ratio"),
+        (lit(0.5) * (col("n_stop") / col("n_tokens"))
+          + lit(0.3) * least(col("lensum") / col("n_tokens") / 10.0, lit(1.0))
+          + lit(0.2) * (lit(1.0) - col("n_digit") / col("chars"))).as("quality_score"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Marker-based language ID (n-gram-free heuristic: per-language stopword hit
+    * counts, argmax with fixed priority). Compared against the labeled `lang`
+    * column for an agreement count per predicted language. */
+  val textLangId: Q = Q(
+    "text_lang_id",
+    s"""SELECT pred_lang, COUNT(*) AS n,
+       |  COUNT(*) FILTER (WHERE pred_lang = lang) AS agree
+       |FROM (SELECT lang, ${langIdSql(tokensSql("text"))} AS pred_lang FROM documents)
+       |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("lang"), langId(tokens(col("text"))).as("pred_lang"))
+      .groupBy("pred_lang")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("pred_lang") === col("lang"), 1)).as("agree"))
+      .orderBy("pred_lang")
+  }
+
+  /** Document fingerprint (md5 of normalized text) per doc — the join key for
+    * exact dedup and incremental corpus diffing. */
+  val textFingerprint: Q = Q(
+    "text_fingerprint",
+    s"""SELECT doc_id, ${fingerprintSql("text")} AS fp, source
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(textTokenCount, textQuality, textLangId, textFingerprint)
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.{Catalog, Pipeline, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-lifecycle coverage: DML with snapshot semantics, views, prepared
+  * statements, meta tables — the Catalog/Pipeline façade exercised end-to-end
+  * and verified against oracle SQL expressing the same END STATE (the reference
+  * verifies its Insert/Delete/Update operators the same way: golden end-state
+  * tables, reference: src/test/lib/operators/insert_test.cpp).
+  *
+  * Working tables get a `_w` suffix so a mutated temp view never leaks into
+  * other queries sharing the Verify session.
+  */
+object LifecycleQueries {
+
+  private def pipeline(s: SparkSession, dir: String, tables: (String, String)*): Pipeline = {
+    val cat = new Catalog(s)
+    tables.foreach { case (src, as) => cat.register(as, Tables.df(s, dir, src)) }
+    new Pipeline(cat)
+  }
+
+  /** INSERT INTO ... VALUES appends rows (reference: src/lib/operators/insert.hpp:9-22). */
+  val dmlInsert: Q = Q(
+    "dml_insert",
+    """SELECT * FROM (
+      |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |  UNION ALL
+      |  SELECT * FROM (VALUES (901, 'NATION_X', 1), (902, 'NATION_Y', 2)) v(a, b, c)
+      |) ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    val p = pipeline(s, dir, "nation" -> "nation_w")
+    p.run(
+      """INSERT INTO nation_w VALUES (901, 'NATION_X', 1), (902, 'NATION_Y', 2);
+        |SELECT * FROM nation_w ORDER BY n_nationkey""".stripMargin)
+      .last.df.get
+  }
+
+  /** DELETE marks rows invisible; the new snapshot excludes them
+    * (reference: src/lib/operators/delete.hpp:18 — end-cid semantics). */
+  val dmlDelete: Q = Q(
+    "dml_delete",
+    """SELECT * FROM nation WHERE NOT (n_regionkey = 2)
+      |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    val p = pipeline(s, dir, "nation" -> "nation_w2")
+    p.run(
+      """DELETE FROM nation_w2 WHERE n_regionkey = 2;
+        |SELECT * FROM nation_w2 ORDER BY n_nationkey""".stripMargin)
+      .last.df.get
+  }
+
+  /** UPDATE = delete+insert composite in the reference (update.hpp:28); here a
+    * CASE rewrite with the same end state. */
+  val dmlUpdate: Q = Q(
+    "dml_update",
+    """SELECT s_suppkey, s_name,
+      |  CASE WHEN s_nationkey = 0 THEN s_acctbal + 100.0 ELSE s_acctbal END AS s_acctbal,
+      |  s_nationkey
+      |FROM (SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier)
+      |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val p = pipeline(s, dir, "supplier" -> "supplier_w")
+    p.run(
+      """UPDATE supplier_w SET s_acctbal = s_acctbal + 100.0 WHERE s_nationkey = 0;
+        |SELECT s_suppkey, s_name, s_acctbal, s_nationkey FROM supplier_w ORDER BY s_suppkey""".stripMargin)
+      .last.df.get
+  }
+
+  /** Snapshot isolation: a plan captured BEFORE a DELETE still sees the old
+    * state; the count pair is the oracle-checkable witness
+    * (reference: src/lib/operators/validate.hpp:20 visibility rules). */
+  val dmlSnapshot: Q = Q(
+    "dml_snapshot",
+    """SELECT (SELECT COUNT(*) FROM region) AS before_n,
+      |  (SELECT COUNT(*) FROM region WHERE r_regionkey <> 0) AS after_n""".stripMargin) { (s, dir) =>
+    val cat = new Catalog(s)
+    cat.register("region_w", Tables.df(s, dir, "region"))
+    val snapshot = cat.table("region_w") // captured binding = old snapshot
+    val p = new Pipeline(cat)
+    p.run("DELETE FROM region_w WHERE r_regionkey = 0")
+    val after = cat.table("region_w")
+    import org.apache.spark.sql.functions._
+    snapshot.agg(count(lit(1)).as("before_n"))
+      .crossJoin(after.agg(count(lit(1)).as("after_n")))
+  }
+
+  /** Views + PREPARE/EXECUTE with parameter binding
+    * (reference: src/lib/storage/lqp_view.hpp, create_prepared_plan.hpp:12). */
+  val viewPrepared: Q = Q(
+    "lifecycle_view_prepared",
+    """SELECT o_custkey, COUNT(*) AS n FROM orders
+      |WHERE o_totalprice > 400000 GROUP BY o_custkey
+      |HAVING COUNT(*) >= 3 ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    val p = pipeline(s, dir, "orders" -> "orders_w")
+    val results = p.run(
+      """CREATE VIEW big_orders_v AS SELECT * FROM orders_w WHERE o_totalprice > 400000;
+        |PREPARE count_by_cust AS SELECT o_custkey, COUNT(*) AS n FROM big_orders_v GROUP BY o_custkey HAVING COUNT(*) >= ? ORDER BY o_custkey;
+        |EXECUTE count_by_cust (3)""".stripMargin)
+    results.last.df.get
+  }
+
+  /** meta_tables over the registered fixture set — deterministic inventory
+    * (reference: src/lib/utils/meta_tables/meta_tables_table.cpp). */
+  val metaTables: Q = Q(
+    "meta_tables",
+    """SELECT * FROM (VALUES
+      |  ('customer_m', 5), ('lineitem_m', 11), ('nation_m', 3),
+      |  ('orders_m', 6), ('region_m', 2), ('supplier_m', 4)
+      |) v(table_name, column_count) ORDER BY table_name""".stripMargin) { (s, dir) =>
+    val cat = new Catalog(s)
+    Seq("customer", "lineitem", "nation", "orders", "region", "supplier")
+      .foreach(n => cat.register(s"${n}_m", Tables.df(s, dir, n)))
+    cat.metaTables.select("table_name", "column_count").orderBy("table_name")
+  }
+
+  val all: Seq[Q] = Seq(dmlInsert, dmlDelete, dmlUpdate, dmlSnapshot, viewPrepared, metaTables)
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog + Pipeline lifecycle: DML snapshot semantics, views, PREPARE/EXECUTE,
+  * plan cache, meta tables, multi-statement scripts (SURVEY §3 lifecycle parity). */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def freshPipeline(): Pipeline = {
+    val cat = new Catalog(spark)
+    cat.register("t_nation", Tables.df(spark, SparkTestBase.sf, "nation"))
+    cat.register("t_region", Tables.df(spark, SparkTestBase.sf, "region"))
+    new Pipeline(cat)
+  }
+
+  test("INSERT appends with schema enforcement") {
+    val p = freshPipeline()
+    val before = p.catalog.table("t_nation").count()
+    p.run("INSERT INTO t_nation VALUES (900, 'NEW_NATION', 0)")
+    assert(p.catalog.table("t_nation").count() == before + 1)
+    val added = p.catalog.table("t_nation").filter(col("n_nationkey") === 900).collect()
+    assert(added.head.getString(1) == "NEW_NATION")
+  }
+
+  test("DELETE removes matching rows; NULL predicate rows survive") {
+    val p = freshPipeline()
+    p.run("DELETE FROM t_region WHERE r_regionkey >= 3")
+    assert(p.catalog.table("t_region").count() == 3)
+  }
+
+  test("UPDATE rewrites matching rows only") {
+    val p = freshPipeline()
+    p.run("UPDATE t_region SET r_name = 'X' WHERE r_regionkey = 0")
+    val names = p.catalog.table("t_region").orderBy("r_regionkey")
+      .select("r_name").collect().map(_.getString(0))
+    assert(names.head == "X")
+    assert(names.count(_ == "X") == 1)
+  }
+
+  test("statement-level snapshot: captured plans don't see later DML") {
+    val p = freshPipeline()
+    val snapshot = p.catalog.table("t_region")
+    p.run("DELETE FROM t_region WHERE r_regionkey = 0")
+    assert(snapshot.count() == 5, "old binding keeps its snapshot")
+    assert(p.catalog.table("t_region").count() == 4)
+  }
+
+  test("views and PREPARE/EXECUTE bind parameters") {
+    val p = freshPipeline()
+    val rs = p.run(
+      """CREATE VIEW even_nations AS SELECT * FROM t_nation WHERE n_nationkey % 2 = 0;
+        |PREPARE pick AS SELECT COUNT(*) AS n FROM even_nations WHERE n_regionkey = ?;
+        |EXECUTE pick (1)""".stripMargin)
+    assert(rs.forall(_.status == p.Ok))
+    val expected = Tables.df(spark, SparkTestBase.sf, "nation")
+      .filter(col("n_nationkey") % 2 === 0 && col("n_regionkey") === 1).count()
+    assert(rs.last.df.get.collect().head.getLong(0) == expected)
+  }
+
+  test("plan cache hits on repeated SQL text") {
+    val p = freshPipeline()
+    p.sql("SELECT COUNT(*) FROM t_nation")
+    p.sql("SELECT   COUNT(*)   FROM t_nation") // whitespace-normalized → same key
+    val (hits, misses) = p.planCacheStats
+    assert(hits >= 1, s"expected a cache hit, got hits=$hits misses=$misses")
+  }
+
+  test("CREATE TABLE AS / DROP TABLE") {
+    val p = freshPipeline()
+    p.run("CREATE TABLE n_copy AS SELECT * FROM t_nation WHERE n_regionkey = 0")
+    assert(p.catalog.exists("n_copy"))
+    assert(p.catalog.table("n_copy").count() == 5)
+    p.run("DROP TABLE n_copy")
+    assert(!p.catalog.exists("n_copy"))
+  }
+
+  test("failures are per-statement, not script-aborting") {
+    val p = freshPipeline()
+    val rs = p.run("SELECT * FROM missing_table; SELECT COUNT(*) AS n FROM t_region")
+    assert(rs.head.status != p.Ok)
+    assert(rs.last.status == p.Ok)
+  }
+
+  test("meta tables reflect catalog state") {
+    val p = freshPipeline()
+    val names = p.catalog.metaTables.select("table_name").collect().map(_.getString(0))
+    assert(names.contains("t_nation") && names.contains("t_region"))
+    val cols = p.catalog.metaColumns
+      .filter(col("table_name") === "t_nation").count()
+    assert(cols == 3)
+  }
+}

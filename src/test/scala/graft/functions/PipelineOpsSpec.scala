@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the training-data-pipeline operators beyond "matches the
+  * oracle": LSH candidates vs true Jaccard, SimHash locality, ANN sanity. */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+
+  test("minhash LSH candidates cover all high-jaccard pairs (recall=1 here)") {
+    val trueDups = DedupQueries.dedupNgramJaccard.run(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupQueries.dedupMinhashLsh.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trueDups.subsetOf(lsh),
+      s"LSH missed ${trueDups.diff(lsh)} — banding should catch every j>=0.2 pair at this scale")
+  }
+
+  test("identical texts get identical minhash signatures") {
+    import spark.implicits._
+    val two = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val sigs = two.select(TextFunctions.minhashSig(
+      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3), 12): _*).collect()
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    val sims = DedupQueries.dedupSimhash.run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearDups = DedupQueries.dedupNgramJaccard.run(spark, sf)
+      .filter(col("jaccard") > 0.8).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // SimHash hashes the distinct-token SET — coarser than shingle jaccard —
+    // so allow a wider (but still local) band than random pairs' ~16/32.
+    nearDups.foreach { case (a, b) =>
+      val ham = java.lang.Long.bitCount(sims(a) ^ sims(b))
+      assert(ham <= 8, s"docs $a/$b jaccard>0.8 but simhash hamming=$ham")
+    }
+  }
+
+  test("language id is total and deterministic over the corpus") {
+    val preds = TextQueries.textLangId.run(spark, sf).collect()
+    val langs = TextFunctions.langMarkers.map(_._1).toSet
+    assert(preds.forall(r => langs.contains(r.getString(0))))
+  }
+
+  test("ann brute-force topk: self excluded, scores in [-1,1], ranks dense") {
+    val top = SimilarityQueries.annBruteForce.run(spark, sf).collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1), "self must be excluded")
+      val sim = r.getDouble(2)
+      assert(sim >= -1.0001 && sim <= 1.0001)
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 3)
+    }
+  }
+
+  test("lsh buckets partition the corpus (sizes sum to row count)") {
+    val total = Tables.df(spark, sf, "embeddings").count()
+    val bucketed = SimilarityQueries.annLshBuckets.run(spark, sf)
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(bucketed == total)
+  }
+
+  test("multimodal payload plumbing: byte counts & batched features") {
+    val docs = Tables.df(spark, sf, "documents")
+    val out = Multimodal.decodeBatched(spark, Multimodal.attachPayload(docs, "text"))
+    val row = out.select(col("media_meta.n_bytes"), length(col("text")),
+      size(col("features"))).collect()
+    row.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), "utf8 byte count for ascii text == char count")
+      assert(r.getInt(2) == 4, "stubbed decoder emits fixed-width features")
+    }
+  }
+}

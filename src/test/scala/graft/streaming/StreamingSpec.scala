@@ -1,0 +1,40 @@
+package graft.streaming
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming over events: windowed aggregation must agree with the
+  * equivalent batch plan, and keyed state must see every row. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+
+  test("streamed hourly counts == batch hourly counts") {
+    val stream = EventStreams.source(spark, sf)
+    val streamed = EventStreams.runToMemory(
+      spark, EventStreams.hourlyCounts(stream), "hourly_out")
+      .select("window_start", "event_type", "n")
+
+    val batch = Tables.df(spark, sf, "events")
+      .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream and batch window aggregations must produce identical rows")
+  }
+
+  test("keyed session state sees every event exactly once") {
+    val stream = EventStreams.source(spark, sf)
+    val sessions = EventStreams.runToMemory(
+      spark, EventStreams.userSessions(spark, stream), "sessions_out",
+      OutputMode.Append())
+    val totalEvents = sessions.agg(sum("nEvents")).collect().head.getLong(0)
+    assert(totalEvents == Tables.df(spark, sf, "events").count())
+    val users = sessions.select("userId").distinct().count()
+    assert(users == Tables.df(spark, sf, "events").select("user_id").distinct().count())
+  }
+}
