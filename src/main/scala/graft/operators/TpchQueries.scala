@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * times at sf0.1.
   *
   * Scale design notes (100 TB / 1000-executor framing):
-  *  - Dimensions (region/nation/customer/supplier/part) are broadcast — the fact
-  *    table is never shuffled for them.
+  *  - Tiny dimensions (region/nation/supplier/part) carry an explicit broadcast
+  *    hint — the fact table is never shuffled for them at any scale.
+  *  - customer is NOT hinted: it grows with scale factor, so the
+  *    broadcast-vs-shuffle choice is left to Catalyst/AQE statistics (broadcast
+  *    at test scale, shuffled hash at 100 TB) rather than hard-coded wrong.
   *  - fact⋈fact (lineitem⋈orders) shuffles on the join key once; group-bys reuse
   *    that partitioning where keys align (orderkey).
   *  - Aggregates are partial (map-side) by construction; filters sit directly on
@@ -40,7 +43,7 @@ object TpchQueries {
     val o = t(s, dir, "orders").filter(col("o_orderdate") < "1998-06-15 00:00:00")
     val l = t(s, dir, "lineitem").filter(col("l_shipdate") > "1998-06-15 00:00:00")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(asDouble(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
       .select(col("l_orderkey"), col("revenue"),
@@ -91,7 +94,7 @@ object TpchQueries {
     val n = t(s, dir, "nation")
     val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
       .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -135,7 +138,7 @@ object TpchQueries {
     val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
     val n = t(s, dir, "nation")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
       .agg(asDouble(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
@@ -182,7 +185,7 @@ object TpchQueries {
     val l = t(s, dir, "lineitem")
     val c = t(s, dir, "customer")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_custkey"), col("o_orderkey"), col("o_orderdate"))
       .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
       .filter(col("qty_dec") > 250)
