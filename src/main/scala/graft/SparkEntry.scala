@@ -18,6 +18,7 @@ object SparkEntry {
       operators.TpchQueries.all ++
       operators.EventsQueries.all ++
       operators.LifecycleQueries.all ++
+      operators.AdvancedQueries.all ++
       functions.TextQueries.all ++
       functions.DedupQueries.all ++
       functions.SimilarityQueries.all ++

@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Remaining §2 inventory rows + deliberate supersets of the reference's
+  * executable surface (SURVEY §2.4 "free supersets we expose anyway"). */
+object AdvancedQueries {
+  import Det._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
+
+  /** ROLLUP — grouping-set aggregation the reference lacks entirely
+    * (SURVEY §2.4: no GROUPING SETS/CUBE/ROLLUP in the translator). */
+  val aggRollup: Q = Q(
+    "agg_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n"))
+      .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n")
+      .orderBy(col("g_flag"), col("g_status"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** CUBE — full grouping-set lattice. */
+  val aggCube: Q = Q(
+    "agg_cube",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** ANY aggregate — the reference's internal pick-any used by its dependent-
+    * group-by reduction (reference: src/lib/expression/window_function_expression.hpp,
+    * WindowFunction::Any; rule reference: src/lib/optimizer/strategy/
+    * dependent_group_by_reduction_rule.cpp). Deterministic here because the
+    * picked column is functionally dependent on the group key. */
+  val aggAny: Q = Q(
+    "agg_any",
+    """SELECT n_regionkey, ANY_VALUE(r_name) AS region_name, COUNT(*) AS n
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_regionkey")
+      .agg(any_value(col("r_name")).as("region_name"), count(lit(1)).as("n"))
+      .orderBy("n_regionkey")
+  }
+
+  /** Three-valued logic (reference: src/lib/expression/logical_expression.hpp:12,
+    * NULL-propagating AND/OR) — the truth-table corners as one verifiable row. */
+  val expr3vl: Q = {
+    val text =
+      """SELECT
+        |  (NULL AND FALSE) AS null_and_false,
+        |  (NULL AND TRUE) IS NULL AS null_and_true_is_null,
+        |  (NULL OR TRUE) AS null_or_true,
+        |  (NULL OR FALSE) IS NULL AS null_or_false_is_null,
+        |  (NOT NULL) IS NULL AS not_null_is_null""".stripMargin
+    Q("expr_3vl", text)((s, _) => s.sql(text))
+  }
+
+  /** EXCEPT ALL / INTERSECT ALL — bag-semantics set ops (beyond the reference's
+    * parsed-but-unexecutable set operations, SURVEY §2.7). */
+  val setExceptAll: Q = Q(
+    "set_except_all",
+    """SELECT k FROM (
+      |  SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 49
+      |  EXCEPT ALL
+      |  SELECT s_suppkey AS k FROM supplier WHERE s_acctbal > 0
+      |) ORDER BY k""".stripMargin) { (s, dir) =>
+    val a = t(s, dir, "lineitem").filter(col("l_quantity") >= 49).select(col("l_suppkey").as("k"))
+    val b = t(s, dir, "supplier").filter(col("s_acctbal") > 0).select(col("s_suppkey").as("k"))
+    a.exceptAll(b).orderBy("k")
+  }
+
+  val setIntersectAll: Q = Q(
+    "set_intersect_all",
+    """SELECT k FROM (
+      |  SELECT c_nationkey AS k FROM customer WHERE c_custkey <= 100
+      |  INTERSECT ALL
+      |  SELECT s_nationkey AS k FROM supplier
+      |) ORDER BY k""".stripMargin) { (s, dir) =>
+    val a = t(s, dir, "customer").filter(col("c_custkey") <= 100).select(col("c_nationkey").as("k"))
+    val b = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+    a.intersectAll(b).orderBy("k")
+  }
+
+  /** LIMIT ... OFFSET — the reference asserts no OFFSET support
+    * (reference: src/lib/sql/sql_translator.cpp:1578); native superset here. */
+  val limitOffset: Q = Q(
+    "limit_offset",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 15""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(15)
+      .limit(10)
+  }
+
+  /** Point lookup — the IndexScan capability (reference:
+    * src/lib/operators/index_scan.hpp:22): an exact-key predicate answered by
+    * data skipping (parquet min/max + dictionary) instead of an index object. */
+  val indexScanPointLookup: Q = Q(
+    "index_scan_point_lookup",
+    """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+      |WHERE l_orderkey = 1042 ORDER BY l_linenumber""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") === 1042)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+      .orderBy("l_linenumber")
+  }
+
+  /** TableWrapper — an in-memory relation as a plan leaf
+    * (reference: src/lib/operators/table_wrapper.hpp:16), joined to a real scan. */
+  val tableWrapperValues: Q = Q(
+    "table_wrapper_values",
+    """SELECT v.rk, r_name, v.tag
+      |FROM (VALUES (0, 'alpha'), (2, 'beta'), (4, 'gamma')) v(rk, tag)
+      |JOIN region ON r_regionkey = v.rk
+      |ORDER BY v.rk""".stripMargin) { (s, dir) =>
+    val wrapper = s.createDataFrame(
+      java.util.Arrays.asList(Row(0, "alpha"), Row(2, "beta"), Row(4, "gamma")),
+      StructType(Seq(
+        StructField("rk", IntegerType, nullable = false),
+        StructField("tag", StringType, nullable = false))))
+    wrapper.join(t(s, dir, "region"), col("r_regionkey") === col("rk"))
+      .select(col("rk"), col("r_name"), col("tag"))
+      .orderBy("rk")
+  }
+
+  /** EXTRACT time components (reference DatetimeComponent includes
+    * Hour/Minute/Second, src/lib/types.hpp:237) — computed from the events
+    * nanosecond epoch with integer math shared by both engines. */
+  val extractTime: Q = Q(
+    "extract_time",
+    """SELECT event_id,
+      |  CAST(floor(epoch_us(ts) / 3600000000) % 24 AS BIGINT) AS h,
+      |  CAST(floor(epoch_us(ts) / 60000000) % 60 AS BIGINT) AS m,
+      |  CAST(floor(epoch_us(ts) / 1000000) % 60 AS BIGINT) AS sec
+      |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("event_id") < 100)
+      .select(
+        col("event_id"),
+        expr("((ts DIV 1000) DIV 3600000000) % 24").as("h"),
+        expr("((ts DIV 1000) DIV 60000000) % 60").as("m"),
+        expr("((ts DIV 1000) DIV 1000000) % 60").as("sec"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    aggRollup, aggCube, aggAny, expr3vl, setExceptAll, setIntersectAll,
+    limitOffset, indexScanPointLookup, tableWrapperValues, extractTime)
+}
