@@ -16,6 +16,7 @@ object SparkEntry {
       operators.WindowQueries.all ++
       operators.SubqueryQueries.all ++
       operators.TpchQueries.all ++
+      operators.TpchFullQueries.all ++
       operators.EventsQueries.all ++
       operators.LifecycleQueries.all ++
       operators.AdvancedQueries.all ++
