@@ -28,11 +28,14 @@ object SimilarityQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "embeddings")
 
-  /** dot(a,b) with per-element double casts, sequential fold. */
+  /** dot(a,b): the native codegen kernel [[graft.plans.FloatVectorDot]]
+    * (registered by GraftExtensions). Same semantics as the previous
+    * `aggregate(zip_with(...))` formulation — double casts, sequential
+    * left-to-right fold, NULL on null element / length mismatch — but compiles
+    * to a tight primitive loop inside whole-stage codegen instead of per-row
+    * lambda dispatch. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("graft_vec_dot", a, b)
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 

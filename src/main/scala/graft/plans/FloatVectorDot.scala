@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -18,18 +18,32 @@ import org.apache.spark.sql.types._
   * tight primitive loop. This expression participates in whole-stage codegen
   * via `doGenCode`.
   *
-  * Semantics (kept bit-identical to the `aggregate`/`zip_with` formulation and
-  * to DuckDB's `list_sum(list_transform(...))`, so oracle hashes still match):
+  * Semantics (kept bit-identical to the `aggregate`/`zip_with` formulation, so
+  * oracle hashes still match):
   *   - elements are cast to double, multiplied, and summed LEFT-TO-RIGHT
   *     starting from 0.0d (IEEE addition order fixed);
   *   - NULL array, length mismatch, or any NULL element → NULL.
+  * Note: this diverges from DuckDB's `list_sum` on NULL elements (SUM skips
+  * NULLs there); oracle SQL for vector ops must use explicit per-element
+  * NULL propagation, which `SimilarityQueries` already does.
+  *
+  * Input typing is validated in `checkInputDataTypes()` rather than
+  * `ExpectsInputTypes.inputTypes` because `AbstractDataType`/`TypeCollection`
+  * are `private[sql]` in the shipped Spark 4.1.2 (round-1 VERDICT item 1).
   */
 case class FloatVectorDot(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(
-    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
-    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  private def okElem(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okElem(left.dataType) && okElem(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

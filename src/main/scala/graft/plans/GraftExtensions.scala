@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Catalyst extension point for graft's native expressions — the Spark-idiomatic
+  * counterpart of the reference registering operators with its LQP translator
+  * (reference: src/lib/logical_query_plan/lqp_translator.cpp). Installed via the
+  * public `spark.sql.extensions` conf (see [[graft.GraftSession]]), so the
+  * functions are available to `spark.sql(...)` text and to
+  * `functions.call_function` alike, and participate in whole-stage codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_vec_dot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, s"graft_vec_dot expects 2 arguments, got ${args.length}")
+        FloatVectorDot(args.head, args(1))
+      }))
+  }
+}
