@@ -161,8 +161,17 @@ object DedupQueries {
     }
   }
 
-  /** SimHash near-dup pairs: Hamming distance ≤ 1 over the 32-bit signatures
-    * (bucket by signature halves first at scale; here the pair scan is exact).
+  /** SimHash near-dup pairs: Hamming distance ≤ 1 over the 32-bit signatures.
+    *
+    * EXACT and sub-quadratic by pigeonhole: split the signature into two
+    * 16-bit halves — hamming ≤ 1 means the single differing bit (if any) lives
+    * in at most one half, so every qualifying pair agrees exactly on at least
+    * one half. Candidate generation is therefore an equi self-join on
+    * (half_idx, half_val) — a hash shuffle on the half key, never an all-pairs
+    * scan — followed by the exact hamming filter. A hamming-0 pair collides on
+    * both halves, hence the final distinct. Same answer as the all-pairs
+    * formulation (the DuckDB oracle below stays all-pairs: at oracle scale
+    * O(n²) is fine, and keeping it quadratic proves the rewrite's equality).
     * The fixture docs share one small vocabulary, so looser thresholds match
     * tens of thousands of pairs — ≤1 keeps the output a near-dup signal. */
   val dedupSimhashPairs: Q = {
@@ -177,10 +186,21 @@ object DedupQueries {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val sims = dedupSimhash.run(s, dir)
+      val halves = sims.select(
+        col("doc_id"), col("simhash"),
+        posexplode(array(
+          col("simhash").bitwiseAND(lit(0xFFFFL)),
+          shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL))))
+          .as(Seq("half_idx", "half_val")))
       val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-      sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+      halves.as("a")
+        .join(halves.as("b"),
+          col("a.half_idx") === col("b.half_idx")
+            && col("a.half_val") === col("b.half_val")
+            && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), ham.as("hamming"))
         .filter(col("hamming") <= 1)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     }
   }

@@ -25,6 +25,8 @@ object SimilarityQueries {
   private val NQUERY = 10  // vec_id < 10 are the query vectors
   private val SIM_MIN = 0.45
   private val LSH_BITS = 8
+  private val LSH_BANDS = 4      // banded sign-LSH for the pair join
+  private val LSH_BAND_BITS = 4  // planes per band (16 planes total)
 
   private def emb(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "embeddings")
 
@@ -72,8 +74,10 @@ object SimilarityQueries {
       .orderBy("q_id", "rk")
   }
 
-  /** All-pairs similarity join above a threshold (exact; the verification stage
-    * any ANN candidate set feeds at scale). */
+  /** All-pairs similarity join above a threshold. EXACT, deliberately O(n²):
+    * this is the small-N verification oracle the approximate path
+    * ([[annLshPairs]]) is recall-tested against (SimilaritySpec), never the
+    * scale path — at 100 TB candidates come from the LSH bucket equi-join. */
   val annThresholdPairs: Q = Q(
     "ann_threshold_pairs",
     s"""WITH normed AS (
@@ -112,33 +116,86 @@ object SimilarityQueries {
     }
   }
 
+  /** LSH bucket id of `embedding`, as SQL text (oracle) and Column (Spark) —
+    * shared by the histogram probe and the bucketed pair join so the two
+    * engines always hash the same planes. */
+  private def bucketSql: String = (0 until LSH_BITS).map { p =>
+    val lst = plane(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    s"(CASE WHEN list_sum(list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) * ($lst)[j])) > 0 THEN (1 << $p) ELSE 0 END)"
+  }.mkString("\n         |  + ")
+
+  private def bucketCol: Column = (0 until LSH_BITS).map { p =>
+    val planeLit = array(plane(p).map(lit): _*)
+    when(dot(col("embedding"), planeLit) > 0, lit(1 << p)).otherwise(lit(0))
+  }.reduce(_ + _)
+
   /** Sign-LSH bucket signature: bit p = 1 iff dot(x, hyperplane_p) > 0.
     * Output: bucket histogram (the data layout an ANN index shuffles by —
     * candidates at query time are same-bucket rows only). */
-  val annLshBuckets: Q = {
-    val bitsSql = (0 until LSH_BITS).map { p =>
-      val lst = plane(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-      s"(CASE WHEN list_sum(list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) * ($lst)[j])) > 0 THEN (1 << $p) ELSE 0 END)"
-    }.mkString("\n         |  + ")
+  val annLshBuckets: Q = Q(
+    "ann_lsh_buckets",
+    s"""SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_id
+       |FROM (SELECT vec_id, $bucketSql AS bucket FROM embeddings)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    emb(s, dir)
+      .select(col("vec_id"), bucketCol.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"))
+      .orderBy("bucket")
+  }
+
+  /** The scale path for threshold similarity: banded sign-LSH candidates, then
+    * exact-cosine re-rank. Each vector gets LSH_BANDS band keys (LSH_BAND_BITS
+    * planes each, planes indexed band*bits+j); candidates are pairs sharing at
+    * least one (band_idx, band_key) — an equi self-join per band bucket, the
+    * same sub-quadratic OR-of-ANDs shape as MinHash LSH banding. Approximate by
+    * design (a pair agreeing on no band is unseen — recall is tested against
+    * the exact [[annThresholdPairs]] in SimilaritySpec); the oracle applies the
+    * identical band equi-join with the identical literal planes, so results
+    * hash-match exactly. */
+  val annLshPairs: Q = {
+    def bandSql(band: Int): String = (0 until LSH_BAND_BITS).map { j =>
+      val lst = plane(band * LSH_BAND_BITS + j).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), k -> CAST(embedding[k] AS DOUBLE) * ($lst)[k])) > 0 THEN (1 << $j) ELSE 0 END)"
+    }.mkString(" + ")
+    val bandListSql = (0 until LSH_BANDS).map(bandSql).mkString("[", ",\n       |    ", "]")
+    val idxListSql = (0 until LSH_BANDS).mkString("[", ",", "]")
     Q(
-      "ann_lsh_buckets",
-      s"""SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_id
-         |FROM (SELECT vec_id, $bitsSql AS bucket FROM embeddings)
-         |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
-      val bits = (0 until LSH_BITS).map { p =>
-        val planeLit = array(plane(p).map(lit): _*)
-        val proj = aggregate(
-          zip_with(col("embedding"), planeLit, (x, s) => x.cast("double") * s),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj > 0, lit(1 << p)).otherwise(lit(0))
+      "ann_lsh_pairs",
+      s"""WITH normed AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+         |), bands AS (
+         |  SELECT vec_id, embedding, nrm,
+         |    unnest($idxListSql) AS band_idx,
+         |    unnest($bandListSql) AS band_key
+         |  FROM normed
+         |)
+         |SELECT id_a, id_b, sim FROM (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id)
+         |WHERE sim >= $SIM_MIN
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      def bandCol(band: Int): Column = (0 until LSH_BAND_BITS).map { j =>
+        val planeLit = array(plane(band * LSH_BAND_BITS + j).map(lit): _*)
+        when(dot(col("embedding"), planeLit) > 0, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
-      emb(s, dir)
-        .select(col("vec_id"), bits.as("bucket"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"))
-        .orderBy("bucket")
+      val bands = emb(s, dir)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+          posexplode(array((0 until LSH_BANDS).map(bandCol): _*)).as(Seq("band_idx", "band_key")))
+      val a = bands.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("band_idx").as("ia"), col("band_key").as("ka"))
+      val b = bands.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("band_idx").as("ib"), col("band_key").as("kb"))
+      val sim = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+      a.join(b, col("ia") === col("ib") && col("ka") === col("kb") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), sim.as("sim"))
+        .distinct()
+        .filter(col("sim") >= SIM_MIN)
+        .orderBy("id_a", "id_b")
     }
   }
 
-  val all: Seq[Q] = Seq(annBruteForce, annThresholdPairs, annLshBuckets)
+  val all: Seq[Q] = Seq(annBruteForce, annThresholdPairs, annLshBuckets, annLshPairs)
 }

@@ -72,4 +72,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       "LSH candidate generation must join on band buckets, never cross-join")
   }
+
+  test("simhash pairs: pigeonhole half-key equi join, no all-pairs scan") {
+    val p = planOf("dedup_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must equi-join on signature halves:\n$p")
+  }
+
+  test("ann LSH pairs: bucket equi join, no all-pairs scan") {
+    val p = planOf("ann_lsh_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must equi-join on the LSH bucket:\n$p")
+  }
 }

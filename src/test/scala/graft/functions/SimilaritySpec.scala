@@ -1,0 +1,36 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Approximate-vs-exact contracts for the similarity path:
+  *  - LSH-bucketed pairs must be a SUBSET of the exact all-pairs result
+  *    (bucketing may lose recall, never invent pairs or change scores);
+  *  - the simhash pigeonhole rewrite must EQUAL the all-pairs formulation. */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+
+  test("ann_lsh_pairs ⊆ ann_threshold_pairs with identical sims") {
+    val exact = SimilarityQueries.annThresholdPairs.run(spark, sf)
+    val lsh = SimilarityQueries.annLshPairs.run(spark, sf)
+    val missingFromExact = lsh.join(exact, Seq("id_a", "id_b", "sim"), "left_anti").count()
+    assert(missingFromExact === 0, "LSH must never produce a pair the exact join lacks")
+    val recallDen = exact.count()
+    val recallNum = lsh.count()
+    assert(recallNum > 0, "fixture plants near-dup vectors; LSH must find some")
+    info(s"sign-LSH recall at sf0.001: $recallNum/$recallDen")
+  }
+
+  test("simhash pigeonhole pairs equal the quadratic formulation") {
+    import org.apache.spark.sql.functions._
+    val sims = DedupQueries.dedupSimhash.run(spark, sf)
+    val quadratic = sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 1)
+    val fast = DedupQueries.dedupSimhashPairs.run(spark, sf)
+    assert(fast.count() === quadratic.count())
+    assert(fast.join(quadratic, Seq("doc_a", "doc_b", "hamming"), "left_anti").count() === 0)
+  }
+}
