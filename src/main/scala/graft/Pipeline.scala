@@ -54,7 +54,15 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
     val s = statement.trim
     try {
       val upper = s.toUpperCase
-      if (upper.startsWith("PREPARE ")) {
+      if (upper == "BEGIN" || upper == "BEGIN TRANSACTION" || upper == "START TRANSACTION"
+          || upper == "COMMIT" || upper == "ROLLBACK") {
+        // Accepted as no-ops: the engine runs statement-level snapshot
+        // visibility (SURVEY §2.9 — multi-statement transactions are a
+        // declared non-goal), but a script containing transaction brackets
+        // must not fall through to a Spark parse error (reference:
+        // src/lib/sql/sql_pipeline_statement.cpp transaction handling).
+        StatementResult(s, Ok, None)
+      } else if (upper.startsWith("PREPARE ")) {
         // PREPARE name AS <statement>  (placeholders are ?)
         val rest = s.drop("PREPARE ".length)
         val asIdx = rest.toUpperCase.indexOf(" AS ")
@@ -77,9 +85,11 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
         val rest = s.drop(upper.indexOf("VIEW ") + 5)
         val asIdx = rest.toUpperCase.indexOf(" AS ")
         catalog.createView(rest.take(asIdx).trim, rest.drop(asIdx + 4).trim)
+        invalidatePlanCache()
         StatementResult(s, Ok, None)
       } else if (upper.startsWith("DROP VIEW ")) {
         catalog.dropView(s.drop("DROP VIEW ".length).trim)
+        invalidatePlanCache()
         StatementResult(s, Ok, None)
       } else if (upper.startsWith("CREATE TABLE ")) {
         // CREATE TABLE name AS <select>
@@ -87,9 +97,11 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
         val asIdx = rest.toUpperCase.indexOf(" AS ")
         require(asIdx > 0, "only CREATE TABLE <name> AS <select> is supported")
         catalog.register(rest.take(asIdx).trim, spark.sql(rest.drop(asIdx + 4).trim))
+        invalidatePlanCache()
         StatementResult(s, Ok, None)
       } else if (upper.startsWith("DROP TABLE ")) {
         catalog.dropTable(s.drop("DROP TABLE ".length).trim)
+        invalidatePlanCache()
         StatementResult(s, Ok, None)
       } else if (upper.startsWith("SELECT ") && upper.contains("META_TABLES")) {
         catalog.metaTables.createOrReplaceTempView("meta_tables")
@@ -119,6 +131,7 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
         val df = spark.sql(s"SELECT * FROM ( ${tail} ) AS v")
         catalog.insert(name, df.toDF(catalog.table(name).columns: _*))
       } else catalog.insert(name, spark.sql(tail).toDF(catalog.table(name).columns: _*))
+      invalidatePlanCache()
       spark.emptyDataFrame
     } else if (upper.startsWith("DELETE FROM ")) {
       val rest = s.drop("DELETE FROM ".length).trim
@@ -126,6 +139,7 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
       val whereIdx = rest.toUpperCase.indexOf("WHERE ")
       val cond = if (whereIdx >= 0) rest.drop(whereIdx + 6) else "true"
       catalog.delete(name, org.apache.spark.sql.functions.expr(cond))
+      invalidatePlanCache()
       spark.emptyDataFrame
     } else if (upper.startsWith("UPDATE ")) {
       val rest = s.drop("UPDATE ".length).trim
@@ -139,9 +153,17 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
         a.take(eq).trim -> org.apache.spark.sql.functions.expr(a.drop(eq + 1).trim)
       }.toMap
       catalog.update(name, org.apache.spark.sql.functions.expr(cond), assignments)
+      invalidatePlanCache()
       spark.emptyDataFrame
     } else cachedSql(s)
   }
+
+  /** DML/DDL swaps the temp-view binding a memoized DataFrame still wraps, so
+    * any catalog mutation clears the memo wholesale (round-1 VERDICT item 4;
+    * the reference evicts its GDFS plan caches on schema change the same way —
+    * coarse is correct and cheap at <=128 entries). */
+  private def invalidatePlanCache(): Unit =
+    planCache.synchronized { planCache.clear() }
 
   private def cachedSql(s: String): DataFrame = {
     val key = s.trim.replaceAll("\\s+", " ")

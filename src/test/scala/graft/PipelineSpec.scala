@@ -67,6 +67,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits >= 1, s"expected a cache hit, got hits=$hits misses=$misses")
   }
 
+  test("plan cache is invalidated by DML: SELECT-DELETE-SELECT sees the delete") {
+    val p = freshPipeline()
+    val before = p.sql("SELECT COUNT(*) AS n FROM t_region").collect().head.getLong(0)
+    p.sql("DELETE FROM t_region WHERE r_regionkey = 0")
+    val after = p.sql("SELECT COUNT(*) AS n FROM t_region").collect().head.getLong(0)
+    assert(before == 5 && after == 4,
+      s"cached plan must not survive DML: before=$before after=$after")
+  }
+
+  test("BEGIN/COMMIT/ROLLBACK are accepted as statement-level no-ops") {
+    val p = freshPipeline()
+    val rs = p.run(
+      """BEGIN;
+        |DELETE FROM t_region WHERE r_regionkey = 4;
+        |COMMIT;
+        |ROLLBACK;
+        |SELECT COUNT(*) AS n FROM t_region""".stripMargin)
+    assert(rs.forall(_.status == p.Ok), rs.map(_.status).mkString(","))
+    // statement-level snapshots: ROLLBACK cannot undo — the delete stays.
+    assert(rs.last.df.get.collect().head.getLong(0) == 4)
+  }
+
   test("CREATE TABLE AS / DROP TABLE") {
     val p = freshPipeline()
     p.run("CREATE TABLE n_copy AS SELECT * FROM t_nation WHERE n_regionkey = 0")
