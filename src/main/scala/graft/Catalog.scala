@@ -73,9 +73,26 @@ final class Catalog(val spark: SparkSession) {
 
   // ------------------------------------------------------------- views
 
-  def createView(name: String, sqlText: String): Unit = {
+  def createView(name: String, sqlText: String, cols: Option[Seq[String]] = None): Unit = {
     views.put(name, sqlText)
-    spark.sql(sqlText).createOrReplaceTempView(name)
+    val df = spark.sql(sqlText)
+    cols.fold(df)(cs => df.toDF(cs: _*)).createOrReplaceTempView(name)
+  }
+
+  /** CREATE TABLE with column definitions: an empty, typed table (reference:
+    * src/lib/operators/maintenance/create_table.hpp:14). */
+  def createEmpty(name: String, defs: Seq[(String, String)]): Unit = {
+    def dt(t: String): org.apache.spark.sql.types.DataType = t.trim.toUpperCase match {
+      case "INT" | "INTEGER" => IntegerType
+      case "BIGINT" | "LONG" => LongType
+      case "FLOAT" | "REAL" => org.apache.spark.sql.types.FloatType
+      case "DOUBLE" | "DOUBLE PRECISION" => org.apache.spark.sql.types.DoubleType
+      case "DATE" => org.apache.spark.sql.types.DateType
+      case "BOOLEAN" => org.apache.spark.sql.types.BooleanType
+      case _ => StringType // VARCHAR(n) / TEXT / CHAR(n) / unknown → string
+    }
+    val schema = StructType(defs.map { case (c, t) => StructField(c, dt(t), nullable = true) })
+    register(name, spark.createDataFrame(java.util.Collections.emptyList[Row](), schema))
   }
 
   def dropView(name: String): Unit = {

@@ -84,7 +84,14 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
       } else if (upper.startsWith("CREATE VIEW ") || upper.startsWith("CREATE OR REPLACE VIEW ")) {
         val rest = s.drop(upper.indexOf("VIEW ") + 5)
         val asIdx = rest.toUpperCase.indexOf(" AS ")
-        catalog.createView(rest.take(asIdx).trim, rest.drop(asIdx + 4).trim)
+        val head = rest.take(asIdx).trim
+        // Optional column-alias list: CREATE VIEW v (foo, bar) AS SELECT ...
+        val (name, cols) = head.indexOf('(') match {
+          case -1 => (head, None)
+          case i => (head.take(i).trim,
+            Some(splitTopLevel(head.substring(i + 1, head.lastIndexOf(')')), ',').map(_.trim)))
+        }
+        catalog.createView(name, rest.drop(asIdx + 4).trim, cols)
         invalidatePlanCache()
         StatementResult(s, Ok, None)
       } else if (upper.startsWith("DROP VIEW ")) {
@@ -92,15 +99,36 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
         invalidatePlanCache()
         StatementResult(s, Ok, None)
       } else if (upper.startsWith("CREATE TABLE ")) {
-        // CREATE TABLE name AS <select>
-        val rest = s.drop("CREATE TABLE ".length)
+        // CREATE TABLE [IF NOT EXISTS] name AS <select>
+        //                            | name (col type, ...)   — empty typed table
+        var rest = s.drop("CREATE TABLE ".length).trim
+        val ifNotExists = rest.toUpperCase.startsWith("IF NOT EXISTS ")
+        if (ifNotExists) rest = rest.drop("IF NOT EXISTS ".length).trim
         val asIdx = rest.toUpperCase.indexOf(" AS ")
-        require(asIdx > 0, "only CREATE TABLE <name> AS <select> is supported")
-        catalog.register(rest.take(asIdx).trim, spark.sql(rest.drop(asIdx + 4).trim))
+        if (asIdx > 0 && !rest.take(asIdx).contains('(')) {
+          val name = rest.take(asIdx).trim
+          if (!(ifNotExists && catalog.exists(name)))
+            catalog.register(name, spark.sql(rest.drop(asIdx + 4).trim))
+        } else {
+          val open = rest.indexOf('(')
+          require(open > 0, "CREATE TABLE needs AS <select> or a column list")
+          val name = rest.take(open).trim
+          if (!(ifNotExists && catalog.exists(name))) {
+            val defs = splitTopLevel(rest.substring(open + 1, rest.lastIndexOf(')')), ',')
+            catalog.createEmpty(name, defs.map { d =>
+              val parts = d.trim.split("\\s+", 2)
+              (parts(0), parts.lift(1).getOrElse("STRING"))
+            })
+          }
+        }
         invalidatePlanCache()
         StatementResult(s, Ok, None)
       } else if (upper.startsWith("DROP TABLE ")) {
-        catalog.dropTable(s.drop("DROP TABLE ".length).trim)
+        val rest = s.drop("DROP TABLE ".length).trim
+        val (ifExists, name) =
+          if (rest.toUpperCase.startsWith("IF EXISTS ")) (true, rest.drop("IF EXISTS ".length).trim)
+          else (false, rest)
+        if (!ifExists || catalog.exists(name)) catalog.dropTable(name)
         invalidatePlanCache()
         StatementResult(s, Ok, None)
       } else if (upper.startsWith("SELECT ") && upper.contains("META_TABLES")) {
@@ -126,11 +154,34 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
     if (upper.startsWith("INSERT INTO ")) {
       val rest = s.drop("INSERT INTO ".length).trim
       val name = rest.takeWhile(c => !c.isWhitespace && c != '(')
-      val tail = rest.drop(name.length).trim
-      if (tail.toUpperCase.startsWith("VALUES")) {
-        val df = spark.sql(s"SELECT * FROM ( ${tail} ) AS v")
-        catalog.insert(name, df.toDF(catalog.table(name).columns: _*))
-      } else catalog.insert(name, spark.sql(tail).toDF(catalog.table(name).columns: _*))
+      var tail = rest.drop(name.length).trim
+      // Optional column list: INSERT INTO t (c2, c1) VALUES/SELECT ... —
+      // values bind to the listed columns; unlisted columns become NULL
+      // (reference: src/lib/operators/insert.cpp column-reorder handling).
+      val target = catalog.table(name)
+      val listed: Option[Seq[String]] =
+        if (tail.startsWith("(")) {
+          val close = tail.indexOf(')')
+          val inside = tail.substring(1, close)
+          // distinguish "(c1, c2) VALUES ..." from bare "(VALUES ...)":
+          if (!inside.toUpperCase.trim.startsWith("VALUES") && !inside.toUpperCase.trim.startsWith("SELECT")) {
+            tail = tail.drop(close + 1).trim
+            Some(splitTopLevel(inside, ',').map(_.trim))
+          } else None
+        } else None
+      val src =
+        if (tail.toUpperCase.startsWith("VALUES")) spark.sql(s"SELECT * FROM ( ${tail} ) AS v")
+        else spark.sql(tail)
+      val rows = listed match {
+        case None => src.toDF(target.columns.toSeq: _*)
+        case Some(cols) =>
+          val named = src.toDF(cols: _*)
+          import org.apache.spark.sql.functions.{col => c, lit}
+          named.select(target.schema.fields.map { f =>
+            if (cols.contains(f.name)) c(f.name) else lit(null).cast(f.dataType).as(f.name)
+          }.toSeq: _*)
+      }
+      catalog.insert(name, rows)
       invalidatePlanCache()
       spark.emptyDataFrame
     } else if (upper.startsWith("DELETE FROM ")) {

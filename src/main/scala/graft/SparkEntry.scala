@@ -20,6 +20,7 @@ object SparkEntry {
       operators.EventsQueries.all ++
       operators.LifecycleQueries.all ++
       operators.AdvancedQueries.all ++
+      operators.CorpusQueries.all ++
       functions.TextQueries.all ++
       functions.DedupQueries.all ++
       functions.SimilarityQueries.all ++
