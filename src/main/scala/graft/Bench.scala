@@ -4,16 +4,28 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark runner (driver contract): times the headline queries on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Mirrors the reference's
-  * benchmark runner shape — named items, per-item runtimes, JSON report
-  * (reference: src/lib/benchmarklib/benchmark_runner.hpp:37-46,71-80).
+  * benchmark runner shape — named items, per-item runtimes and items/s, JSON
+  * report, ordered and shuffled execution modes (reference:
+  * src/benchmarklib/benchmark_runner.hpp:37-46,71-80 and the mode flags in
+  * src/benchmarklib/cli_config_parser.cpp:54-68).
+  *
+  * Env knobs (all optional):
+  *  - SPARK_GRAFT_SF_DIR   dataset dir (default sf0.1)
+  *  - SPARK_GRAFT_CPUS     local[] threads = shuffle partitions (default 32)
+  *  - SPARK_GRAFT_BENCH_MODE  "ordered" (default) | "shuffled" — shuffled
+  *    permutes query order per round with a fixed seed, the reference's
+  *    shuffled mode that defeats cross-query cache ordering effects
+  *  - SPARK_GRAFT_BENCH_RUNS  timed runs per query (default 2, best-of)
   *
   * Each query gets one untimed warmup (JIT + parquet footer cache, like the
-  * reference's --warmup) and the reported time is the best of two timed runs.
+  * reference's --warmup); the reported time is the best of the timed runs.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "ordered")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val spark = GraftSession.tuned(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       shufflePartitions = cpus.toInt)
@@ -21,24 +33,37 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val queries = SparkEntry.queries
-    def timeOne(name: String): Double = {
-      val fn = queries(name)
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warmup
-      val runs = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      runs.min
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.benchNames.map { name =>
-      val t = try timeOne(name) catch { case _: Throwable => -1.0 }
-      name -> t
+    val names = SparkEntry.benchNames
+    // warmup pass, in declared order
+    names.foreach(n => try once(n) catch { case _: Throwable => () })
+
+    // timed rounds; shuffled mode permutes each round deterministically
+    val rng = new scala.util.Random(42)
+    val times = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    (1 to nRuns).foreach { _ =>
+      val order = if (mode == "shuffled") rng.shuffle(names) else names
+      order.foreach { n =>
+        val t = try once(n) catch { case _: Throwable => -1.0 }
+        times(n) = t :: times(n)
+      }
+    }
+
+    val results = names.map { n =>
+      val ok = times(n).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ips = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v > 0) 1.0 / v else 0.0)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"items_per_sec":$ips,"mode":"$mode","runs":$nRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
