@@ -24,11 +24,27 @@ import scala.collection.concurrent.TrieMap
 final class Catalog(val spark: SparkSession) {
   private val tables = TrieMap.empty[String, DataFrame]
   private val views = TrieMap.empty[String, String] // name -> SQL text (like LQPView)
+  private val parquetPaths = TrieMap.empty[String, String] // name -> storage path
+  private val eventLog = scala.collection.mutable.Buffer.empty[(Int, String, String)]
+
+  private def logEvent(level: String, msg: String): Unit = eventLog.synchronized {
+    eventLog += ((eventLog.size + 1, level, msg))
+  }
 
   def register(name: String, df: DataFrame): Unit = {
     tables.put(name, df)
     df.createOrReplaceTempView(name)
+    logEvent("INFO", s"register table $name")
   }
+
+  /** Register a parquet-backed table, remembering its path so the storage
+    * meta tables (chunks/segments) can walk its footers. */
+  def registerParquet(name: String, path: String): Unit = {
+    parquetPaths.put(name, path)
+    register(name, Tables.df(spark, new java.io.File(path).getParent, name))
+  }
+
+  def parquetTables: Seq[(String, String)] = parquetPaths.toSeq.sortBy(_._1)
 
   def table(name: String): DataFrame =
     tables.getOrElse(name, sys.error(s"no such table: $name"))
@@ -38,7 +54,9 @@ final class Catalog(val spark: SparkSession) {
 
   def dropTable(name: String): Unit = {
     tables.remove(name)
+    parquetPaths.remove(name)
     spark.catalog.dropTempView(name)
+    logEvent("INFO", s"drop table $name")
   }
 
   /** INSERT: bag-append via union (reference: insert.cpp appends to chunks). */
@@ -117,6 +135,25 @@ final class Catalog(val spark: SparkSession) {
         StructField("table_name", StringType, nullable = false),
         StructField("column_count", IntegerType, nullable = false),
         StructField("is_streaming", org.apache.spark.sql.types.BooleanType, nullable = false))))
+  }
+
+  /** Storage meta tables over the registered parquet-backed tables — chunk =
+    * parquet row group (reference: src/lib/utils/meta_tables/). */
+  def metaChunks: DataFrame = MetaTables.chunks(spark, parquetTables)
+  def metaSegments: DataFrame = MetaTables.segments(spark, parquetTables)
+  def metaChunkSortOrders: DataFrame = MetaTables.chunkSortOrders(spark, parquetTables)
+  def metaSettings: DataFrame = MetaTables.settings(spark)
+  def metaSystemInformation: DataFrame = MetaTables.systemInformation(spark)
+  def metaSystemUtilization: DataFrame = MetaTables.systemUtilization(spark)
+  def metaPlugins: DataFrame = MetaTables.plugins(spark)
+
+  /** `meta_log` — catalog event log (reference: meta_log_table.cpp). */
+  def metaLog: DataFrame = {
+    val rows = eventLog.synchronized(eventLog.toSeq).map { case (i, lvl, m) => Row(i, lvl, m) }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+      StructField("seq", IntegerType, nullable = false),
+      StructField("level", StringType, nullable = false),
+      StructField("message", StringType, nullable = false))))
   }
 
   /** `meta_columns` — table/column/type/nullable inventory

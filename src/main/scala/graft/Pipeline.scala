@@ -37,6 +37,37 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
 
   private val prepared = mutable.Map.empty[String, String]
 
+  // Per-pipeline statement log, surfaced as meta_exec (reference:
+  // src/lib/utils/meta_tables/meta_exec_table.cpp). Appended after each
+  // statement completes; the in-flight statement is never visible to itself.
+  private val execLog = mutable.Buffer.empty[(Int, String, String)]
+
+  private def metaExec: DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val rows = execLog.synchronized(execLog.toSeq)
+      .map { case (i, st, status) => org.apache.spark.sql.Row(i, st, status) }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+      StructField("seq", IntegerType, nullable = false),
+      StructField("statement", StringType, nullable = false),
+      StructField("status", StringType, nullable = false))))
+  }
+
+  /** Registered meta views: ordered so longer names match first (meta_tables
+    * vs meta_tables_x is not an issue here, but segments/segments_accurate is). */
+  private def metaViews: Seq[(String, () => DataFrame)] = Seq(
+    "meta_tables" -> (() => catalog.metaTables),
+    "meta_columns" -> (() => catalog.metaColumns),
+    "meta_chunk_sort_orders" -> (() => catalog.metaChunkSortOrders),
+    "meta_chunks" -> (() => catalog.metaChunks),
+    "meta_segments_accurate" -> (() => catalog.metaSegments), // footer stats are exact
+    "meta_segments" -> (() => catalog.metaSegments),
+    "meta_settings" -> (() => catalog.metaSettings),
+    "meta_system_information" -> (() => catalog.metaSystemInformation),
+    "meta_system_utilization" -> (() => catalog.metaSystemUtilization),
+    "meta_plugins" -> (() => catalog.metaPlugins),
+    "meta_log" -> (() => catalog.metaLog),
+    "meta_exec" -> (() => metaExec))
+
   /** Execute a multi-statement SQL script; statements run in order, failures
     * don't abort the script (per-statement status, like SQLPipelineStatement). */
   def run(script: String): Seq[StatementResult] =
@@ -51,6 +82,15 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
     }
 
   private def runOne(statement: String): StatementResult = {
+    val r = runOneImpl(statement)
+    execLog.synchronized {
+      execLog += ((execLog.size + 1, r.sql,
+        r.status match { case Ok => "Success"; case Failed(_) => "Failed" }))
+    }
+    r
+  }
+
+  private def runOneImpl(statement: String): StatementResult = {
     val s = statement.trim
     try {
       val upper = s.toUpperCase
@@ -131,12 +171,15 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
         if (!ifExists || catalog.exists(name)) catalog.dropTable(name)
         invalidatePlanCache()
         StatementResult(s, Ok, None)
-      } else if (upper.startsWith("SELECT ") && upper.contains("META_TABLES")) {
-        catalog.metaTables.createOrReplaceTempView("meta_tables")
-        StatementResult(s, Ok, Some(cachedSql(s)))
-      } else if (upper.startsWith("SELECT ") && upper.contains("META_COLUMNS")) {
-        catalog.metaColumns.createOrReplaceTempView("meta_columns")
-        StatementResult(s, Ok, Some(cachedSql(s)))
+      } else if (upper.startsWith("SELECT ") && upper.contains("META_")) {
+        // Register fresh snapshots of every meta table the statement names —
+        // meta queries introspect live state, so they bypass the plan memo
+        // (reference: meta tables are virtual, regenerated per access,
+        // src/lib/utils/meta_tables/abstract_meta_table.cpp).
+        metaViews.foreach { case (view, df) =>
+          if (upper.contains(view.toUpperCase)) df().createOrReplaceTempView(view)
+        }
+        StatementResult(s, Ok, Some(spark.sql(s)))
       } else {
         // SELECT / INSERT / DELETE / UPDATE / WITH — Spark SQL handles all of
         // these natively against the catalog's temp views; DML on catalog tables

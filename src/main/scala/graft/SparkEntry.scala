@@ -21,6 +21,7 @@ object SparkEntry {
       operators.LifecycleQueries.all ++
       operators.AdvancedQueries.all ++
       operators.CorpusQueries.all ++
+      operators.MetaQueries.all ++
       functions.TextQueries.all ++
       functions.DedupQueries.all ++
       functions.SimilarityQueries.all ++

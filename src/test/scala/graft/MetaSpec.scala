@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Meta-table surface: footer-derived storage facts match ground truth, and
+  * the session/exec/log tables answer through Pipeline.sql. */
+class MetaSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+
+  private def freshPipe(): Pipeline = {
+    val cat = new Catalog(spark)
+    Seq("region", "nation", "orders").foreach(t => cat.registerParquet(t, s"$sf/$t.parquet"))
+    new Pipeline(cat)
+  }
+
+  test("meta_chunks row counts sum to table counts") {
+    val p = freshPipe()
+    val chunkSum = p.sql(
+      "SELECT table_name, SUM(row_count) AS n FROM meta_chunks GROUP BY table_name")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(chunkSum("orders") == Tables.df(spark, sf, "orders").count())
+    assert(chunkSum("nation") == Tables.df(spark, sf, "nation").count())
+  }
+
+  test("meta_segments footer min/max match data min/max") {
+    val p = freshPipe()
+    val seg = p.sql(
+      """SELECT MIN(CAST(min_value AS BIGINT)), MAX(CAST(max_value AS BIGINT))
+        |FROM meta_segments WHERE table_name='orders' AND column_name='o_orderkey'""".stripMargin)
+      .collect().head
+    val data = Tables.df(spark, sf, "orders")
+      .selectExpr("MIN(o_orderkey)", "MAX(o_orderkey)").collect().head
+    assert(seg.getLong(0) == data.getLong(0) && seg.getLong(1) == data.getLong(1))
+  }
+
+  test("meta_segments null_count is exact for a nullable-free key") {
+    val p = freshPipe()
+    val nulls = p.sql(
+      """SELECT SUM(null_count) FROM meta_segments
+        |WHERE table_name='orders' AND column_name='o_orderkey'""".stripMargin)
+      .collect().head.getLong(0)
+    assert(nulls == 0)
+  }
+
+  test("meta_settings, meta_system_*, meta_plugins, meta_chunk_sort_orders answer") {
+    val p = freshPipe()
+    assert(p.sql("SELECT value FROM meta_settings WHERE name='spark.sql.session.timeZone'")
+      .collect().head.getString(0) == "UTC")
+    assert(p.sql("SELECT cpu_count FROM meta_system_information").collect().head.getInt(0) > 0)
+    assert(p.sql("SELECT * FROM meta_system_utilization").count() == 1)
+    assert(p.sql("SELECT * FROM meta_plugins").count() == 0)
+    assert(p.sql("SELECT * FROM meta_chunk_sort_orders").count() == 0)
+  }
+
+  test("meta_exec logs statements in order with status; meta_log records catalog events") {
+    val p = freshPipe()
+    p.run("SELECT COUNT(*) FROM region; SELECT * FROM no_such_table")
+    val log = p.sql("SELECT seq, status FROM meta_exec ORDER BY seq").collect()
+    assert(log.map(_.getString(1)).toSeq == Seq("Success", "Failed"))
+    val events = p.sql("SELECT message FROM meta_log").collect().map(_.getString(0))
+    assert(events.exists(_.contains("register table region")))
+  }
+}
