@@ -22,6 +22,7 @@ object SparkEntry {
       operators.AdvancedQueries.all ++
       operators.CorpusQueries.all ++
       operators.MetaQueries.all ++
+      operators.IoQueries.all ++
       functions.TextQueries.all ++
       functions.DedupQueries.all ++
       functions.SimilarityQueries.all ++
