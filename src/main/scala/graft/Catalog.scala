@@ -55,6 +55,7 @@ final class Catalog(val spark: SparkSession) {
   def dropTable(name: String): Unit = {
     tables.remove(name)
     parquetPaths.remove(name)
+    graft.plans.ConstraintRegistry.drop(name)
     spark.catalog.dropTempView(name)
     logEvent("INFO", s"drop table $name")
   }
@@ -97,9 +98,14 @@ final class Catalog(val spark: SparkSession) {
     cols.fold(df)(cs => df.toDF(cs: _*)).createOrReplaceTempView(name)
   }
 
-  /** CREATE TABLE with column definitions: an empty, typed table (reference:
-    * src/lib/operators/maintenance/create_table.hpp:14). */
+  /** CREATE TABLE with column definitions and key constraints (reference:
+    * src/lib/operators/maintenance/create_table.hpp:14, constraint model
+    * src/lib/storage/constraints/table_key_constraint.hpp). Constraints are
+    * stored as TRUSTED metadata in [[graft.plans.ConstraintRegistry]] — they
+    * license optimizer rewrites (RemoveRedundantDistinct), they are not
+    * enforced on DML, matching the reference's model. */
   def createEmpty(name: String, defs: Seq[(String, String)]): Unit = {
+    import graft.plans.{ConstraintRegistry, KeyConstraint}
     def dt(t: String): org.apache.spark.sql.types.DataType = t.trim.toUpperCase match {
       case "INT" | "INTEGER" => IntegerType
       case "BIGINT" | "LONG" => LongType
@@ -109,8 +115,49 @@ final class Catalog(val spark: SparkSession) {
       case "BOOLEAN" => org.apache.spark.sql.types.BooleanType
       case _ => StringType // VARCHAR(n) / TEXT / CHAR(n) / unknown → string
     }
-    val schema = StructType(defs.map { case (c, t) => StructField(c, dt(t), nullable = true) })
+    def cols(spec: String): Seq[String] = {
+      val open = spec.indexOf('(')
+      spec.substring(open + 1, spec.indexOf(')', open)).split(',').map(_.trim).toSeq
+    }
+    val constraints = scala.collection.mutable.Buffer.empty[KeyConstraint]
+    val fields = scala.collection.mutable.Buffer.empty[StructField]
+    defs.foreach { case (first, rest) =>
+      val full = s"$first $rest".trim
+      val u = full.toUpperCase
+      if (u.startsWith("PRIMARY KEY")) constraints += KeyConstraint(name, "PRIMARY KEY", cols(full))
+      else if (u.startsWith("UNIQUE")) constraints += KeyConstraint(name, "UNIQUE", cols(full))
+      else if (u.startsWith("FOREIGN KEY")) {
+        val refIdx = u.indexOf("REFERENCES")
+        val refPart = full.drop(refIdx + "REFERENCES".length).trim
+        val refTable = refPart.takeWhile(c => c != '(' && !c.isWhitespace)
+        constraints += KeyConstraint(name, "FOREIGN KEY", cols(full.take(refIdx)),
+          Some(refTable), if (refPart.contains('(')) cols(refPart) else Nil)
+      } else {
+        // column definition: name TYPE [NOT NULL] [PRIMARY KEY] [UNIQUE]
+        val typeToken = rest.split("\\s+").headOption.getOrElse("STRING")
+        val restU = rest.toUpperCase
+        if (restU.contains("PRIMARY KEY")) constraints += KeyConstraint(name, "PRIMARY KEY", Seq(first))
+        else if (restU.contains("UNIQUE")) constraints += KeyConstraint(name, "UNIQUE", Seq(first))
+        fields += StructField(first, dt(typeToken), nullable = !restU.contains("NOT NULL"))
+      }
+    }
+    val schema = StructType(fields.toSeq)
     register(name, spark.createDataFrame(java.util.Collections.emptyList[Row](), schema))
+    ConstraintRegistry.put(name, constraints.toSeq)
+  }
+
+  /** `meta_constraints` — declared key constraints (reference:
+    * table_key_constraint.hpp surfaced through meta tables). */
+  def metaConstraints: DataFrame = {
+    val rows = graft.plans.ConstraintRegistry.all.sortBy(c => (c.table, c.kind))
+      .map(c => Row(c.table, c.kind, c.cols.mkString(","),
+        c.refTable.orNull, if (c.refCols.isEmpty) null else c.refCols.mkString(",")))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+      StructField("table_name", StringType, nullable = false),
+      StructField("constraint_type", StringType, nullable = false),
+      StructField("columns", StringType, nullable = false),
+      StructField("ref_table", StringType, nullable = true),
+      StructField("ref_columns", StringType, nullable = true))))
   }
 
   def dropView(name: String): Unit = {

@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import scala.collection.concurrent.TrieMap
+
+/** Declared key constraints, kept as optimizer metadata (the reference stores
+  * them on the table and feeds dependency-based rewrites — reference:
+  * src/lib/storage/constraints/table_key_constraint.hpp,
+  * optimizer/strategy/dependent_group_by_reduction_rule.cpp). Constraints are
+  * TRUSTED, not enforced — same contract as the reference (and as
+  * warehouse-grade `RELY` constraints): they exist to license rewrites. */
+final case class KeyConstraint(
+    table: String, kind: String, cols: Seq[String],
+    refTable: Option[String] = None, refCols: Seq[String] = Nil)
+
+object ConstraintRegistry {
+  private val byTable = TrieMap.empty[String, Seq[KeyConstraint]]
+
+  def put(table: String, cs: Seq[KeyConstraint]): Unit =
+    if (cs.nonEmpty) byTable.put(table.toLowerCase, cs) else byTable.remove(table.toLowerCase)
+  def drop(table: String): Unit = byTable.remove(table.toLowerCase)
+  def of(table: String): Seq[KeyConstraint] = byTable.getOrElse(table.toLowerCase, Nil)
+  def all: Seq[KeyConstraint] = byTable.values.flatten.toSeq
+
+  /** Unique column sets (PRIMARY KEY and UNIQUE) declared for `table`. */
+  def uniqueKeys(table: String): Seq[Set[String]] =
+    of(table).filter(c => c.kind == "PRIMARY KEY" || c.kind == "UNIQUE")
+      .map(_.cols.map(_.toLowerCase).toSet)
+}
+
+/** Removes DISTINCT when the input is already provably unique via a declared
+  * key — the UCC-driven rewrite family of the reference
+  * (dependent_group_by_reduction_rule.cpp's spirit: use unique column
+  * combinations to drop redundant dedup work). At scale this deletes an
+  * entire hash-aggregate shuffle. Injected via [[GraftExtensions]]. */
+class RemoveRedundantDistinct(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case Distinct(child) if keyCovered(child, visibleNames(child)) => child
+    case Deduplicate(keys, child)
+        if keys.map(_.name.toLowerCase).toSet == visibleNames(child)
+          && keyCovered(child, visibleNames(child)) => child
+    // ReplaceDistinctWithAggregate has usually run first: a pure-distinct
+    // aggregate is Aggregate(out, out, child) with no aggregate functions.
+    case a: Aggregate
+        if a.aggregateExpressions.forall(_.isInstanceOf[AttributeReference])
+          && a.groupingExpressions == a.aggregateExpressions
+          && a.aggregateExpressions.map(_.name.toLowerCase).toSet == visibleNames(a.child)
+          && keyCovered(a.child, visibleNames(a.child)) => a.child
+  }
+
+  private def visibleNames(plan: LogicalPlan): Set[String] =
+    plan.output.map(_.name.toLowerCase).toSet
+
+  /** True if `plan` exposes, unduplicated, all columns of some declared unique
+    * key. Only shapes that provably preserve row identity are traversed:
+    * aliases, filters, and simple column projections. */
+  private def keyCovered(plan: LogicalPlan, visible: Set[String]): Boolean = plan match {
+    case SubqueryAlias(ident, child) =>
+      ConstraintRegistry.uniqueKeys(ident.name).exists(_.subsetOf(visible)) ||
+        keyCovered(child, visible)
+    case Project(ps, child) =>
+      // only same-name column passthrough keeps key identity (renames are
+      // conservatively treated as losing the key)
+      val passthrough = ps.collect { case a: AttributeReference => a.name.toLowerCase }.toSet
+      keyCovered(child, visible.intersect(passthrough))
+    case f: Filter => keyCovered(f.child, visible)
+    case _ => false
+  }
+}

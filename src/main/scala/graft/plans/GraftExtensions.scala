@@ -13,6 +13,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Post-hoc resolution (not optimizer): the rewrite needs SubqueryAlias
+    // nodes to map plans back to constrained catalog tables, and the
+    // optimizer's Finish-Analysis batch strips those before custom optimizer
+    // rules run.
+    ext.injectPostHocResolutionRule(session => new RemoveRedundantDistinct(session))
     ext.injectFunction((
       FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_vec_dot"),

@@ -1,0 +1,74 @@
+package graft.plans
+
+import graft.{Catalog, Pipeline, SparkTestBase, Tables}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Key constraints: DDL round-trip into metadata, and the UCC-driven rewrite —
+  * DISTINCT over a declared-unique key is removed from the plan (an entire
+  * hash-aggregate shuffle deleted at scale). */
+class ConstraintSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def freshPipe(): Pipeline = new Pipeline(new Catalog(spark))
+
+  test("CREATE TABLE with PK/UNIQUE/FK round-trips into meta_constraints") {
+    val p = freshPipe()
+    p.run(
+      """CREATE TABLE dim_store (store_id INT PRIMARY KEY, name VARCHAR(20) NOT NULL, code INT UNIQUE);
+        |CREATE TABLE fact_sale (sale_id INT, store_id INT,
+        |  PRIMARY KEY (sale_id), FOREIGN KEY (store_id) REFERENCES dim_store(store_id))""".stripMargin)
+    val cs = p.sql(
+      """SELECT table_name, constraint_type, columns, ref_table FROM meta_constraints
+        |WHERE table_name IN ('dim_store','fact_sale') ORDER BY table_name, constraint_type, columns""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(cs.toSeq === Seq(
+      ("dim_store", "PRIMARY KEY", "store_id", null),
+      ("dim_store", "UNIQUE", "code", null),
+      ("fact_sale", "FOREIGN KEY", "store_id", "dim_store"),
+      ("fact_sale", "PRIMARY KEY", "sale_id", null)))
+    // NOT NULL is honored in the schema
+    assert(!p.catalog.table("dim_store").schema("name").nullable)
+    p.run("DROP TABLE dim_store; DROP TABLE fact_sale")
+    assert(ConstraintRegistry.of("dim_store").isEmpty)
+  }
+
+  test("DISTINCT over a declared unique key is removed; without constraint it stays") {
+    val p = freshPipe()
+    p.run("CREATE TABLE keyed (k INT PRIMARY KEY, v INT); " +
+      "INSERT INTO keyed VALUES (1, 10); INSERT INTO keyed VALUES (2, 10)")
+    def hasDistinctAgg(sql: String): Boolean = {
+      val plan = p.sql(sql).queryExecution.optimizedPlan
+      plan.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.nonEmpty
+    }
+    assert(!hasDistinctAgg("SELECT DISTINCT k, v FROM keyed"),
+      "distinct covering the PK must be optimized away")
+    assert(hasDistinctAgg("SELECT DISTINCT v FROM keyed"),
+      "distinct NOT covering the key must remain")
+    // results are unchanged by the rewrite
+    assert(p.sql("SELECT DISTINCT k, v FROM keyed").count() == 2)
+    p.run("DROP TABLE keyed")
+  }
+
+  test("rewrite survives projection and filter, is blocked by renames") {
+    val p = freshPipe()
+    p.run("CREATE TABLE keyed2 (k INT PRIMARY KEY, v INT, w INT); " +
+      "INSERT INTO keyed2 VALUES (1, 10, 100); INSERT INTO keyed2 VALUES (2, 10, 100)")
+    def aggs(sql: String): Int =
+      p.sql(sql).queryExecution.optimizedPlan
+        .collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.size
+    assert(aggs("SELECT DISTINCT k, v FROM keyed2 WHERE w > 0") == 0,
+      "filter preserves uniqueness")
+    assert(aggs("SELECT DISTINCT k AS renamed, v FROM keyed2") == 1,
+      "a renamed key column conservatively blocks the rewrite")
+    p.run("DROP TABLE keyed2")
+  }
+
+  test("DataFrame-side distinct() also benefits") {
+    val p = freshPipe()
+    p.run("CREATE TABLE keyed3 (k INT PRIMARY KEY, v INT); " +
+      "INSERT INTO keyed3 VALUES (1, 1); INSERT INTO keyed3 VALUES (2, 1)")
+    val plan = spark.table("keyed3").distinct().queryExecution.optimizedPlan
+    assert(plan.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.isEmpty)
+    p.run("DROP TABLE keyed3")
+  }
+}
