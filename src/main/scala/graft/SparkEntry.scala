@@ -17,6 +17,7 @@ object SparkEntry {
       operators.SubqueryQueries.all ++
       operators.TpchQueries.all ++
       operators.TpchFullQueries.all ++
+      operators.SsbQueries.all ++
       operators.EventsQueries.all ++
       operators.LifecycleQueries.all ++
       operators.AdvancedQueries.all ++
@@ -48,5 +49,6 @@ object SparkEntry {
     "tpch_q3_shipping_priority", "tpch_q4_order_priority", "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue", "tpch_q10_returned_items", "tpch_q14_promo_effect",
     "tpch_q18_large_volume", "tpch_q19_disjunction",
-    "agg_count_distinct", "events_hourly")
+    "agg_count_distinct", "events_hourly",
+    "ssb_q1_1", "ssb_q2_1", "ssb_q3_1", "ssb_q4_1")
 }
