@@ -205,7 +205,65 @@ object DedupQueries {
     }
   }
 
+  private val EMB_SIM_MIN = 0.45
+
+  /** Embedding-cosine near-dup dedup: semantic duplicates that token-level
+    * methods (minhash/simhash) miss. Candidates come from the banded sign-LSH
+    * equi-join (shared planes with SimilarityQueries — sub-quadratic), exact
+    * cosine re-ranks, and the surviving pairs join back to `documents` on
+    * doc_id == vec_id to emit the keep/drop decision (keep the lower doc_id,
+    * same policy as dedup_exact). */
+  val dedupEmbeddingCosine: Q = {
+    import SimilarityQueries.{bandSql, bandCol, nBands, dotCol, dotSqlText, normCol, normSqlText}
+    val bandListSql = (0 until nBands).map(bandSql).mkString("[", ",\n       |    ", "]")
+    val idxListSql = (0 until nBands).mkString("[", ",", "]")
+    Q(
+      "dedup_embedding_cosine",
+      s"""WITH normed AS (
+         |  SELECT vec_id, embedding, ${normSqlText("embedding")} AS nrm FROM embeddings
+         |), bands AS (
+         |  SELECT vec_id, embedding, nrm,
+         |    unnest($idxListSql) AS band_idx,
+         |    unnest($bandListSql) AS band_key
+         |  FROM normed
+         |), pairs AS (
+         |  SELECT id_a, id_b, sim FROM (
+         |    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |      ${dotSqlText("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+         |    FROM bands a JOIN bands b
+         |      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id)
+         |  WHERE sim >= $EMB_SIM_MIN
+         |)
+         |SELECT p.id_a AS keep_id, p.id_b AS drop_id, p.sim,
+         |  da.lang AS keep_lang, db.lang AS drop_lang
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.id_a
+         |JOIN documents db ON db.doc_id = p.id_b
+         |ORDER BY keep_id, drop_id""".stripMargin) { (s, dir) =>
+      val bands = Tables.df(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), normCol(col("embedding")).as("nrm"),
+          posexplode(array((0 until nBands).map(bandCol): _*)).as(Seq("band_idx", "band_key")))
+      val a = bands.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("band_idx").as("ia"), col("band_key").as("ka"))
+      val b = bands.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("band_idx").as("ib"), col("band_key").as("kb"))
+      val sim = dotCol(col("ea"), col("eb")) / (col("na") * col("nb"))
+      val pairs = a.join(b, col("ia") === col("ib") && col("ka") === col("kb")
+          && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), sim.as("sim"))
+        .distinct()
+        .filter(col("sim") >= EMB_SIM_MIN)
+      val docs = Tables.df(s, dir, "documents")
+      pairs
+        .join(docs.select(col("doc_id"), col("lang").as("keep_lang")), col("doc_id") === col("id_a")).drop("doc_id")
+        .join(docs.select(col("doc_id"), col("lang").as("drop_lang")), col("doc_id") === col("id_b")).drop("doc_id")
+        .select(col("id_a").as("keep_id"), col("id_b").as("drop_id"), col("sim"),
+          col("keep_lang"), col("drop_lang"))
+        .orderBy("keep_id", "drop_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashLsh,
-    dedupSimhash, dedupSimhashPairs)
+    dedupSimhash, dedupSimhashPairs, dedupEmbeddingCosine)
 }

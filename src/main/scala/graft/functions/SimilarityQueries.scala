@@ -153,11 +153,25 @@ object SimilarityQueries {
     * the exact [[annThresholdPairs]] in SimilaritySpec); the oracle applies the
     * identical band equi-join with the identical literal planes, so results
     * hash-match exactly. */
+  /** Band key `band` of the banded sign-LSH scheme, as oracle SQL / Column —
+    * shared with the embedding near-dup dedup path (DedupQueries). */
+  private[functions] def bandSql(band: Int): String = (0 until LSH_BAND_BITS).map { j =>
+    val lst = plane(band * LSH_BAND_BITS + j).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    s"(CASE WHEN list_sum(list_transform(range(1, 65), k -> CAST(embedding[k] AS DOUBLE) * ($lst)[k])) > 0 THEN (1 << $j) ELSE 0 END)"
+  }.mkString(" + ")
+
+  private[functions] def bandCol(band: Int): Column = (0 until LSH_BAND_BITS).map { j =>
+    val planeLit = array(plane(band * LSH_BAND_BITS + j).map(lit): _*)
+    when(dot(col("embedding"), planeLit) > 0, lit(1 << j)).otherwise(lit(0))
+  }.reduce(_ + _)
+
+  private[functions] def nBands: Int = LSH_BANDS
+  private[functions] def dotCol(a: Column, b: Column): Column = dot(a, b)
+  private[functions] def dotSqlText(a: String, b: String): String = dotSql(a, b)
+  private[functions] def normSqlText(a: String): String = normSql(a)
+  private[functions] def normCol(a: Column): Column = norm(a)
+
   val annLshPairs: Q = {
-    def bandSql(band: Int): String = (0 until LSH_BAND_BITS).map { j =>
-      val lst = plane(band * LSH_BAND_BITS + j).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-      s"(CASE WHEN list_sum(list_transform(range(1, 65), k -> CAST(embedding[k] AS DOUBLE) * ($lst)[k])) > 0 THEN (1 << $j) ELSE 0 END)"
-    }.mkString(" + ")
     val bandListSql = (0 until LSH_BANDS).map(bandSql).mkString("[", ",\n       |    ", "]")
     val idxListSql = (0 until LSH_BANDS).mkString("[", ",", "]")
     Q(
@@ -177,10 +191,6 @@ object SimilarityQueries {
          |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id)
          |WHERE sim >= $SIM_MIN
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      def bandCol(band: Int): Column = (0 until LSH_BAND_BITS).map { j =>
-        val planeLit = array(plane(band * LSH_BAND_BITS + j).map(lit): _*)
-        when(dot(col("embedding"), planeLit) > 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
       val bands = emb(s, dir)
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
           posexplode(array((0 until LSH_BANDS).map(bandCol): _*)).as(Seq("band_idx", "band_key")))
@@ -197,5 +207,63 @@ object SimilarityQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(annBruteForce, annThresholdPairs, annLshBuckets, annLshPairs)
+  private val IVF_NLIST = 8
+
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to its
+    * nearest of NLIST centroids; a query only scans its own cell, then exact
+    * cosine re-ranks — the classic `nlist/nprobe=1` trade. Centroids here are
+    * the first NLIST corpus vectors (deterministic, training-free — at 100 TB
+    * they come from k-means||; the PLUMBING, which is what this verifies —
+    * broadcast centroids, map-side argmax assign, cell equi-join, in-cell
+    * top-k — is identical regardless of how centroids were trained).
+    * The centroid table is DATA, so both engines derive cells from the same
+    * rows rather than injected literals. */
+  val annIvfTopk: Q = Q(
+    "ann_ivf_topk",
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, ${normSql("embedding")} AS cnrm
+       |  FROM embeddings WHERE vec_id < $IVF_NLIST
+       |), scored_cells AS (
+       |  SELECT e.vec_id, e.embedding, ${normSql("e.embedding")} AS nrm, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dotSql("e.embedding", "c.cemb")} / (${normSql("e.embedding")} * c.cnrm) DESC, c.cent_id) AS rk
+       |  FROM embeddings e CROSS JOIN cents c
+       |), assigned AS (
+       |  SELECT vec_id, embedding, nrm, cent_id FROM scored_cells WHERE rk = 1
+       |), scored AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |    ${dotSql("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${dotSql("q.embedding", "n.embedding")} / (q.nrm * n.nrm) DESC, n.vec_id) AS rk
+       |  FROM assigned q JOIN assigned n
+       |    ON q.cent_id = n.cent_id AND n.vec_id <> q.vec_id AND q.vec_id < $NQUERY
+       |)
+       |SELECT q_id, n_id, sim, rk FROM scored WHERE rk <= $TOPK
+       |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir)
+    val cents = broadcast(e.filter(col("vec_id") < IVF_NLIST)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+        norm(col("embedding")).as("cnrm")))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy((dot(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm"))).desc, col("cent_id"))
+    val assigned = e.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .join(cents)
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+    val q = assigned.filter(col("vec_id") < NQUERY)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"), col("cent_id").as("qc"))
+    val n = assigned.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+      col("nrm").as("nn"), col("cent_id").as("nc"))
+    val sim = (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")
+    val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    q.join(n, col("qc") === col("nc") && col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), sim)
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= TOPK)
+      .orderBy("q_id", "rk")
+  }
+
+  val all: Seq[Q] = Seq(annBruteForce, annThresholdPairs, annLshBuckets, annLshPairs, annIvfTopk)
 }

@@ -84,4 +84,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidate generation must equi-join on the LSH bucket:\n$p")
   }
+
+  test("embedding near-dup dedup: band equi join, no all-pairs scan") {
+    val p = planOf("dedup_embedding_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must equi-join on band keys:\n$p")
+  }
+
+  test("IVF: only the tiny centroid assignment cross-joins; cells equi-join") {
+    val p = planOf("ann_ivf_topk")
+    // the corpus×centroid assignment is a deliberate broadcast nested loop
+    // over NLIST=8 rows; the query↔cell candidate join must be an equi join.
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"cell candidate join must be an equi join:\n$p")
+  }
 }
