@@ -192,10 +192,47 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
     }
   }
 
+  /** DML on meta tables — the reference's ChangeMetaTable operator
+    * (reference: src/lib/operators/change_meta_table.cpp; per-table mutability
+    * in utils/meta_tables: settings is updatable, plugins insert/delete =
+    * dynamic plugin loading, exec insert = plugin function calls). Our
+    * counterparts: UPDATE meta_settings rewrites the session conf; plugin
+    * loading is rejected with a documented reason (extensions are compiled
+    * in via spark.sql.extensions, not dlopen'd). */
+  private def changeMetaTable(s: String, upper: String): DataFrame = {
+    if (upper.startsWith("UPDATE META_SETTINGS ")) {
+      val rest = s.drop("UPDATE meta_settings ".length).trim
+      val setIdx = rest.toUpperCase.indexOf("SET ")
+      val whereIdx = rest.toUpperCase.indexOf(" WHERE ")
+      val setPart = if (whereIdx >= 0) rest.substring(setIdx + 4, whereIdx) else rest.drop(setIdx + 4)
+      val cond = if (whereIdx >= 0) rest.drop(whereIdx + 7) else "true"
+      val assign = splitTopLevel(setPart, ',').map { a =>
+        val eq = a.indexOf('=')
+        a.take(eq).trim.toLowerCase -> a.drop(eq + 1).trim
+      }.toMap
+      val valueExpr = assign.getOrElse("value", sys.error("only SET value = '<literal>' is supported"))
+      require(valueExpr.startsWith("'") && valueExpr.endsWith("'"),
+        "meta_settings updates take a string literal value")
+      val newValue = valueExpr.substring(1, valueExpr.length - 1)
+      val names = catalog.metaSettings
+        .filter(org.apache.spark.sql.functions.expr(cond))
+        .select("name").collect().map(_.getString(0))
+      require(names.nonEmpty, "UPDATE meta_settings matched no setting")
+      names.foreach(n => spark.conf.set(n, newValue))
+      spark.emptyDataFrame
+    } else if (upper.contains("META_PLUGINS")) {
+      sys.error("dynamic plugin loading is not supported: graft extensions are compiled in " +
+        "and registered via spark.sql.extensions (see GraftExtensions)")
+    } else sys.error(s"this meta table does not accept DML: $s")
+  }
+
   /** Spark SQL temp views reject native INSERT/DELETE/UPDATE, so DML statements
     * on catalog tables are rewritten through the Catalog's snapshot swap. */
   private def dispatchDml(s: String, upper: String): DataFrame = {
-    if (upper.startsWith("INSERT INTO ")) {
+    if ((upper.startsWith("UPDATE META_") || upper.startsWith("INSERT INTO META_")
+        || upper.startsWith("DELETE FROM META_"))) {
+      changeMetaTable(s, upper)
+    } else if (upper.startsWith("INSERT INTO ")) {
       val rest = s.drop("INSERT INTO ".length).trim
       val name = rest.takeWhile(c => !c.isWhitespace && c != '(')
       var tail = rest.drop(name.length).trim

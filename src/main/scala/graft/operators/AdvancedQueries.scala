@@ -167,7 +167,30 @@ object AdvancedQueries {
       .orderBy("event_id")
   }
 
+  /** Sorted-run aggregation (reference AggregateSort,
+    * src/lib/operators/aggregate_sort.hpp — chosen when input is pre-sorted
+    * or the aggregate isn't hashable). Spark's counterpart is SortAggregate,
+    * picked by the planner for object aggregation buffers (collect_list);
+    * the PlanSpec probe asserts the physical operator choice. Output is the
+    * sorted per-group run serialized to a string so the oracle compare is
+    * order-exact. */
+  val aggSortCollect: Q = Q(
+    "agg_sort_collect",
+    """SELECT l_orderkey,
+      |  array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+      |  COUNT(*) AS n
+      |FROM lineitem WHERE l_orderkey < 50
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem").filter(col("l_orderkey") < 50)
+      .groupBy("l_orderkey")
+      .agg(
+        array_join(sort_array(collect_list(col("l_linenumber"))), ",").as("lines"),
+        count(lit(1)).as("n"))
+      .orderBy("l_orderkey")
+  }
+
   val all: Seq[Q] = Seq(
     aggRollup, aggCube, aggAny, expr3vl, setExceptAll, setIntersectAll,
-    limitOffset, indexScanPointLookup, tableWrapperValues, extractTime)
+    limitOffset, indexScanPointLookup, tableWrapperValues, extractTime,
+    aggSortCollect)
 }

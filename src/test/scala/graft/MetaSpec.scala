@@ -53,6 +53,25 @@ class MetaSpec extends AnyFunSuite {
     assert(p.sql("SELECT * FROM meta_chunk_sort_orders").count() == 0)
   }
 
+  test("UPDATE meta_settings rewrites the session conf (ChangeMetaTable)") {
+    val p = freshPipe()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      p.sql("UPDATE meta_settings SET value = '1048576' " +
+        "WHERE name = 'spark.sql.autoBroadcastJoinThreshold'")
+      assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "1048576")
+      val visible = p.sql("SELECT value FROM meta_settings " +
+        "WHERE name = 'spark.sql.autoBroadcastJoinThreshold'").collect().head.getString(0)
+      assert(visible == "1048576")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("plugin loading via meta_plugins is rejected with a documented reason") {
+    val p = freshPipe()
+    val r = p.run("INSERT INTO meta_plugins VALUES ('libFoo.so')")
+    assert(r.head.status != p.Ok)
+  }
+
   test("meta_exec logs statements in order with status; meta_log records catalog events") {
     val p = freshPipe()
     p.run("SELECT COUNT(*) FROM region; SELECT * FROM no_such_table")

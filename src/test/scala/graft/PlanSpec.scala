@@ -85,6 +85,16 @@ class PlanSpec extends AnyFunSuite {
       s"candidate generation must equi-join on the LSH bucket:\n$p")
   }
 
+  test("sorted-run aggregation maps to SortAggregate when hashing is off the table") {
+    // collect_list uses an object buffer: with ObjectHashAggregate disabled the
+    // planner must fall back to SortAggregate — the reference's AggregateSort.
+    spark.conf.set("spark.sql.execution.useObjectHashAggregateExec", "false")
+    try {
+      val p = planOf("agg_sort_collect")
+      assert(p.contains("SortAggregate"), s"expected SortAggregate:\n$p")
+    } finally spark.conf.set("spark.sql.execution.useObjectHashAggregateExec", "true")
+  }
+
   test("embedding near-dup dedup: band equi join, no all-pairs scan") {
     val p = planOf("dedup_embedding_cosine")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
