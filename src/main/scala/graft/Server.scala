@@ -1,0 +1,86 @@
+package graft
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.util.concurrent.atomic.AtomicBoolean
+
+/** Network entry point — the counterpart of the reference's wire-protocol
+  * server (reference: src/lib/server/server.hpp:32, a PostgreSQL-protocol
+  * listener dispatching to SQLPipeline). Speaking full pgwire buys nothing
+  * here (Spark's own remote surface is Spark Connect); what this preserves is
+  * the reference's ARCHITECTURE: a TCP listener, one session per connection,
+  * each line of SQL dispatched through the same [[Pipeline]] every other entry
+  * point uses, results streamed back.
+  *
+  * Protocol (newline-delimited, one statement per line):
+  *   → `SELECT ...`
+  *   ← `ok <n>`            then n JSON-object rows, then a blank line
+  *   ← `error <message>`   then a blank line
+  *
+  * Row payloads use `df.toJSON` — per-partition JSON encoding on executors,
+  * collected for the socket write (the driver is the network endpoint, same
+  * as the reference's server materializing each result table before sending).
+  */
+final class Server(makePipeline: () => Pipeline, port: Int = 0) {
+
+  private val running = new AtomicBoolean(false)
+  @volatile private var socket: ServerSocket = _
+  @volatile private var threads: List[Thread] = Nil
+
+  /** Start accepting; returns the bound port. */
+  def start(): Int = {
+    socket = new ServerSocket(port)
+    running.set(true)
+    val acceptor = new Thread(() => {
+      while (running.get()) {
+        try {
+          val client = socket.accept()
+          val t = new Thread(() => serve(client), s"graft-server-conn")
+          t.setDaemon(true)
+          threads = t :: threads
+          t.start()
+        } catch {
+          case _: SocketException => () // closed during stop()
+        }
+      }
+    }, "graft-server-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    socket.getLocalPort
+  }
+
+  def stop(): Unit = {
+    running.set(false)
+    if (socket != null) socket.close()
+  }
+
+  /** One connection = one session pipeline (like one pgwire session). */
+  private def serve(client: Socket): Unit = {
+    val pipeline = makePipeline()
+    val in = new BufferedReader(new InputStreamReader(client.getInputStream, "UTF-8"))
+    val out = new PrintWriter(client.getOutputStream, false)
+    try {
+      var line = in.readLine()
+      while (line != null && running.get()) {
+        val stmt = line.trim
+        if (stmt.nonEmpty) {
+          try {
+            val df = pipeline.sql(stmt)
+            val rows = df.toJSON.collect()
+            out.println(s"ok ${rows.length}")
+            rows.foreach(out.println)
+          } catch {
+            case e: Throwable =>
+              out.println(s"error ${String.valueOf(e.getMessage).replaceAll("\\R", " ").take(500)}")
+          }
+          out.println()
+          out.flush()
+        }
+        line = in.readLine()
+      }
+    } finally {
+      out.close()
+      client.close()
+    }
+  }
+}
