@@ -49,6 +49,113 @@ object Multimodal {
     df.withColumn("features", featureStub(col("payload"), dims))
   }
 
+  /** JVM twin of [[featureStub]] for the mapPartitions decode path — must
+    * produce bit-identical features (verified in MultimodalSpec). */
+  private[functions] final class StubCodec(dims: Int) {
+    // a real codec allocates native state here, once per PARTITION
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    def features(payload: Array[Byte]): Seq[Double] = {
+      val hex = md.digest(payload).map("%02x".format(_)).mkString
+      (0 until dims).map { j =>
+        val inner = md.digest(s"ft$j:$hex".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        (java.lang.Long.parseLong(inner, 16) % 1000L).toDouble / 1000.0
+      }
+    }
+  }
+
+  /** The REAL batched decode shape: `mapPartitions` with per-partition codec
+    * allocation — one iterator pass, no per-row setup, the exact structure a
+    * libjpeg/ffmpeg binding drops into (swap StubCodec for the binding; the
+    * schema, encoder, and batching stay). Verified bit-identical to the
+    * codegen'd [[featureStub]] expression path. */
+  def decodeMapPartitions(df: DataFrame, dims: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val outSchema = df.schema.add("features", ArrayType(DoubleType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { it =>
+      val codec = new StubCodec(dims) // per-partition, like a native codec handle
+      it.map(r => Row.fromSeq(r.toSeq :+ codec.features(r.getAs[Array[Byte]](payloadIdx))))
+    }(enc)
+  }
+
+  /** === STUB decode of intrinsic dimensions === deterministic (w, h) from the
+    * payload hash; a real pipeline reads them from the container header. */
+  private def dimCols: (Column, Column) = (
+    (TextFunctions.hash64(md5(col("payload")), "w") % 1920L + 128L).cast("int"),
+    (TextFunctions.hash64(md5(col("payload")), "h") % 1080L + 128L).cast("int"))
+  // oracle twin: DuckDB md5 takes VARCHAR; the payload is the UTF-8 text
+  // bytes, so md5(text) produces the same digest as Spark's md5(binary).
+  private def dimSql(seed: String, modulo: Int): String =
+    s"CAST(${TextFunctions.hash64Sql("md5(text)", seed)} % $modulo + 128 AS INT)"
+
+  /** Resize planning: aspect-preserving fit into MAX_SIDE. The arithmetic is
+    * the real operation (it is metadata math, not pixel work); only the
+    * intrinsic dims are stubbed. Per-row, map-only — scales. */
+  val multimodalResize: Q = {
+    val MAX = 256
+    Q(
+      "multimodal_resize",
+      s"""SELECT doc_id, w, h,
+         |  CAST(CASE WHEN w >= h THEN $MAX ELSE CAST(ROUND($MAX * w * 1.0 / h, 0) AS INT) END AS INT) AS out_w,
+         |  CAST(CASE WHEN w >= h THEN CAST(ROUND($MAX * h * 1.0 / w, 0) AS INT) ELSE $MAX END AS INT) AS out_h
+         |FROM (SELECT doc_id, ${dimSql("w", 1920)} AS w, ${dimSql("h", 1080)} AS h FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val (w, h) = dimCols
+      attachPayload(Tables.df(s, dir, "documents"), "text")
+        .select(col("doc_id"), w.as("w"), h.as("h"))
+        .withColumn("out_w",
+          when(col("w") >= col("h"), lit(MAX))
+            .otherwise(round(lit(MAX) * col("w") * 1.0 / col("h"), 0).cast("int")))
+        .withColumn("out_h",
+          when(col("w") >= col("h"), round(lit(MAX) * col("h") * 1.0 / col("w"), 0).cast("int"))
+            .otherwise(lit(MAX)))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Frame sampling: one media row explodes into ≤MAX_FRAMES training rows
+    * with per-frame timestamps — the row-multiplying shape of video ingestion
+    * (posexplode keeps it shuffle-free; downstream repartition is the
+    * consumer's choice). Frame count/fps are stubbed from the payload hash;
+    * the sampling arithmetic and explosion are real. */
+  val multimodalFrameSample: Q = {
+    val MAX_FRAMES = 8
+    Q(
+      "multimodal_frame_sample",
+      s"""WITH media AS (
+         |  SELECT doc_id,
+         |    CAST(${TextFunctions.hash64Sql("md5(text)", "nf")} % 240 + 1 AS INT) AS n_frames
+         |  FROM documents
+         |), stepped AS (
+         |  SELECT doc_id, n_frames,
+         |    CAST(CEIL(n_frames * 1.0 / $MAX_FRAMES) AS INT) AS step
+         |  FROM media
+         |)
+         |SELECT doc_id, n_frames,
+         |  CAST(u.i AS INT) AS sample_idx,
+         |  CAST(u.i * step AS INT) AS frame_no,
+         |  CAST((u.i * step) * 1.0 / 24.0 AS DOUBLE) AS ts_sec
+         |FROM stepped, (SELECT unnest(range(0, $MAX_FRAMES)) AS i) u
+         |WHERE u.i * step < n_frames
+         |ORDER BY doc_id, sample_idx""".stripMargin) { (s, dir) =>
+      val nFrames = (TextFunctions.hash64(md5(col("payload")), "nf") % 240L + 1L).cast("int")
+      attachPayload(Tables.df(s, dir, "documents"), "text")
+        .select(col("doc_id"), nFrames.as("n_frames"))
+        .withColumn("step", ceil(col("n_frames") * 1.0 / MAX_FRAMES).cast("int"))
+        .select(col("doc_id"), col("n_frames"), col("step"),
+          posexplode(sequence(lit(0), lit(MAX_FRAMES - 1))).as(Seq("sample_idx", "i")))
+        .filter(col("i") * col("step") < col("n_frames"))
+        .select(col("doc_id"), col("n_frames"),
+          col("sample_idx").cast("int").as("sample_idx"),
+          (col("i") * col("step")).cast("int").as("frame_no"),
+          ((col("i") * col("step")) * 1.0 / 24.0).as("ts_sec"))
+        .orderBy("doc_id", "sample_idx")
+    }
+  }
+
   /** Feature extraction end-to-end over documents-as-media. */
   val multimodalFeatures: Q = {
     def featSql(j: Int): String =
@@ -74,5 +181,5 @@ object Multimodal {
     }
   }
 
-  val all: Seq[Q] = Seq(multimodalFeatures)
+  val all: Seq[Q] = Seq(multimodalFeatures, multimodalResize, multimodalFrameSample)
 }
