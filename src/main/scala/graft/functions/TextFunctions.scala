@@ -28,6 +28,19 @@ object TextFunctions {
   def tokenCount(c: Column): Column = F.size(tokens(c))
   def tokenCountSql(c: String): String = s"len(${tokensSql(c)})"
 
+  /** BPE-style pre-tokenization (the GPT-2 regex family, lookahead-free so
+    * Java regex and DuckDB's RE2 split identically): contractions, space-glued
+    * letter runs, digit runs, punctuation runs. Counting these approximates a
+    * BPE tokenizer's sequence length far better than whitespace words —
+    * subword merges only shorten within these pre-token boundaries. */
+  private val bpePattern =
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
+  def bpeTokens(c: Column): Column =
+    F.regexp_extract_all(c, F.lit(bpePattern), F.lit(0))
+  def bpeTokenCount(c: Column): Column = F.size(bpeTokens(c))
+  def bpeTokenCountSql(c: String): String =
+    s"len(regexp_extract_all($c, '${bpePattern.replace("'", "''")}'))"
+
   /** Normalized text: lowercase, single-spaced. */
   def normalized(c: Column): Column =
     F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")

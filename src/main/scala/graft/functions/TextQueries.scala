@@ -102,5 +102,22 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(textTokenCount, textQuality, textLangId, textFingerprint)
+  /** BPE-style pre-tokenization counting (regex family, not the chars/4
+    * heuristic of text_token_count) — whitespace words vs BPE pre-tokens per
+    * document, both engines splitting with the identical lookahead-free
+    * pattern. */
+  val textBpeTokens: Q = Q(
+    "text_bpe_token_count",
+    s"""SELECT doc_id,
+       |  ${tokenCountSql("text")} AS n_words,
+       |  ${bpeTokenCountSql("text")} AS n_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docs(s, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_words"),
+      bpeTokenCount(col("text")).as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(textTokenCount, textQuality, textLangId, textFingerprint, textBpeTokens)
 }
