@@ -59,6 +59,16 @@ object EventStreams {
       .agg(avg(col("value")).as("avg_value"))
       .select(col("window.start").as("window_start"), col("avg_value"))
 
+  /** Streaming exact dedup — the ingest-time twin of DedupQueries.dedupExact:
+    * `dropDuplicates` within a watermark keeps state bounded (one entry per
+    * key inside the watermark horizon, evicted past it). At 100 TB this is
+    * the first stage of a training-data landing pipeline: duplicates arriving
+    * within the lateness bound never reach storage. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicates("event_id")
+
   /** Keyed custom state: per-user session summary via flatMapGroupsWithState —
     * the arbitrary-stateful-processing shape (counts + event-time span). */
   def userSessions(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {

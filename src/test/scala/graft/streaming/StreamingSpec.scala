@@ -27,6 +27,16 @@ class StreamingSpec extends AnyFunSuite {
       "stream and batch window aggregations must produce identical rows")
   }
 
+  test("streaming dedup == batch distinct on the key") {
+    val stream = EventStreams.source(spark, sf)
+    val deduped = EventStreams.runToMemory(
+      spark, EventStreams.dedupedEvents(stream), "dedup_out", OutputMode.Append())
+    val streamCount = deduped.select("event_id").distinct().count()
+    val batchCount = Tables.df(spark, sf, "events").select("event_id").distinct().count()
+    assert(deduped.count() == streamCount, "no duplicate key may survive")
+    assert(streamCount == batchCount, "dedup must keep exactly one row per key")
+  }
+
   test("keyed session state sees every event exactly once") {
     val stream = EventStreams.source(spark, sf)
     val sessions = EventStreams.runToMemory(
