@@ -18,6 +18,7 @@ object SparkEntry {
       operators.TpchQueries.all ++
       operators.TpchFullQueries.all ++
       operators.SsbQueries.all ++
+      operators.TpcdsQueries.all ++
       operators.EventsQueries.all ++
       operators.LifecycleQueries.all ++
       operators.AdvancedQueries.all ++
@@ -50,5 +51,6 @@ object SparkEntry {
     "tpch_q6_forecast_revenue", "tpch_q10_returned_items", "tpch_q14_promo_effect",
     "tpch_q18_large_volume", "tpch_q19_disjunction",
     "agg_count_distinct", "events_hourly",
-    "ssb_q1_1", "ssb_q2_1", "ssb_q3_1", "ssb_q4_1")
+    "ssb_q1_1", "ssb_q2_1", "ssb_q3_1", "ssb_q4_1",
+    "tpcds_q5_rollup_channels", "tpcds_q88_time_bands")
 }

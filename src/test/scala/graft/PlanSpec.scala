@@ -109,4 +109,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
       s"cell candidate join must be an equi join:\n$p")
   }
+
+  test("tpcds q88: eight band counts run as ONE scan of events (no union of scans)") {
+    val p = planOf("tpcds_q88_time_bands")
+    // TPC-DS writes q88 as 8 self-scans cross-joined; the Spark-first rewrite
+    // must read events exactly once with FILTERed aggregates.
+    val scans = p.linesIterator.count(l => l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly one events scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"band counts must not join:\n$p")
+  }
+
+  test("tpcds q10: EXISTS conjunction plans as semi joins plus one anti join") {
+    val p = planOf("tpcds_q10_exists_conjunction")
+    assert(p.contains("LeftSemi"), s"expected semi join for EXISTS:\n$p")
+    assert(p.contains("LeftAnti"), s"expected anti join for NOT EXISTS:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"membership probes must stay equi joins:\n$p")
+  }
+
+  test("tpcds q47: windows partition by brand keys (no global window)") {
+    val df = SparkEntry.queries("tpcds_q47_mavg_outliers")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // every Window node must carry a non-empty partition spec
+    plan.linesIterator.filter(_.trim.startsWith("Window")).foreach { w =>
+      assert(w.contains("partitionbyp_brand") || w.contains("p_brand"),
+        s"window must be partitioned by brand, not global: $w")
+    }
+  }
 }
