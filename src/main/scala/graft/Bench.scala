@@ -16,6 +16,12 @@ import org.apache.spark.sql.SparkSession
   *    permutes query order per round with a fixed seed, the reference's
   *    shuffled mode that defeats cross-query cache ordering effects
   *  - SPARK_GRAFT_BENCH_RUNS  timed runs per query (default 2, best-of)
+  *  - SPARK_GRAFT_BENCH_CLIENTS  concurrent query streams (default 1) — the
+  *    reference's --clients multi-stream mode (cli_config_parser.cpp:54-68):
+  *    N threads each run the full headline set (per-client shuffled order)
+  *    against the shared session; reported as aggregate queries/sec. Spark's
+  *    FAIR scheduler pool shares the cluster between streams the way the
+  *    reference's scheduler shares its workers between clients.
   *
   * Each query gets one untimed warmup (JIT + parquet footer cache, like the
   * reference's --warmup); the reported time is the best of the timed runs.
@@ -26,8 +32,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "ordered")
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val nClients = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLIENTS", "1").toInt
     val spark = GraftSession.tuned(
-      SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-bench")
+        // FAIR round-robins stage slots between concurrent client streams
+        // (default FIFO would serialize the multi-stream phase head-of-line)
+        .config("spark.scheduler.mode", if (nClients > 1) "FAIR" else "FIFO"),
       shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -63,7 +73,24 @@ object Bench {
       "\"" + k + "\":" + (if (v > 0) 1.0 / v else 0.0)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"items_per_sec":$ips,"mode":"$mode","runs":$nRuns,"sf":"$sfDir"}""")
+
+    // multi-stream phase: N clients run the whole set concurrently; the
+    // metric is aggregate throughput, not per-query latency
+    val multi = if (nClients <= 1) "" else {
+      val t0 = System.nanoTime()
+      val threads = (0 until nClients).map { c =>
+        val th = new Thread(() => {
+          val order = new scala.util.Random(c).shuffle(names)
+          order.foreach(n => try once(n) catch { case _: Throwable => () })
+        }, s"bench-client-$c")
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      val wall = (System.nanoTime() - t0) / 1e9
+      val qps = nClients * names.size / wall
+      s""","clients":$nClients,"multi_stream_wall_sec":$wall,"multi_stream_queries_per_sec":$qps"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"items_per_sec":$ips,"mode":"$mode","runs":$nRuns,"sf":"$sfDir"$multi}""")
     spark.stop()
   }
 }
