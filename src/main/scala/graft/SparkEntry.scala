@@ -28,6 +28,7 @@ object SparkEntry {
       functions.TextQueries.all ++
       functions.DedupQueries.all ++
       functions.SimilarityQueries.all ++
+      functions.CurationQueries.all ++
       functions.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,251 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs after
+  * the per-document text stats (TextQueries) and near-dup detection
+  * (DedupQueries): repetition scoring, a composite keep/drop filter,
+  * deterministic stratified sampling for data mixing, token-budget sequence
+  * packing, and duplicate-cluster resolution via connected components.
+  *
+  * Same design rules as the rest of functions/: per-row logic is pure Catalyst
+  * `Column` expressions (codegen, zero shuffles), every aggregate is keyed, and
+  * each query's DuckDB oracle twin is generated from the SAME constants so the
+  * two engines cannot drift.
+  *
+  * Scale notes per query are inline; the only iterative operator is the
+  * connected-components loop, which is O(component diameter) keyed joins —
+  * near-dup clusters are shallow (stars around a few hubs), so it converges in
+  * a handful of rounds even at 100 TB, and each round is one shuffle on
+  * doc_id with lineage cut by localCheckpoint. */
+object CurationQueries {
+  import TextFunctions._
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "documents")
+
+  // ------------------------------------------------------- repetition (Gopher)
+  // Rae et al. 2021 (Gopher, arXiv:2112.11446) repetition rules, on word
+  // 2-grams: fraction of characters in the most frequent 2-gram, fraction of
+  // characters in duplicated 2-grams, distinct-token ratio. The corpus has no
+  // newlines, so the line-level variants are vacuous here and the n-gram
+  // family is the meaningful one.
+
+  /** Raw (non-distinct) word 2-grams. */
+  private def grams2(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  private def grams2Sql(ws: String): String =
+    s"[$ws[i] || ' ' || $ws[i+1] for i in range(1, len($ws))]"
+
+  val repetition: Q = Q(
+    "cur_repetition",
+    s"""SELECT doc_id,
+       |  CASE WHEN len(grams) = 0 THEN 0.0 ELSE
+       |    (best.c * len(best.g)) / chars END AS top2_frac,
+       |  dupchars / chars AS dup2_frac,
+       |  len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) AS distinct_ratio
+       |FROM (
+       |  SELECT doc_id, chars, ws, grams,
+       |    list_max([{'c': len(list_filter(grams, x -> x = g)), 'g': g}
+       |              for g in list_distinct(grams)]) AS best,
+       |    CAST(COALESCE(list_sum(list_transform(
+       |      list_filter(grams, gr -> len(list_filter(grams, x -> x = gr)) > 1),
+       |      x -> len(x))), 0) AS DOUBLE) AS dupchars
+       |  FROM (SELECT doc_id, CAST(length(text) AS DOUBLE) AS chars,
+       |          ${tokensSql("text")} AS ws, ${grams2Sql(tokensSql("text"))} AS grams
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val base = docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("double").as("chars"),
+      tokens(col("text")).as("ws"),
+      grams2(tokens(col("text"))).as("grams"))
+    val enriched = base.select(
+      col("doc_id"), col("chars"), col("ws"), col("grams"),
+      array_max(transform(array_distinct(col("grams")),
+        g => struct(size(filter(col("grams"), x => x === g)).as("c"), g.as("g"))))
+        .as("best"),
+      aggregate(
+        filter(col("grams"), gr => size(filter(col("grams"), x => x === gr)) > 1),
+        lit(0), (a, x) => a + length(x)).cast("double").as("dupchars"))
+    enriched.select(
+      col("doc_id"),
+      when(size(col("grams")) === 0, lit(0.0))
+        .otherwise((col("best.c") * length(col("best.g"))) / col("chars")).as("top2_frac"),
+      (col("dupchars") / col("chars")).as("dup2_frac"),
+      (size(array_distinct(col("ws"))) / size(col("ws")).cast("double")).as("distinct_ratio"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------- composite keep/drop filter
+  // First-failing-rule attribution, the shape every curation pipeline reports:
+  // length gates, stopword floor, digit ceiling, repetition ceiling. The rule
+  // ORDER is part of the contract (a doc failing several gates is counted
+  // under the first), and both engines evaluate the same ordered CASE.
+
+  private val minTokens = 10
+  private val maxTokens = 5000
+  private val stopFloorPct = 5 // n_stop * 100 >= 5 * n_tokens
+  private val digitCeilPct = 20 // n_digit * 100 <= 20 * chars
+  private val dup2CeilPct = 60 // dupchars * 100 <= 60 * chars
+
+  val qualityFilter: Q = {
+    val stops = langMarkers.flatMap(_._2)
+    Q(
+      "cur_quality_filter",
+      s"""SELECT reason, COUNT(*) AS n FROM (
+         |  SELECT CASE
+         |    WHEN n_tokens < $minTokens THEN 'too_short'
+         |    WHEN n_tokens > $maxTokens THEN 'too_long'
+         |    WHEN n_stop * 100 < $stopFloorPct * n_tokens THEN 'low_stopword'
+         |    WHEN n_digit * 100 > $digitCeilPct * chars THEN 'high_digit'
+         |    WHEN dupchars * 100 > $dup2CeilPct * chars THEN 'repetitive'
+         |    ELSE 'keep' END AS reason
+         |  FROM (
+         |    SELECT ${tokenCountSql("text")} AS n_tokens,
+         |      ${markerCountSql(tokensSql("text"), stops)} AS n_stop,
+         |      ${digitCountSql("text")} AS n_digit,
+         |      length(text) AS chars,
+         |      COALESCE(list_sum(list_transform(
+         |        list_filter(${grams2Sql(tokensSql("text"))},
+         |          gr -> len(list_filter(${grams2Sql(tokensSql("text"))}, x -> x = gr)) > 1),
+         |        x -> len(x))), 0) AS dupchars
+         |    FROM documents))
+         |GROUP BY reason ORDER BY reason""".stripMargin) { (s, dir) =>
+      val ws = tokens(col("text"))
+      val gs = grams2(ws)
+      val base = docs(s, dir).select(
+        tokenCount(col("text")).as("n_tokens"),
+        markerCount(ws, stops).as("n_stop"),
+        digitCount(col("text")).as("n_digit"),
+        length(col("text")).as("chars"),
+        aggregate(filter(gs, gr => size(filter(gs, x => x === gr)) > 1),
+          lit(0), (a, x) => a + length(x)).as("dupchars"))
+      base.select(
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_tokens") > maxTokens, "too_long")
+          .when(col("n_stop") * 100 < lit(stopFloorPct) * col("n_tokens"), "low_stopword")
+          .when(col("n_digit") * 100 > lit(digitCeilPct) * col("chars"), "high_digit")
+          .when(col("dupchars") * 100 > lit(dup2CeilPct) * col("chars"), "repetitive")
+          .otherwise("keep").as("reason"))
+        .groupBy("reason").agg(count(lit(1)).as("n"))
+        .orderBy("reason")
+    }
+  }
+
+  // --------------------------------------------------- stratified sampling
+  // Data-mixing: per-source sampling rates applied via the portable hash64 —
+  // membership is a pure function of (doc_id, source table), so the sample is
+  // reproducible on any engine/cluster and needs no state. Map-only at scale.
+
+  /** Per-source rate in permille: srcN → 50 + 45·N (a deliberate spread from
+    * 5% to 90.5% across the 20 fixture sources). */
+  private val ratePermille: Seq[(String, Int)] =
+    (0 until 20).map(i => s"src$i" -> (50 + 45 * i))
+
+  val sampleStratified: Q = {
+    val caseSql = ratePermille.map { case (s0, r) => s"WHEN '$s0' THEN $r" }.mkString(" ")
+    Q(
+      "cur_sample_stratified",
+      s"""SELECT source, COUNT(*) AS n_total,
+         |  COUNT(*) FILTER (WHERE ${hash64Sql("CAST(doc_id AS VARCHAR)", "strat")} % 1000
+         |    < CASE source $caseSql ELSE 0 END) AS n_sampled
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val rate = ratePermille.foldLeft(lit(0)) { case (acc, (s0, r)) =>
+        when(col("source") === s0, r).otherwise(acc)
+      }
+      docs(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(hash64(col("doc_id").cast("string"), "strat") % 1000 < rate, 1))
+            .as("n_sampled"))
+        .orderBy("source")
+    }
+  }
+
+  // ----------------------------------------------------- sequence packing
+  // Assign documents to fixed-token-budget training packs: within each lang
+  // stream ordered by doc_id, running token total DIV budget = pack id. One
+  // keyed window shuffle on lang; at scale the stream key would be
+  // (lang, shard) to bound partition size — same plan shape.
+
+  private val packBudget = 2048
+
+  val packSequences: Q = Q(
+    "cur_pack_sequences",
+    s"""SELECT lang, pack_id, COUNT(*) AS n_docs, SUM(tok) AS tok_total FROM (
+       |  SELECT lang, tok,
+       |    (SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + ${packBudget - 1})
+       |      // $packBudget AS pack_id
+       |  FROM (SELECT lang, doc_id, ${tokenCountSql("text")} AS tok FROM documents))
+       |GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("lang"), col("doc_id"), tokenCount(col("text")).as("tok"))
+      .withColumn("pack_id",
+        ((sum("tok").over(w) + (packBudget - 1)) / packBudget).cast("long"))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_total"))
+      .orderBy("lang", "pack_id")
+  }
+
+  // ---------------------------------------- duplicate-cluster resolution (CC)
+  // Near-dup pairs are edges; the keep/drop unit is the connected component.
+  // Spark side: min-label propagation (the Pregel/GraphX CC algorithm) — each
+  // round is one keyed join + keyed agg, lineage cut per round; terminates at
+  // the fixpoint detected by the monotone sum-of-labels invariant (labels only
+  // decrease, so an unchanged sum == converged, one cheap scalar action per
+  // round). Oracle side: the same components via a recursive transitive
+  // closure over the SAME pair query (the LSH oracle text is embedded
+  // verbatim, so edge sets cannot drift).
+  val dedupClusterCc: Q = {
+    val pairsSql = DedupQueries.dedupMinhashLsh.oracle.get
+    Q(
+      "cur_dedup_cluster",
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
+         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val pairs = DedupQueries.dedupMinhashLsh.run(s, dir)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint(true)
+      var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("label"))
+        .localCheckpoint(true)
+      var lastSum = labels.agg(sum("label")).head.getLong(0)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 30) {
+        val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
+          .groupBy(col("dst").as("doc_id")).agg(min("label").as("nbr"))
+        labels = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        val s2 = labels.agg(sum("label")).head.getLong(0)
+        converged = s2 == lastSum
+        lastSum = s2
+        rounds += 1
+      }
+      labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(
+    repetition, qualityFilter, sampleStratified, packSequences, dedupClusterCc)
+}

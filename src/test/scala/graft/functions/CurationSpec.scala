@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the curation operators (beyond the oracle match). */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+
+  test("repetition fractions are in [0,1] and distinct_ratio positive") {
+    val rows = CurationQueries.repetition.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (top2, dup2, dr) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(top2 >= 0 && top2 <= 1, s"top2_frac out of range: $top2")
+      assert(dup2 >= 0 && dup2 <= 1, s"dup2_frac out of range: $dup2")
+      assert(dr > 0 && dr <= 1, s"distinct_ratio out of range: $dr")
+    }
+  }
+
+  test("quality filter reasons partition the corpus") {
+    val n = CurationQueries.qualityFilter.run(spark, sf)
+      .agg(sum("n")).head.getLong(0)
+    val total = graft.Tables.df(spark, sf, "documents").count()
+    assert(n == total, s"reason counts must partition: $n != $total")
+  }
+
+  test("stratified sample is deterministic and rate-ordered in expectation") {
+    val a = CurationQueries.sampleStratified.run(spark, sf).collect()
+    val b = CurationQueries.sampleStratified.run(spark, sf).collect()
+    assert(a.sameElements(b), "hash-based sampling must be reproducible")
+    a.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "sample cannot exceed stratum size")
+    }
+  }
+
+  test("sequence packing conserves tokens and ids are contiguous per lang") {
+    val packs = CurationQueries.packSequences.run(spark, sf).collect()
+    val byLang = packs.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      val ids = rows.map(_.getLong(1)).sorted
+      assert(ids.head == 1L, s"$lang: first pack must be 1")
+      assert(ids.zip(ids.tail).forall { case (a2, b2) => b2 == a2 + 1 },
+        s"$lang: pack ids must be contiguous: ${ids.mkString(",")}")
+    }
+    val packed = packs.map(_.getLong(3)).sum
+    val total = graft.Tables.df(spark, sf, "documents")
+      .select(TextFunctions.tokenCount(col("text")).cast("long")).collect().map(_.getLong(0)).sum
+    assert(packed == total, s"token conservation: $packed != $total")
+  }
+
+  test("dedup clusters: endpoints of every LSH pair share a cluster; rep is min member") {
+    val labels = CurationQueries.dedupClusterCc.run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = DedupQueries.dedupMinhashLsh.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // the representative is a member of its own cluster and is the minimum
+    labels.groupBy(_._2).foreach { case (rep, members) =>
+      val ids = members.keys.toSeq
+      assert(ids.min == rep, s"cluster $rep: representative must be min member")
+    }
+  }
+}
