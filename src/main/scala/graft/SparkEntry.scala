@@ -19,6 +19,7 @@ object SparkEntry {
       operators.TpchFullQueries.all ++
       operators.SsbQueries.all ++
       operators.TpcdsQueries.all ++
+      operators.JobQueries.all ++
       operators.EventsQueries.all ++
       operators.LifecycleQueries.all ++
       operators.AdvancedQueries.all ++

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join Order Benchmark — the reference's fourth OLAP suite (reference:
+  * src/benchmark/join_order_benchmark.cpp, queries from
+  * third_party/join-order-benchmark) — its *shape* re-expressed on the fixture
+  * schema. JOB's point is not a schema but a stressor: many-way join graphs
+  * with highly selective dimension predicates where join ORDER dominates
+  * runtime. Each query below declares a deliberately naive order (facts
+  * first), so a correct plan depends on the optimizer: Catalyst pushes the
+  * dim filters into the scans, broadcasts the shrunken dims, and AQE re-plans
+  * shuffle joins to broadcast at runtime when the filtered side turns out
+  * tiny — the Spark counterparts of the reference's JoinOrderingRule +
+  * cardinality estimator (src/lib/optimizer/strategy/join_ordering_rule.cpp,
+  * src/lib/statistics/cardinality_estimator.hpp).
+  *
+  * Scale notes: the only fact⋈fact edge (lineitem⋈orders) shuffles once on
+  * orderkey; every other edge is a filtered dim that must broadcast. The
+  * StatsSpec join-reorder test proves CBO reorders a mis-declared join tree
+  * when catalog stats exist; these queries prove the result stays correct and
+  * the plan sane without hand-tuned ordering. */
+object JobQueries {
+  import Det._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
+
+  /** 7-way chain: region→nation→(customer,supplier)→orders→lineitem→part with
+    * selective predicates on both ends (one region, one part type, a date
+    * slice). Declared order is worst-possible: the two facts join first. */
+  val chain7: Q = Q(
+    "job_chain_7way",
+    s"""SELECT n_name, p_type,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n_name, p_type ORDER BY n_name, p_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1998-01-01"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "part").filter(col("p_type") === "STANDARD"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("n_name", "p_type")
+      .agg(asDouble(sum(dec(col("l_extendedprice"))
+        * (lit(1) - dec(col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("n_name", "p_type")
+  }
+
+  /** Star with two dimension paths to the same table (customer-nation vs
+    * supplier-nation) — JOB's classic alias-join pattern (the same base table
+    * joined twice under different roles), here requiring same-nation
+    * customer/supplier pairs like TPC-H Q5 but grouped by part brand. */
+  val selfAliasStar: Q = Q(
+    "job_alias_star",
+    s"""SELECT p_brand, cn.n_name AS nation,
+       |  COUNT(*) AS n
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE cn.n_name = sn.n_name AND p_size <= 10
+       |GROUP BY p_brand, nation ORDER BY p_brand, nation""".stripMargin) { (s, dir) =>
+    val cn = t(s, dir, "nation").select(
+      col("n_nationkey").as("cn_key"), col("n_name").as("nation"))
+    val sn = t(s, dir, "nation").select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(cn, col("c_nationkey") === col("cn_key"))
+      .join(sn, col("s_nationkey") === col("sn_key"))
+      .join(t(s, dir, "part").filter(col("p_size") <= 10),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("nation") === col("sn_name"))
+      .groupBy("p_brand", "nation")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("p_brand", "nation")
+  }
+
+  /** Bushy shape: two independently filtered fact slices joined through their
+    * shared dimension — forces the optimizer to pick which slice to build the
+    * hash table from (JOB's "which side is small AFTER filters" problem). */
+  val bushy: Q = Q(
+    "job_bushy",
+    s"""SELECT a.p_brand, CAST(SUM(CAST(a.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_air,
+       |  CAST(SUM(CAST(b.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_reg
+       |FROM (SELECT p_brand, l_quantity, l_partkey FROM lineitem
+       |      JOIN part ON l_partkey = p_partkey WHERE l_returnflag = 'R') a
+       |JOIN (SELECT l_partkey, l_quantity FROM lineitem WHERE l_linestatus = 'O') b
+       |  ON a.l_partkey = b.l_partkey
+       |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin) { (s, dir) =>
+    val a = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_quantity").as("qa"), col("l_partkey").as("ka"))
+    val b = t(s, dir, "lineitem").filter(col("l_linestatus") === "O")
+      .select(col("l_partkey").as("kb"), col("l_quantity").as("qb"))
+    a.join(b, col("ka") === col("kb"))
+      .groupBy("p_brand")
+      .agg(asDouble(sum(dec(col("qa")))).as("qty_air"),
+        asDouble(sum(dec(col("qb")))).as("qty_reg"))
+      .orderBy("p_brand")
+  }
+
+  val all: Seq[Q] = Seq(chain7, selfAliasStar, bushy)
+}

@@ -110,6 +110,18 @@ class PlanSpec extends AnyFunSuite {
       s"cell candidate join must be an equi join:\n$p")
   }
 
+  test("job 7-way chain: dim predicates reach the scans; filtered dims broadcast") {
+    val f = formatted("job_chain_7way")
+    assert(f.contains("EqualTo(p_type,STANDARD)"),
+      s"part filter must push into the parquet scan:\n$f")
+    assert(f.contains("EqualTo(r_name,ASIA)"),
+      s"region filter must push into the parquet scan:\n$f")
+    val p = planOf("job_chain_7way")
+    assert(p.contains("BroadcastHashJoin"), "filtered dims must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"a mis-declared join order must still plan as equi joins:\n$p")
+  }
+
   test("tpcds q88: eight band counts run as ONE scan of events (no union of scans)") {
     val p = planOf("tpcds_q88_time_bands")
     // TPC-DS writes q88 as 8 self-scans cross-joined; the Spark-first rewrite
