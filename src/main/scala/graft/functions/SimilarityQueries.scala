@@ -265,5 +265,107 @@ object SimilarityQueries {
       .orderBy("q_id", "rk")
   }
 
-  val all: Seq[Q] = Seq(annBruteForce, annThresholdPairs, annLshBuckets, annLshPairs, annIvfTopk)
+  // ---------------------------------------------------- IVF k-means training
+  // Closes annIvfTopk's documented "centroids come from k-means|| at scale"
+  // slot with actual distributed Lloyd training. Exactness trick: spherical
+  // k-means on integer-quantized vectors. Cosine is scale-invariant, so the
+  // centroid update needs NO division — the mean direction IS the element-wise
+  // SUM of member vectors. Quantizing floats to 1e-6 integers (floor(x·1e6 +
+  // 0.5), exact in both engines) makes every update an integer sum — exact in
+  // ANY aggregation order — so Spark's parallel partial aggregation and
+  // DuckDB's sequential scan produce bit-identical centroids, and identical
+  // cosine scores (same operands, same fold order). Each Lloyd round is one
+  // broadcast-assign (map-side, NLIST×N tiny cross) + one keyed agg shuffle;
+  // rounds are O(1) scans — the standard distributed k-means plan.
+
+  private val KM_ITERS = 2
+  private val DIM = 64
+
+  // the float widens to double BEFORE scaling in both engines — float×int
+  // multiplication would round in float precision and drift the quantization
+  private def quantize(e: Column): Column =
+    transform(e, x => floor(x.cast("double") * 1000000 + lit(0.5)).cast("long"))
+  private def quantizeSql(e: String): String =
+    s"[CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) for x in $e]"
+
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  private def dotLSql(a: String, b: String): String =
+    s"CAST(list_sum([$a[i] * $b[i] for i in range(1, ${DIM + 1})]) AS BIGINT)"
+
+  private def cosL(a: Column, b: Column): Column =
+    dotL(a, b).cast("double") /
+      (sqrt(dotL(a, a).cast("double")) * sqrt(dotL(b, b).cast("double")))
+  private def cosLSql(a: String, b: String): String =
+    s"(CAST(${dotLSql(a, b)} AS DOUBLE) / (sqrt(CAST(${dotLSql(a, a)} AS DOUBLE)) * sqrt(CAST(${dotLSql(b, b)} AS DOUBLE))))"
+
+  val annIvfKmeans: Q = {
+    // oracle: unrolled Lloyd rounds as CTE pairs a{t} (assign) / c{t} (update)
+    val sumList = (1 to DIM).map(i => s"CAST(SUM(qe[$i]) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    def assignCte(t: Int, cents: String) =
+      s"""a$t AS (
+         |  SELECT vec_id, qe, cent_id FROM (
+         |    SELECT q.vec_id, q.qe, c.cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosLSql("q.qe", "c.cemb")} DESC, c.cent_id) AS rk
+         |    FROM quant q CROSS JOIN $cents c) WHERE rk = 1)""".stripMargin
+    val rounds = (1 to KM_ITERS).map { t =>
+      s"""${assignCte(t, s"c${t - 1}")},
+         |c$t AS (SELECT cent_id, $sumList AS cemb FROM a$t GROUP BY cent_id)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "ann_ivf_kmeans_topk",
+      s"""WITH quant AS (
+         |  SELECT vec_id, ${quantizeSql("embedding")} AS qe FROM embeddings
+         |), c0 AS (
+         |  SELECT vec_id AS cent_id, qe AS cemb FROM quant WHERE vec_id < $IVF_NLIST
+         |),
+         |$rounds,
+         |${assignCte(KM_ITERS + 1, s"c$KM_ITERS")}
+         |SELECT q_id, n_id, sim, rk FROM (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |    ${cosLSql("q.qe", "n.qe")} AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosLSql("q.qe", "n.qe")} DESC, n.vec_id) AS rk
+         |  FROM a${KM_ITERS + 1} q JOIN a${KM_ITERS + 1} n
+         |    ON q.cent_id = n.cent_id AND n.vec_id <> q.vec_id AND q.vec_id < $NQUERY)
+         |WHERE rk <= $TOPK
+         |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      val quant = emb(s, dir).select(col("vec_id"), quantize(col("embedding")).as("qe"))
+
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id")
+          .orderBy(cosL(col("qe"), col("cemb")).desc, col("cent_id"))
+        quant.join(broadcast(cents))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("qe"), col("cent_id"))
+      }
+      def update(assigned: DataFrame): DataFrame = {
+        val sums = assigned.groupBy("cent_id").agg(
+          sum(element_at(col("qe"), 1)).as("s1"),
+          (2 to DIM).map(i => sum(element_at(col("qe"), i)).as(s"s$i")): _*)
+        sums.select(col("cent_id"), array((1 to DIM).map(i => col(s"s$i")): _*).as("cemb"))
+      }
+
+      var cents = quant.filter(col("vec_id") < IVF_NLIST)
+        .select(col("vec_id").as("cent_id"), col("qe").as("cemb"))
+      (1 to KM_ITERS).foreach(_ => cents = update(assign(cents)))
+      val fin = assign(cents)
+
+      val q = fin.filter(col("vec_id") < NQUERY)
+        .select(col("vec_id").as("q_id"), col("qe").as("qq"), col("cent_id").as("qc"))
+      val n = fin.select(col("vec_id").as("n_id"), col("qe").as("nq"), col("cent_id").as("nc"))
+      val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      q.join(n, col("qc") === col("nc") && col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), cosL(col("qq"), col("nq")).as("sim"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= TOPK)
+        .orderBy("q_id", "rk")
+    }
+  }
+
+  val all: Seq[Q] = Seq(annBruteForce, annThresholdPairs, annLshBuckets, annLshPairs,
+    annIvfTopk, annIvfKmeans)
 }

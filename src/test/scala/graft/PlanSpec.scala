@@ -122,6 +122,13 @@ class PlanSpec extends AnyFunSuite {
       s"a mis-declared join order must still plan as equi joins:\n$p")
   }
 
+  test("ivf k-means: rounds cross-join only the broadcast centroids; top-k equi-joins") {
+    val p = planOf("ann_ivf_kmeans_topk")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"in-cell candidate join must be an equi join:\n$p")
+  }
+
   test("tpcds q88: eight band counts run as ONE scan of events (no union of scans)") {
     val p = planOf("tpcds_q88_time_bands")
     // TPC-DS writes q88 as 8 self-scans cross-joined; the Spark-first rewrite
