@@ -94,6 +94,26 @@ object CurationQueries {
   private val digitCeilPct = 20 // n_digit * 100 <= 20 * chars
   private val dup2CeilPct = 60 // dupchars * 100 <= 60 * chars
 
+  /** The per-document keep/drop decision as ONE stateless Column — usable
+    * identically in batch (cur_quality_filter) and at ingest time in a
+    * Structured Streaming stage (graft.streaming.DocStreams): per-row, no
+    * state, stays inside codegen. */
+  def keepReason(text: Column): Column = {
+    val stops = langMarkers.flatMap(_._2)
+    val ws = tokens(text)
+    val gs = grams2(ws)
+    val nTokens = tokenCount(text)
+    val dupchars = aggregate(
+      filter(gs, gr => size(filter(gs, x => x === gr)) > 1),
+      lit(0), (a, x) => a + length(x))
+    when(nTokens < minTokens, "too_short")
+      .when(nTokens > maxTokens, "too_long")
+      .when(markerCount(ws, stops) * 100 < lit(stopFloorPct) * nTokens, "low_stopword")
+      .when(digitCount(text) * 100 > lit(digitCeilPct) * length(text), "high_digit")
+      .when(dupchars * 100 > lit(dup2CeilPct) * length(text), "repetitive")
+      .otherwise("keep")
+  }
+
   val qualityFilter: Q = {
     val stops = langMarkers.flatMap(_._2)
     Q(
@@ -117,22 +137,7 @@ object CurationQueries {
          |        x -> len(x))), 0) AS dupchars
          |    FROM documents))
          |GROUP BY reason ORDER BY reason""".stripMargin) { (s, dir) =>
-      val ws = tokens(col("text"))
-      val gs = grams2(ws)
-      val base = docs(s, dir).select(
-        tokenCount(col("text")).as("n_tokens"),
-        markerCount(ws, stops).as("n_stop"),
-        digitCount(col("text")).as("n_digit"),
-        length(col("text")).as("chars"),
-        aggregate(filter(gs, gr => size(filter(gs, x => x === gr)) > 1),
-          lit(0), (a, x) => a + length(x)).as("dupchars"))
-      base.select(
-        when(col("n_tokens") < minTokens, "too_short")
-          .when(col("n_tokens") > maxTokens, "too_long")
-          .when(col("n_stop") * 100 < lit(stopFloorPct) * col("n_tokens"), "low_stopword")
-          .when(col("n_digit") * 100 > lit(digitCeilPct) * col("chars"), "high_digit")
-          .when(col("dupchars") * 100 > lit(dup2CeilPct) * col("chars"), "repetitive")
-          .otherwise("keep").as("reason"))
+      docs(s, dir).select(keepReason(col("text")).as("reason"))
         .groupBy("reason").agg(count(lit(1)).as("n"))
         .orderBy("reason")
     }

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.functions.{CurationQueries, TextFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming over the `documents` table: curation at ingest time.
+  *
+  * The batch curation operators (graft.functions.CurationQueries /
+  * TextFunctions) are stateless per-row Column expressions, so the SAME
+  * expressions run unchanged inside a stream — a landing pipeline can
+  * fingerprint, score and keep/drop-classify documents before they ever reach
+  * storage, with zero state beyond the exact-dedup watermark. This module
+  * wires them to a readStream source; StreamingSpec proves stream == batch.
+  */
+object DocStreams {
+
+  /** Streaming source over the documents parquet (same staging pattern as
+    * EventStreams.source: watch a directory, stage a single-file fixture). */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "documents.parquet"))) {
+        s"$dir/documents.parquet"
+      } else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-docs-stream")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dir, "documents.parquet"),
+          tmp.resolve("documents.parquet"))
+        tmp.toString
+      }
+    spark.readStream.schema(schema).parquet(streamDir)
+  }
+
+  /** Ingest-time curation: per-document fingerprint, token count and keep/drop
+    * decision — one map-only stage, no shuffle, no state. */
+  def curated(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      CurationQueries.keepReason(col("text")).as("reason"))
+
+  /** Ingest-time exact dedup on the fingerprint: first arrival of each
+    * normalized text wins; later copies are dropped while the key is inside
+    * the (processing-time) dedup horizon. */
+  def dedupedByFingerprint(docs: DataFrame): DataFrame =
+    curated(docs).dropDuplicates("fp")
+}

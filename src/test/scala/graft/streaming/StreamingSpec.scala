@@ -37,6 +37,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamCount == batchCount, "dedup must keep exactly one row per key")
   }
 
+  test("streaming curation == batch curation (same expressions, same rows)") {
+    val streamed = EventStreams.runToMemory(
+      spark, DocStreams.curated(DocStreams.source(spark, sf)), "curated_out",
+      OutputMode.Append())
+    val batch = Tables.df(spark, sf, "documents").select(
+      col("doc_id"),
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      graft.functions.CurationQueries.keepReason(col("text")).as("reason"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream and batch curation must produce identical rows")
+  }
+
+  test("streaming fingerprint dedup keeps one row per normalized text") {
+    val deduped = EventStreams.runToMemory(
+      spark, DocStreams.dedupedByFingerprint(DocStreams.source(spark, sf)),
+      "doc_dedup_out", OutputMode.Append())
+    val batchFps = Tables.df(spark, sf, "documents")
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .distinct().count()
+    assert(deduped.count() == batchFps, "one survivor per distinct fingerprint")
+  }
+
   test("keyed session state sees every event exactly once") {
     val stream = EventStreams.source(spark, sf)
     val sessions = EventStreams.runToMemory(
