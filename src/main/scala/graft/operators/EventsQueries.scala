@@ -70,5 +70,86 @@ object EventsQueries {
       .orderBy("user_id", "seq")
   }
 
-  val all: Seq[Q] = Seq(eventsByType, eventsHourly, eventsUserSeq)
+  /** AS-OF join: each click matched to the same user's most recent view at or
+    * before it — the event-enrichment shape (feature lookups, price-at-time)
+    * that native engines ship as a dedicated operator (DuckDB ASOF JOIN,
+    * kdb aj). Spark-first: no dedicated operator needed — union the two
+    * streams and carry the last view timestamp forward with a running
+    * `last(ignoreNulls)` window. ONE shuffle on user_id, no join at all —
+    * at 100 TB this beats the naive per-click subquery (a quadratic
+    * range-join) by construction; the oracle spells the identical window
+    * construction in ANSI SQL (tie-break: a view at the same microsecond
+    * with a smaller event_id counts as preceding). */
+  val eventsAsofJoin: Q = Q(
+    "events_asof_join",
+    """SELECT event_id AS click_id, user_id, ts_us AS click_ts_us, view_ts_us,
+      |  ts_us - view_ts_us AS lag_us
+      |FROM (
+      |  SELECT event_id, user_id, event_type, ts_us,
+      |    MAX(CASE WHEN event_type = 'view' THEN ts_us END) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts_us
+      |  FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      |        FROM events WHERE event_type IN ('click', 'view')))
+      |WHERE event_type = 'click'
+      |ORDER BY click_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts_us"))
+      .withColumn("view_ts_us",
+        max(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_us").as("click_ts_us"), col("view_ts_us"),
+        (col("ts_us") - col("view_ts_us")).as("lag_us"))
+      .orderBy("click_id")
+  }
+
+  /** Gap-based sessionization, batch form: a >30-minute silence starts a new
+    * session (the batch twin of the streaming flatMapGroupsWithState session
+    * in graft.streaming.EventStreams). Pure integer window arithmetic — a
+    * session boundary flag summed cumulatively IS the session index — so both
+    * engines agree exactly; one shuffle on user_id, then a keyed agg. */
+  val eventsSessionize: Q = Q(
+    "events_sessionize_gap",
+    """SELECT user_id, session_idx, COUNT(*) AS n_events,
+      |  MIN(ts_us) AS session_start_us,
+      |  MAX(ts_us) - MIN(ts_us) AS duration_us
+      |FROM (
+      |  SELECT user_id, ts_us,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM (
+      |    SELECT user_id, event_id, ts_us,
+      |      CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+      |        THEN 1 ELSE 0 END AS is_new
+      |    FROM (
+      |      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |        LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+      |          ORDER BY epoch_us(ts), event_id) AS prev_ts
+      |      FROM events)))
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wSeq = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
+      .withColumn("prev_ts", lag("ts_us", 1).over(wSeq))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum("is_new").over(wRun))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"), min("ts_us").as("session_start_us"),
+        (max("ts_us") - min("ts_us")).as("duration_us"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val all: Seq[Q] = Seq(eventsByType, eventsHourly, eventsUserSeq,
+    eventsAsofJoin, eventsSessionize)
 }

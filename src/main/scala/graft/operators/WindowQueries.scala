@@ -122,7 +122,49 @@ object WindowQueries {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** Global ranking WITHOUT a single-partition window — the scale path for
+    * the global-ORDER-BY windows above (window_percent_rank et al. are
+    * capability probes; a global window funnels 100 TB through one task).
+    * Two-pass distributed ranking: (1) repartitionByRange on the sort key so
+    * partitions hold disjoint key ranges, (2) row_number within each
+    * partition (parallel), (3) add per-partition row-count offsets — a
+    * partition-count-sized table (32 rows, driver-collected, broadcast back)
+    * — to make local ranks global. The ordering key is made unique
+    * (orderkey, linenumber tie-break), so the result equals the oracle's
+    * plain ROW_NUMBER() regardless of where range boundaries land. */
+  val windowGlobalRank: Q = Q(
+    "window_global_rank_scalable",
+    """SELECT l_orderkey, l_linenumber, rn FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |    ROW_NUMBER() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem)
+      |WHERE rn % 1000 = 1
+      |ORDER BY rn""".stripMargin) { (s, dir) =>
+    val keyed = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .repartitionByRange(32, col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy("pid")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    // materialize ONCE: the offsets pass and the final pass must see the same
+    // range boundaries (RangePartitioner samples per execution)
+    val local = keyed.withColumn("local_rn", row_number().over(wLocal))
+      .localCheckpoint(true)
+    // partition sizes: one row per partition — collecting 32 rows is O(cluster
+    // width), not O(data); the offsets broadcast-join back
+    val counts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L) { case (acc, (_, cnt)) => acc + cnt }.init)
+    val offDf = broadcast(s.createDataFrame(offsets.toSeq).toDF("pid2", "offset"))
+    local.join(offDf, col("pid") === col("pid2"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("local_rn") + col("offset")).as("rn"))
+      .filter(col("rn") % 1000 === 1)
+      .orderBy("rn")
+  }
+
   val all: Seq[Q] = Seq(
     windowRank, windowRowNumber, windowPercentRank,
-    windowRunningSum, windowRangeFrame, windowLagLead)
+    windowRunningSum, windowRangeFrame, windowLagLead, windowGlobalRank)
 }
