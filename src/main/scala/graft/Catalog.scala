@@ -90,6 +90,28 @@ final class Catalog(val spark: SparkSession) {
     register(name, t.select(cols.toSeq: _*))
   }
 
+  /** MERGE (upsert): rows of `source` matching `keys` replace the target's
+    * column values; unmatched source rows append. Modeled — like UPDATE — as
+    * a full rebind with the same end state (the reference composes Update
+    * from Delete+Insert, update.hpp:28; MERGE is the keyed generalization).
+    * Plan shape: ONE full-outer equi join on the key, then per-column
+    * coalesce — no per-row lookups, scales as a join. */
+  def merge(name: String, source: DataFrame, keys: Seq[String]): Unit = {
+    val t = table(name)
+    // presence flag, not coalesce-per-column: a matched source row must win
+    // even where its column value is legitimately NULL
+    val src = source.select(
+      t.columns.map(c =>
+        (if (source.columns.contains(c)) source(c) else lit(null))
+          .cast(t.schema(c).dataType).as(s"__src_$c")) :+ lit(true).as("__src_present"): _*)
+    val cond = keys.map(k => t(k) === src(s"__src_$k")).reduce(_ && _)
+    val merged = t.join(src, cond, "full_outer")
+      .select(t.columns.map(c =>
+        when(col("__src_present"), col(s"__src_$c")).otherwise(t(c)).as(c)).toSeq: _*)
+    register(name, merged)
+    logEvent("INFO", s"merge into $name on ${keys.mkString(",")}")
+  }
+
   // ------------------------------------------------------------- views
 
   def createView(name: String, sqlText: String, cols: Option[Seq[String]] = None): Unit = {

@@ -189,8 +189,47 @@ object AdvancedQueries {
       .orderBy("l_orderkey")
   }
 
+  /** Exact interpolated percentiles (median/p25/p90) — absent from the
+    * reference's aggregate set (reference: window_function_expression.hpp
+    * lists Min/Max/Sum/Avg/Count/StdDev only); a native OLAP superset. Spark
+    * `percentile` and DuckDB `quantile_cont` both linearly interpolate over
+    * the sorted values with the same arithmetic — verified bit-identical. */
+  val aggPercentile: Q = Q(
+    "agg_percentile_exact",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS med_qty,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("med_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Approximate sketches — the 100 TB path where exact percentile/distinct
+    * (full sort / full hash set per group) stop being affordable: HyperLogLog++
+    * distinct counting and GK-sketch quantiles, both mergeable map-side
+    * partial aggregates with bounded state. No SQL oracle (sketch internals
+    * are engine-specific) → driver records rows-only; AdvancedSpec bounds the
+    * error against the exact answers instead. */
+  val aggApproxSketches: Q = Q.noOracle("agg_approx_sketches") { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("nd_partkey_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("med_price_approx"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     aggRollup, aggCube, aggAny, expr3vl, setExceptAll, setIntersectAll,
     limitOffset, indexScanPointLookup, tableWrapperValues, extractTime,
-    aggSortCollect)
+    aggSortCollect, aggPercentile, aggApproxSketches)
 }

@@ -111,5 +111,37 @@ object LifecycleQueries {
     cat.metaTables.select("table_name", "column_count").orderBy("table_name")
   }
 
-  val all: Seq[Q] = Seq(dmlInsert, dmlDelete, dmlUpdate, dmlSnapshot, viewPrepared, metaTables)
+  /** MERGE (upsert): matched keys take the source row wholesale, unmatched
+    * source rows append — Catalog.merge plans it as ONE full-outer equi join
+    * + per-column presence-flag select (the keyed generalization of the
+    * reference's Delete+Insert Update composite, update.hpp:28). Oracle =
+    * the same end state spelled as anti-join + union. */
+  val dmlMerge: Q = Q(
+    "dml_merge_upsert",
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM (
+      |  SELECT * FROM supplier WHERE s_suppkey NOT IN (3, 7)
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    (3, 'UPDATED_SUPP_3', 1, 999.99),
+      |    (7, 'UPDATED_SUPP_7', 2, CAST(NULL AS DOUBLE)),
+      |    (9001, 'NEW_SUPP', 0, 50.0)) v(s_suppkey, s_name, s_nationkey, s_acctbal)
+      |) ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    val cat = new Catalog(s)
+    cat.register("supplier_mw", Tables.df(s, dir, "supplier"))
+    val src = s.createDataFrame(
+      java.util.Arrays.asList(
+        Row(3L, "UPDATED_SUPP_3", 1, 999.99),
+        Row(7L, "UPDATED_SUPP_7", 2, null),
+        Row(9001L, "NEW_SUPP", 0, 50.0)),
+      Tables.df(s, dir, "supplier").schema)
+    cat.merge("supplier_mw", src, Seq("s_suppkey"))
+    cat.table("supplier_mw")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
+  val all: Seq[Q] = Seq(dmlInsert, dmlDelete, dmlUpdate, dmlSnapshot, viewPrepared,
+    metaTables, dmlMerge)
 }
