@@ -25,6 +25,18 @@ object Layout {
       .format("parquet") // managed table: lives under spark.sql.warehouse.dir
       .saveAsTable(table)
 
+  /** Persist `df` directory-partitioned by `partCol` — the storage layout
+    * that turns partition-key predicates into FILE PRUNING: a filter on the
+    * partition column never opens non-matching files (static pruning), and a
+    * join against a filtered dimension on the partition key prunes at RUNTIME
+    * via dynamic partition pruning. At 100 TB, date-partitioning the facts is
+    * the difference between scanning a day and scanning the lake; the
+    * reference's counterpart is chunk exclusion via pruning lists
+    * (reference: src/lib/storage/chunk.hpp pruning statistics +
+    * get_table.hpp excluded-chunk lists). */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   /** Salted equi join for skewed build keys, the manual counterpart of AQE's
     * skew-join splitting (enabled in GraftSession) for when skew is KNOWN
     * up front: the left (skewed) side gets a deterministic per-row salt in
