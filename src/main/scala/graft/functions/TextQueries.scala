@@ -119,5 +119,36 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(textTokenCount, textQuality, textLangId, textFingerprint, textBpeTokens)
+  /** PII-style redaction — regex scrubbing before a corpus ships to training:
+    * email-shaped tokens and long digit runs replaced by placeholder tags,
+    * match counts kept for audit. Map-only (one scan, zero shuffles besides
+    * the presentation sort); the patterns stay in the RE2 ∩ java.util.regex
+    * common dialect so both engines match identical spans. */
+  val textRedact: Q = {
+    val emailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val digitPat = "[0-9]{4,}"
+    Q(
+      "text_redact",
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$emailPat')) AS n_email,
+         |  len(regexp_extract_all(text, '$digitPat')) AS n_digit_runs,
+         |  md5(regexp_replace(regexp_replace(text, '$emailPat', '<EMAIL>', 'g'),
+         |      '$digitPat', '<NUM>', 'g')) AS redacted_md5,
+         |  length(regexp_replace(regexp_replace(text, '$emailPat', '<EMAIL>', 'g'),
+         |      '$digitPat', '<NUM>', 'g')) AS redacted_len
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val redacted = regexp_replace(
+        regexp_replace(col("text"), emailPat, "<EMAIL>"), digitPat, "<NUM>")
+      docs(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("text"), lit(digitPat), lit(0))).as("n_digit_runs"),
+        md5(redacted).as("redacted_md5"),
+        length(redacted).cast("long").as("redacted_len"))
+        .orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(textTokenCount, textQuality, textLangId, textFingerprint,
+    textBpeTokens, textRedact)
 }

@@ -122,6 +122,12 @@ class PlanSpec extends AnyFunSuite {
       s"a mis-declared join order must still plan as equi joins:\n$p")
   }
 
+  test("binned range join: BETWEEN join runs as a bin equi join, not a nested loop") {
+    val p = planOf("join_range_binned")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval binning must make the range join an equi join:\n$p")
+  }
+
   test("ivf k-means: rounds cross-join only the broadcast centroids; top-k equi-joins") {
     val p = planOf("ann_ivf_kmeans_topk")
     assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
