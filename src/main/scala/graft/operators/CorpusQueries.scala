@@ -329,14 +329,6 @@ object CorpusQueries {
   /** Units excluded entirely (Spark cannot execute the statement). Each is a
     * documented SQLite/DuckDB-ism with no Spark counterpart. */
   private[operators] val skip: Map[String, String] = Map(
-    "corpus_l094" -> "integer used as boolean predicate (1 OR ...) — no int→bool coercion in Spark",
-    "corpus_l135" -> "output alias referenced inside a subquery (SQLite name scoping)",
-    "corpus_l384" -> "correlated outer reference inside a scalar-subquery aggregate — Spark UNSUPPORTED_SUBQUERY_EXPRESSION",
-    "corpus_l385" -> "correlated outer reference inside a scalar-subquery aggregate — Spark UNSUPPORTED_SUBQUERY_EXPRESSION",
-    "corpus_l470" -> "CASE <int> WHEN <boolean> — SQLite int/boolean switch coercion",
-    "corpus_l471" -> "CASE <double> WHEN <boolean> — SQLite int/boolean switch coercion",
-    "corpus_l472" -> "CASE <int> WHEN <boolean> — SQLite int/boolean switch coercion",
-    "corpus_l473" -> "CASE <double> WHEN <boolean> — SQLite int/boolean switch coercion",
     "corpus_l506" -> "BEGIN/ROLLBACK undo — multi-statement transactions are a declared non-goal (statement-level snapshots)")
 
   /** Units that run on Spark but whose oracle DuckDB cannot evaluate the same
@@ -385,6 +377,34 @@ object CorpusQueries {
     // hoist the (per-row constant) term out of the subquery.
     "corpus_l389" ->
       "SELECT a FROM id_int_int_int_100 AS r WHERE id + 1 = (SELECT MIN(b) FROM mixed) + r.id",
+    // Same hoist for the SELECT-list variants: `(SELECT MAX(b) + outer.a FROM
+    // mixed)` ≡ `(SELECT MAX(b) FROM mixed) + a` row-for-row (NULL propagates
+    // identically when the aggregate input is empty).
+    "corpus_l384" ->
+      "SELECT (SELECT MAX(b) FROM mixed) + a AS foo FROM id_int_int_int_100",
+    "corpus_l385" ->
+      "SELECT (SELECT MAX(b) FROM mixed) + a + b AS foo FROM id_int_int_int_100",
+    // Integer-as-boolean predicate (SQLite: nonzero = true): `WHERE 1 OR ...`
+    // is WHERE TRUE OR ...
+    "corpus_l094" ->
+      "SELECT a FROM mixed WHERE TRUE OR 3 > 2",
+    // Output alias referenced inside the subquery (SQLite name scoping):
+    // b1 IS the outer b — qualify it.
+    "corpus_l135" ->
+      ("SELECT b AS b1, b AS b2 FROM id_int_int_int_100" +
+        " WHERE a < (SELECT MAX(b) FROM mixed WHERE mixed.b > id_int_int_int_100.b)"),
+    // `CASE x WHEN <boolean> THEN` — SQLite coerces the boolean to 0/1 and
+    // compares; spell that as a searched CASE over CAST(bool AS INT). NULL
+    // booleans (mixed_null.a IS NULL) make the comparison NULL → ELSE, the
+    // same fall-through SQLite takes.
+    "corpus_l470" ->
+      "SELECT ABS(CASE WHEN b = CAST(id % 2 = 0 AS INT) THEN b ELSE b * -1 END) = b AS abs_equal FROM mixed",
+    "corpus_l471" ->
+      "SELECT ABS(CASE WHEN c = CAST(id % 2 = 0 AS INT) THEN c ELSE c * -1.0 END) = c AS abs_equal FROM mixed",
+    "corpus_l472" ->
+      "SELECT ABS(CASE WHEN b = CAST(a = 'a' AS INT) THEN b ELSE b * -1 END) = b AS abs_b FROM mixed_null",
+    "corpus_l473" ->
+      "SELECT ABS(CASE WHEN c = CAST(a = 'a' AS INT) THEN c ELSE c * -1.0 END) = c AS abs_c FROM mixed_null",
     // COUNT(*) inside a derived table: engine auto-names (`count(1)` vs
     // `count_star()`) leak through SELECT * — alias at the source.
     "corpus_l138" ->
