@@ -122,15 +122,20 @@ object TpcdsQueries {
        |  WHERE l_returnflag = 'R')
        |GROUP BY ROLLUP(channel, o_orderpriority)
        |ORDER BY channel NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+    // TPC-DS unions per-channel SCANS because its channels are distinct
+    // tables; here both channels derive from one fact, so the Spark-first
+    // plan reads and joins it ONCE and derives the channel column — half the
+    // scan and shuffle cost for identical rows (the oracle keeps the
+    // spec-shaped UNION ALL and hash-matches).
     // rollup takes Column args, not names: the String overload resolves via
     // Dataset.col whose dataset-id tag falsely triggers the ambiguous-self-
     // join check under Expand when the input contains a join (Spark 4.1.2);
     // toDF after agg re-keys the attributes so the final sort resolves clean
-    val sales = lineorder(s, dir).filter(col("l_returnflag") =!= "R")
-      .select(lit("catalog").as("channel"), col("o_orderpriority"), netRev.as("rev"))
-    val returns = lineorder(s, dir).filter(col("l_returnflag") === "R")
-      .select(lit("returns").as("channel"), col("o_orderpriority"), (-netRev).as("rev"))
-    sales.unionAll(returns)
+    lineorder(s, dir)
+      .select(
+        when(col("l_returnflag") === "R", "returns").otherwise("catalog").as("channel"),
+        col("o_orderpriority"),
+        when(col("l_returnflag") === "R", -netRev).otherwise(netRev).as("rev"))
       .rollup(col("channel"), col("o_orderpriority"))
       .agg(asDouble(sum(col("rev"))).as("revenue"), count(lit(1)).as("n"))
       .toDF("channel", "o_orderpriority", "revenue", "n")
