@@ -263,8 +263,83 @@ object AdvancedQueries {
       .orderBy("price_decile")
   }
 
+  /** Semi-structured extraction: events.props carries a JSON payload; pull a
+    * typed field out and aggregate. Map-only extraction (codegen'd JSON path)
+    * before a keyed agg — the schema-on-read shape every event pipeline has.
+    * The reference has no JSON type at all (string only) — native superset. */
+  val projectJsonExtract: Q = Q(
+    "project_json_extract",
+    """SELECT event_type,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+      |  COUNT(json_extract_string(props, '$.k')) AS k_n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"),
+        count(get_json_object(col("props"), "$.k")).as("k_n"))
+      .orderBy("event_type")
+  }
+
+  /** PIVOT: event counts per user decile × event type — wide-format report
+    * shape. Spark's pivot with an explicit value list stays a single keyed
+    * aggregate (no second pass to discover columns); the oracle spells the
+    * same thing as FILTERed aggregates. */
+  val aggPivot: Q = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val filterSql = types.map(tp =>
+      s"COUNT(*) FILTER (WHERE event_type = '$tp') AS $tp").mkString(",\n      |  ")
+    Q(
+      "agg_pivot",
+      s"""SELECT user_id % 10 AS user_decile,
+         |  $filterSql
+         |FROM events GROUP BY user_decile ORDER BY user_decile""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("user_decile"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .orderBy("user_decile")
+    }
+  }
+
+  /** UNPIVOT (melt): wide numeric columns to long (metric, value) rows —
+    * Spark's unpivot operator; the oracle is the standard UNION ALL
+    * formulation. Map-only row expansion. */
+  val projectUnpivot: Q = Q(
+    "project_unpivot",
+    """SELECT s_suppkey, metric, value FROM (
+      |  SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS value FROM supplier
+      |  UNION ALL
+      |  SELECT s_suppkey, 'nationkey' AS metric, CAST(s_nationkey AS DOUBLE) AS value FROM supplier)
+      |ORDER BY s_suppkey, metric""".stripMargin) { (s, dir) =>
+    t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_acctbal"),
+        col("s_nationkey").cast("double").as("s_nationkey_d"))
+      .unpivot(Array(col("s_suppkey")),
+        Array(col("s_acctbal").as("acctbal"), col("s_nationkey_d").as("nationkey")),
+        "metric", "value")
+      .orderBy("s_suppkey", "metric")
+  }
+
+  /** UNNEST / LATERAL VIEW: explode a per-row array into rows (the relational
+    * face of the tokenizer) — token frequencies over a document slice. */
+  val projectUnnest: Q = Q(
+    "project_unnest",
+    """SELECT w, COUNT(*) AS n FROM (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents WHERE doc_id < 5)
+      |GROUP BY w HAVING COUNT(*) >= 3 ORDER BY w""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 5)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3)
+      .orderBy("w")
+  }
+
   val all: Seq[Q] = Seq(
     aggRollup, aggCube, aggAny, expr3vl, setExceptAll, setIntersectAll,
     limitOffset, indexScanPointLookup, tableWrapperValues, extractTime,
-    aggSortCollect, aggPercentile, aggApproxSketches, joinRangeBinned)
+    aggSortCollect, aggPercentile, aggApproxSketches, joinRangeBinned,
+    projectJsonExtract, aggPivot, projectUnpivot, projectUnnest)
 }
