@@ -91,6 +91,27 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each click joined to the same user's views
+    * from the preceding 10 minutes. Both sides carry watermarks and the join
+    * condition bounds event time in BOTH directions, so the state store can
+    * evict rows once the watermark passes the interval — bounded state at
+    * 100 TB/day ingest, the canonical funnel-attribution shape. */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    clicks.join(views,
+      expr("""c_user = v_user
+             |AND click_ts >= view_ts
+             |AND click_ts <= view_ts + INTERVAL 10 MINUTES""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"))
+  }
+
   /** Drain a stream into an in-memory table and return the result (test/demo
     * harness: parquet-backed streams complete after processAllAvailable). */
   def runToMemory(spark: SparkSession, streamed: Dataset[_], name: String,

@@ -61,6 +61,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(deduped.count() == batchFps, "one survivor per distinct fingerprint")
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val streamed = EventStreams.runToMemory(
+      spark, EventStreams.clickViewJoin(EventStreams.source(spark, sf)),
+      "cv_join_out", OutputMode.Append())
+    val ev = Tables.df(spark, sf, "events")
+      .withColumn("event_ts", expr("timestamp_micros(ts DIV 1000)"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val batch = clicks.join(views,
+      expr("c_user = v_user AND click_ts >= view_ts AND click_ts <= view_ts + INTERVAL 10 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"))
+    assert(streamed.count() == batch.count(), "stream and batch joins must agree on cardinality")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream and batch interval joins must produce identical pairs")
+  }
+
   test("keyed session state sees every event exactly once") {
     val stream = EventStreams.source(spark, sf)
     val sessions = EventStreams.runToMemory(
