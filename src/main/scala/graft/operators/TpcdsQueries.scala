@@ -305,7 +305,78 @@ object TpcdsQueries {
     }
   }
 
+  // --------------------------------------------------------------- Q51 shape
+  // (tpcds query51: running totals of two channels FULL OUTER joined on the
+  //  series key, selecting points where one channel's cumulative overtakes
+  //  the other). Channels: returned vs kept revenue, series = month of 1997.
+  val q51CumulativeCompare: Q = Q(
+    "tpcds_q51_cumulative_compare",
+    s"""WITH ret AS (
+       |  SELECT month(o_orderdate) AS m, SUM($netRevSql) AS rev
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE year(o_orderdate) = 1997 AND l_returnflag = 'R' GROUP BY 1),
+       |kept AS (
+       |  SELECT month(o_orderdate) AS m, SUM($netRevSql) AS rev
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE year(o_orderdate) = 1997 AND l_returnflag <> 'R' GROUP BY 1)
+       |SELECT m, CAST(cum_ret AS DOUBLE) AS cum_ret, CAST(cum_kept AS DOUBLE) AS cum_kept
+       |FROM (
+       |  SELECT COALESCE(ret.m, kept.m) AS m,
+       |    SUM(COALESCE(ret.rev, 0)) OVER (ORDER BY COALESCE(ret.m, kept.m)
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ret,
+       |    SUM(COALESCE(kept.rev, 0)) OVER (ORDER BY COALESCE(ret.m, kept.m)
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_kept
+       |  FROM ret FULL OUTER JOIN kept ON ret.m = kept.m)
+       |WHERE cum_ret * 3 > cum_kept
+       |ORDER BY m""".stripMargin) { (s, dir) =>
+    def channel(cond: org.apache.spark.sql.Column) = lineorder(s, dir)
+      .filter(year(col("o_orderdate")) === 1997 && cond)
+      .groupBy(month(col("o_orderdate")).as("m"))
+      .agg(sum(netRev).as("rev"))
+    val ret = channel(col("l_returnflag") === "R")
+      .select(col("m").as("rm"), col("rev").as("ret_rev"))
+    val kept = channel(col("l_returnflag") =!= "R")
+      .select(col("m").as("km"), col("rev").as("kept_rev"))
+    // a 12-row series: the FULL OUTER join and the global cumulative window
+    // operate on per-month aggregates, not on facts — constant-size state
+    val w = Window.orderBy(coalesce(col("rm"), col("km")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ret.join(kept, col("rm") === col("km"), "full_outer")
+      .select(
+        coalesce(col("rm"), col("km")).as("m"),
+        sum(coalesce(col("ret_rev"), lit(0))).over(w).as("cum_ret"),
+        sum(coalesce(col("kept_rev"), lit(0))).over(w).as("cum_kept"))
+      .filter(col("cum_ret") * 3 > col("cum_kept"))
+      .select(col("m"), asDouble(col("cum_ret")).as("cum_ret"),
+        asDouble(col("cum_kept")).as("cum_kept"))
+      .orderBy("m")
+  }
+
+  // --------------------------------------------------------------- Q97 shape
+  // (tpcds query97: FULL OUTER membership counting — customers in both /
+  //  only-left / only-right across two periods).
+  val q97OverlapCounts: Q = Q(
+    "tpcds_q97_overlap_counts",
+    """SELECT
+      |  COUNT(*) FILTER (WHERE a IS NOT NULL AND b IS NOT NULL) AS both_years,
+      |  COUNT(*) FILTER (WHERE a IS NOT NULL AND b IS NULL) AS only_1997,
+      |  COUNT(*) FILTER (WHERE a IS NULL AND b IS NOT NULL) AS only_1998
+      |FROM (SELECT DISTINCT o_custkey AS a FROM orders WHERE year(o_orderdate) = 1997) x
+      |FULL OUTER JOIN
+      |  (SELECT DISTINCT o_custkey AS b FROM orders WHERE year(o_orderdate) = 1998) y
+      |ON a = b""".stripMargin) { (s, dir) =>
+    def custs(yr: Int, as: String) = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey").as(as)).distinct()
+    custs(1997, "a").join(custs(1998, "b"), col("a") === col("b"), "full_outer")
+      .agg(
+        count(when(col("a").isNotNull && col("b").isNotNull, 1)).as("both_years"),
+        count(when(col("a").isNotNull && col("b").isNull, 1)).as("only_1997"),
+        count(when(col("a").isNull && col("b").isNotNull, 1)).as("only_1998"))
+  }
+
   val all: Seq[Q] = Seq(
     q1ReturnsAboveAvg, q2YoyMonthly, q5RollupChannels, q38IntersectCustomers,
-    q47MavgOutliers, q67TopkRollup, q10ExistsConjunction, q88TimeBands)
+    q47MavgOutliers, q67TopkRollup, q10ExistsConjunction, q88TimeBands,
+    q51CumulativeCompare, q97OverlapCounts)
 }
