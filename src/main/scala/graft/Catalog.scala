@@ -52,6 +52,8 @@ final class Catalog(val spark: SparkSession) {
   def exists(name: String): Boolean = tables.contains(name)
   def tableNames: Seq[String] = tables.keys.toSeq.sorted
 
+  def hasTable(name: String): Boolean = tables.contains(name)
+
   def dropTable(name: String): Unit = {
     tables.remove(name)
     parquetPaths.remove(name)

@@ -46,4 +46,21 @@ object DocStreams {
     * the (processing-time) dedup horizon. */
   def dedupedByFingerprint(docs: DataFrame): DataFrame =
     curated(docs).dropDuplicates("fp")
+
+  /** Landing sink: each micro-batch of curated documents appends into the
+    * engine's own Catalog through its INSERT path (foreachBatch = the bridge
+    * from Structured Streaming to arbitrary batch sinks; per-batch this is
+    * exactly-once into the statement-level-snapshot catalog because a batch
+    * re-run replaces the same registration). Returns the running query;
+    * callers stop it when the landing directory drains. */
+  def landToCatalog(docs: DataFrame, cat: graft.Catalog, table: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    curated(docs).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val materialized = batch.localCheckpoint(true)
+        if (cat.hasTable(table)) cat.insert(table, materialized)
+        else cat.register(table, materialized)
+      }
+      .start()
 }

@@ -61,6 +61,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(deduped.count() == batchFps, "one survivor per distinct fingerprint")
   }
 
+  test("foreachBatch landing sink: every curated document reaches the catalog") {
+    val cat = new graft.Catalog(spark)
+    val q = DocStreams.landToCatalog(DocStreams.source(spark, sf), cat, "landed_docs")
+    try q.processAllAvailable() finally q.stop()
+    val landed = cat.table("landed_docs")
+    val nDocs = Tables.df(spark, sf, "documents").count()
+    assert(landed.count() == nDocs, "all documents must land")
+    assert(landed.select("doc_id").distinct().count() == nDocs, "no duplicates")
+    // and the landed decisions equal the batch decisions
+    val batchReasons = Tables.df(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.CurationQueries.keepReason(col("text")).as("reason"))
+    assert(landed.select("doc_id", "reason").exceptAll(batchReasons).isEmpty)
+  }
+
   test("stream-stream interval join == batch interval join") {
     val streamed = EventStreams.runToMemory(
       spark, EventStreams.clickViewJoin(EventStreams.source(spark, sf)),
