@@ -337,9 +337,32 @@ object AdvancedQueries {
       .orderBy("w")
   }
 
+  /** Two-phase skew-safe aggregation: GROUP BY a 3-value key means 3 reducers
+    * own ALL the data at the final stage — at 100 TB those 3 tasks straggle.
+    * Salting the key for a PARTIAL aggregate spreads phase one over
+    * (key × salt) reducers; the final aggregate then combines a tiny
+    * (|keys| × salt) intermediate. Decimal sums make the two-phase result
+    * bit-equal to the oracle's single GROUP BY in any order. (Spark's own
+    * map-side partial aggregation already gives much of this — the explicit
+    * salt guards the case where the MERGE stage itself is the bottleneck.) */
+  val aggSkewTwoPhase: Q = Q(
+    "agg_skew_two_phase",
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val salted = t(s, dir, "lineitem")
+      .withColumn("__salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(8)))
+    val partial = salted.groupBy("l_returnflag", "__salt")
+      .agg(sum(dec(col("l_quantity"))).as("ps"), count(lit(1)).as("pn"))
+    partial.groupBy("l_returnflag")
+      .agg(asDouble(sum(col("ps"))).as("sum_qty"), sum(col("pn")).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     aggRollup, aggCube, aggAny, expr3vl, setExceptAll, setIntersectAll,
     limitOffset, indexScanPointLookup, tableWrapperValues, extractTime,
     aggSortCollect, aggPercentile, aggApproxSketches, joinRangeBinned,
-    projectJsonExtract, aggPivot, projectUnpivot, projectUnnest)
+    projectJsonExtract, aggPivot, projectUnpivot, projectUnnest, aggSkewTwoPhase)
 }

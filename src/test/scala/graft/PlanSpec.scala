@@ -122,6 +122,49 @@ class PlanSpec extends AnyFunSuite {
       s"a mis-declared join order must still plan as equi joins:\n$p")
   }
 
+  test("runtime bloom filter reduces the fact scan for a selective dim join") {
+    // the Spark counterpart of the reference's semi-join reduction rule
+    // (semi_join_reduction_rule.cpp): a bloom filter built on the filtered
+    // dim side is pushed into the fact scan. Thresholds floored so the
+    // optimization fires at fixture scale; broadcast disabled so the join
+    // isn't preempted by a broadcast hash join.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.df(spark, sf, "lineitem")
+      val ord = Tables.df(spark, sf, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter (might_contain) in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("observed metrics: in-flight data-quality counters without a second pass") {
+    // Dataset.observe attaches accumulator-backed aggregates to a query —
+    // quality counters come back with the SAME job that produced the data,
+    // the pattern a 100 TB curation pass needs (no second scan for stats).
+    import org.apache.spark.sql.functions._
+    val obs = org.apache.spark.sql.Observation("quality")
+    val base = Tables.df(spark, sf, "lineitem")
+    val df = base.observe(obs, count(lit(1)).as("rows"),
+      count(when(col("l_quantity") <= 0, 1)).as("bad_qty"))
+    df.write.format("noop").mode("overwrite").save()
+    assert(obs.get("rows") == base.count())
+    assert(obs.get("bad_qty") == 0L)
+  }
+
   test("binned range join: BETWEEN join runs as a bin equi join, not a nested loop") {
     val p = planOf("join_range_binned")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
