@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import scala.collection.concurrent.TrieMap
@@ -68,6 +69,67 @@ class RemoveRedundantDistinct(spark: SparkSession) extends Rule[LogicalPlan] {
       val passthrough = ps.collect { case a: AttributeReference => a.name.toLowerCase }.toSet
       keyCovered(child, visible.intersect(passthrough))
     case f: Filter => keyCovered(f.child, visible)
+    case _ => false
+  }
+}
+
+/** Inner joins used only as an EXISTENCE probe — no column of one side is
+  * referenced above, and that side's equi-join keys form a declared unique
+  * key — become semi joins (the reference's JoinToSemiJoinRule,
+  * optimizer/strategy/join_to_semi_join_rule.cpp: "SELECT c_name FROM
+  * customer, nation WHERE c_nationkey = n_nationkey AND n_name = 'GERMANY'").
+  * Uniqueness is what licenses it: a non-unique probe side could emit a left
+  * row more than once, a semi join never does. At scale the win is the hash
+  * table: a semi join stores only probe keys and short-circuits on first
+  * match. Only plain `=` conjuncts qualify (`<=>` would match NULL keys,
+  * which a standard UNIQUE constraint does not make unique). */
+class JoinToSemiJoin(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(_, j @ Join(left, right, Inner, Some(cond), _))
+        if p.references.subsetOf(left.outputSet)
+          && rightEquiKeys(cond, j).exists(ks => uniqueCovered(right, ks)) =>
+      p.copy(child = j.copy(joinType = LeftSemi))
+    case p @ Project(_, j @ Join(left, right, Inner, Some(cond), hint))
+        if p.references.subsetOf(right.outputSet)
+          && leftEquiKeys(cond, j).exists(ks => uniqueCovered(left, ks)) =>
+      // mirrored: probe side is the LEFT input; semi join keeps its left, so
+      // swap the children (condition attributes are side-agnostic)
+      p.copy(child = Join(right, left, LeftSemi, Some(cond), hint))
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** If EVERY conjunct is `leftAttr = rightAttr`, the probe-side key names. */
+  private def rightEquiKeys(cond: Expression, j: Join): Option[Set[String]] = {
+    val pairs = conjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if j.left.outputSet.contains(a) && j.right.outputSet.contains(b) => Some(b.name.toLowerCase)
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if j.right.outputSet.contains(a) && j.left.outputSet.contains(b) => Some(a.name.toLowerCase)
+      case _ => None
+    }
+    if (pairs.forall(_.isDefined)) Some(pairs.flatten.toSet) else None
+  }
+
+  private def leftEquiKeys(cond: Expression, j: Join): Option[Set[String]] = {
+    val mirrored = j.copy(left = j.right, right = j.left)
+    rightEquiKeys(cond, mirrored)
+  }
+
+  /** The join keys cover a declared unique key of the probe-side table
+    * (traversing only row-identity-preserving shapes, as in keyCovered). */
+  private def uniqueCovered(plan: LogicalPlan, keys: Set[String]): Boolean = plan match {
+    case SubqueryAlias(ident, child) =>
+      ConstraintRegistry.uniqueKeys(ident.name).exists(_.subsetOf(keys)) ||
+        uniqueCovered(child, keys)
+    case Project(ps, child) =>
+      val passthrough = ps.collect { case a: AttributeReference => a.name.toLowerCase }.toSet
+      keys.subsetOf(passthrough) && uniqueCovered(child, keys)
+    case f: Filter => uniqueCovered(f.child, keys)
     case _ => false
   }
 }

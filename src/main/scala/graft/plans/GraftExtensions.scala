@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer's Finish-Analysis batch strips those before custom optimizer
     // rules run.
     ext.injectPostHocResolutionRule(session => new RemoveRedundantDistinct(session))
+    ext.injectPostHocResolutionRule(session => new JoinToSemiJoin(session))
     ext.injectFunction((
       FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_vec_dot"),

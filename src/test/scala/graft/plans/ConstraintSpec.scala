@@ -71,4 +71,35 @@ class ConstraintSpec extends AnyFunSuite {
     assert(plan.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.isEmpty)
     p.run("DROP TABLE keyed3")
   }
+
+  test("existence-probe inner join on a declared unique key becomes a semi join") {
+    val p = freshPipe()
+    p.run("CREATE TABLE dim_u (dk INT PRIMARY KEY, attr VARCHAR(10)); " +
+      "INSERT INTO dim_u VALUES (1, 'x'); INSERT INTO dim_u VALUES (2, 'y'); " +
+      "CREATE TABLE fact_u (fk INT, payload INT); " +
+      "INSERT INTO fact_u VALUES (1, 10); INSERT INTO fact_u VALUES (1, 11); " +
+      "INSERT INTO fact_u VALUES (3, 12)")
+    def joinTypes(sql: String): Seq[String] =
+      p.sql(sql).queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.joinType.toString
+      }
+    // only fact columns referenced + dk unique → semi join (Catalyst then
+    // pushes the LeftSemi through the INSERT union, so several may appear)
+    val probe = joinTypes("SELECT payload FROM fact_u JOIN dim_u ON fk = dk")
+    assert(probe.nonEmpty && probe.forall(_ == "LeftSemi"),
+      s"existence probe must plan as a semi join, got $probe")
+    // answers unchanged: two matching fact rows survive, each once
+    assert(p.sql("SELECT payload FROM fact_u JOIN dim_u ON fk = dk").count() == 2)
+    // a dim column referenced above blocks the rewrite
+    assert(joinTypes("SELECT payload, attr FROM fact_u JOIN dim_u ON fk = dk")
+      .forall(_ == "Inner"))
+    // joining on a NON-unique dim column blocks the rewrite
+    assert(joinTypes("SELECT fk FROM fact_u JOIN dim_u ON attr = CAST(fk AS STRING)")
+      .forall(_ != "LeftSemi"), "non-unique join keys must stay inner")
+    // mirrored orientation: unique side on the LEFT, probe references RIGHT cols
+    val mirrored = joinTypes("SELECT payload FROM dim_u JOIN fact_u ON dk = fk")
+    assert(mirrored.nonEmpty && mirrored.forall(_ == "LeftSemi"),
+      s"mirrored existence probe must also plan as a semi join, got $mirrored")
+    p.run("DROP TABLE dim_u; DROP TABLE fact_u")
+  }
 }
