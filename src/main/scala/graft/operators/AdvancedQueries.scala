@@ -360,9 +360,50 @@ object AdvancedQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Explicit GROUPING SETS (beyond the ROLLUP/CUBE shorthands): an arbitrary
+    * set list, including the grand total and a non-prefix set — the form the
+    * shorthands can't express. */
+  val aggGroupingSets: Q = Q(
+    "agg_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  /** Date arithmetic probe: day-granular add/diff/trunc agree across engines
+    * (month-granular interval arithmetic deliberately avoided — engines
+    * disagree on end-of-month clamping). */
+  val projectDateArith: Q = Q(
+    "project_date_arith",
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+      |  date_diff('day', DATE '1997-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_97,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month
+      |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 200)
+      .select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        datediff(col("o_orderdate").cast("date"), lit("1997-01-01").cast("date"))
+          .as("days_since_epoch_97"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("order_month"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(
     aggRollup, aggCube, aggAny, expr3vl, setExceptAll, setIntersectAll,
     limitOffset, indexScanPointLookup, tableWrapperValues, extractTime,
     aggSortCollect, aggPercentile, aggApproxSketches, joinRangeBinned,
-    projectJsonExtract, aggPivot, projectUnpivot, projectUnnest, aggSkewTwoPhase)
+    projectJsonExtract, aggPivot, projectUnpivot, projectUnnest, aggSkewTwoPhase,
+    aggGroupingSets, projectDateArith)
 }
