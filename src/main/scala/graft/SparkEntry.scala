@@ -54,5 +54,8 @@ object SparkEntry {
     "tpch_q18_large_volume", "tpch_q19_disjunction",
     "agg_count_distinct", "events_hourly",
     "ssb_q1_1", "ssb_q2_1", "ssb_q3_1", "ssb_q4_1",
-    "tpcds_q5_rollup_channels", "tpcds_q88_time_bands")
+    "tpcds_q5_rollup_channels", "tpcds_q88_time_bands",
+    // training-pipeline representatives: LSH near-dup candidates and
+    // connected-components cluster resolution over `documents`
+    "dedup_minhash_lsh", "cur_dedup_cluster")
 }

@@ -28,4 +28,15 @@ object Tables {
     * the oracle SQL (DuckDB sees the same relation names). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => df(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Read + spread, for COMPUTE-heavy per-row stages (hashing, shingling,
+    * signatures): a parquet row group is the scan-split unit, and the fixture
+    * files are single-row-group, so the whole map stage would otherwise run
+    * as ONE task regardless of cores. A round-robin repartition of the cheap
+    * raw rows buys full parallelism for the expensive expressions above it.
+    * On real multi-file data the scan parallelizes by itself and AQE
+    * coalesces this exchange to a no-op-sized shuffle; filters/pruning still
+    * push through a Repartition node. */
+  def dfSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    df(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 }

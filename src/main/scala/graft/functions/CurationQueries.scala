@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
 object CurationQueries {
   import TextFunctions._
 
-  private def docs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "documents")
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.dfSpread(s, dir, "documents")
 
   // ------------------------------------------------------- repetition (Gopher)
   // Rae et al. 2021 (Gopher, arXiv:2112.11446) repetition rules, on word

@@ -30,7 +30,7 @@ object DedupQueries {
   private val JACCARD_MIN = 0.2 // near-dup threshold (calibrated: 25 planted pairs)
   private val SIMHASH_BITS = 32
 
-  private def docs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "documents")
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.dfSpread(s, dir, "documents")
 
   /** Exact dedup: keep lowest doc_id per normalized-text fingerprint. */
   val dedupExact: Q = Q(

@@ -28,7 +28,7 @@ object SimilarityQueries {
   private val LSH_BANDS = 4      // banded sign-LSH for the pair join
   private val LSH_BAND_BITS = 4  // planes per band (16 planes total)
 
-  private def emb(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "embeddings")
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables.dfSpread(s, dir, "embeddings")
 
   /** dot(a,b): the native codegen kernel [[graft.plans.FloatVectorDot]]
     * (registered by GraftExtensions). Same semantics as the previous

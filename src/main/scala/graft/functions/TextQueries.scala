@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object TextQueries {
   import TextFunctions._
 
-  private def docs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "documents")
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.dfSpread(s, dir, "documents")
 
   /** Token + char counting (BPE-ish subword estimate = ceil(chars/4) heuristic). */
   val textTokenCount: Q = Q(
@@ -149,6 +149,36 @@ object TextQueries {
     }
   }
 
+  /** Corpus-statistics scoring: per-token DOCUMENT FREQUENCY from an inverted
+    * index (explode distinct tokens → count distinct docs per token), joined
+    * back to score each document by the mean df of its tokens — the
+    * TF-IDF-family shape without the log (kept in exact integer ratios so the
+    * oracle hash-matches; libm log() is not bit-portable across engines).
+    * Low scores flag rare-vocabulary documents. Two keyed shuffles (df agg,
+    * per-doc agg) + one equi join on token — the inverted-index plan that
+    * scales linearly with corpus size. */
+  val textDfScore: Q = Q(
+    "text_df_score",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(${tokensSql("text")})) AS w FROM documents
+       |), df AS (
+       |  SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w
+       |)
+       |SELECT t.doc_id, COUNT(*) AS n_distinct_tokens, SUM(df.df) AS df_sum,
+       |  SUM(df.df) / CAST(COUNT(*) AS DOUBLE) AS mean_df
+       |FROM tok t JOIN df ON t.w = df.w
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("w"))
+    val df = tok.groupBy("w").agg(countDistinct("doc_id").as("df"))
+    tok.join(df, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_tokens"), sum("df").as("df_sum"))
+      .select(col("doc_id"), col("n_distinct_tokens"), col("df_sum"),
+        (col("df_sum") / col("n_distinct_tokens").cast("double")).as("mean_df"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(textTokenCount, textQuality, textLangId, textFingerprint,
-    textBpeTokens, textRedact)
+    textBpeTokens, textRedact, textDfScore)
 }
