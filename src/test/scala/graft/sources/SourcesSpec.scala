@@ -71,4 +71,17 @@ class SourcesSpec extends AnyFunSuite {
     val back = CsvMeta.read(spark, path)
     assert(back.orderBy("id").collect().toSeq == Seq(Row(1L, "a"), Row(2L, "b")))
   }
+
+  test("distributed csv export round-trips real-table data with nulls") {
+    val dir = tmp("dist_csv")
+    val li = graft.Tables.df(spark, SparkTestBase.sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    CsvMeta.writeDistributed(li, dir)
+    // executors wrote part files, not one driver file
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("part-")))
+    val back = CsvMeta.readDistributed(spark, dir)
+    assert(back.schema == li.schema.copy()) // side-car restores the exact schema
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+  }
 }
