@@ -251,6 +251,59 @@ object CurationQueries {
     }
   }
 
+  // -------------------------------------------------- incremental corpus diff
+  // Snapshot diffing: which documents were added / removed / changed between
+  // two corpus versions — the shape an incremental training-data refresh runs
+  // nightly. Keyed on doc_id with the content FINGERPRINT deciding
+  // changed-vs-unchanged; one full-outer join of (id, fp) pairs, no content
+  // shipped through the shuffle. The "new" snapshot here is derived
+  // deterministically from the fixture (edits to doc_id % 50 == 0, deletions
+  // of doc_id % 97 == 0, additions re-keyed at +1000000), so both engines
+  // diff the same two versions.
+  val corpusDiff: Q = {
+    val editSql = "doc_id % 50 = 0"
+    val dropSql = "doc_id % 97 = 0"
+    Q(
+      "cur_corpus_diff",
+      s"""WITH old AS (
+         |  SELECT doc_id, ${fingerprintSql("text")} AS fp FROM documents
+         |), new_v AS (
+         |  SELECT doc_id, CASE WHEN $editSql
+         |      THEN ${fingerprintSql("(text || ' edited')")} ELSE ${fingerprintSql("text")} END AS fp
+         |  FROM documents WHERE NOT ($dropSql)
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, ${fingerprintSql("text")} FROM documents WHERE doc_id < 10
+         |)
+         |SELECT
+         |  COUNT(*) FILTER (WHERE o.doc_id IS NULL) AS added,
+         |  COUNT(*) FILTER (WHERE n.doc_id IS NULL) AS removed,
+         |  COUNT(*) FILTER (WHERE o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+         |    AND o.fp <> n.fp) AS changed,
+         |  COUNT(*) FILTER (WHERE o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+         |    AND o.fp = n.fp) AS unchanged
+         |FROM old o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id""".stripMargin) { (s, dir) =>
+      val old = docs(s, dir)
+        .select(col("doc_id").as("o_id"), fingerprint(col("text")).as("o_fp"))
+      val newV = docs(s, dir)
+        .filter(!(col("doc_id") % 97 === 0))
+        .select(col("doc_id").as("n_id"),
+          when(col("doc_id") % 50 === 0,
+            fingerprint(concat(col("text"), lit(" edited"))))
+            .otherwise(fingerprint(col("text"))).as("n_fp"))
+        .unionAll(docs(s, dir).filter(col("doc_id") < 10)
+          .select((col("doc_id") + 1000000).as("n_id"), fingerprint(col("text")).as("n_fp")))
+      old.join(newV, col("o_id") === col("n_id"), "full_outer")
+        .agg(
+          count(when(col("o_id").isNull, 1)).as("added"),
+          count(when(col("n_id").isNull, 1)).as("removed"),
+          count(when(col("o_id").isNotNull && col("n_id").isNotNull
+            && col("o_fp") =!= col("n_fp"), 1)).as("changed"),
+          count(when(col("o_id").isNotNull && col("n_id").isNotNull
+            && col("o_fp") === col("n_fp"), 1)).as("unchanged"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
-    repetition, qualityFilter, sampleStratified, packSequences, dedupClusterCc)
+    repetition, qualityFilter, sampleStratified, packSequences, dedupClusterCc,
+    corpusDiff)
 }
