@@ -93,6 +93,22 @@ object DedupQueries {
     }
   }
 
+  /** (doc_id, band_idx, band_key) for any (doc_id, text) frame — the LSH
+    * inverted-index layout. Shared by the batch pair join below and the
+    * ingest-time stream-static near-dup screen (graft.streaming.DocStreams):
+    * the expressions are stateless, so the SAME index definition serves both
+    * the stored corpus side and the arriving stream side. */
+  def bandKeysOf(in: DataFrame): DataFrame = {
+    val withSig = in
+      .select(col("doc_id"), shingles(tokens(col("text")), NGRAM).as("sg"))
+      .select(col("doc_id") +: minhashSig(col("sg"), K): _*)
+    val hs = (0 until K).map(i => col(s"h$i"))
+    withSig.select(
+      col("doc_id"),
+      posexplode(array((0 until BANDS).map(b => bandKey(hs, b, ROWS)): _*))
+        .as(Seq("band_idx", "band_key")))
+  }
+
   /** MinHash + LSH banding: candidate pairs sharing ≥1 of BANDS band keys. */
   val dedupMinhashLsh: Q = {
     val sigList = (0 until K).map(i => minhashSigSql("sg", i)).mkString("[", ",\n       |   ", "]")
@@ -110,14 +126,7 @@ object DedupQueries {
          |FROM bands a JOIN bands b
          |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val withSig = docs(s, dir)
-        .select(col("doc_id"), shingles(tokens(col("text")), NGRAM).as("sg"))
-        .select(col("doc_id") +: minhashSig(col("sg"), K): _*)
-      val hs = (0 until K).map(i => col(s"h$i"))
-      val bands = withSig.select(
-        col("doc_id"),
-        posexplode(array((0 until BANDS).map(b => bandKey(hs, b, ROWS)): _*))
-          .as(Seq("band_idx", "band_key")))
+      val bands = bandKeysOf(docs(s, dir))
       bands.as("a")
         .join(bands.as("b"),
           col("a.band_idx") === col("b.band_idx")

@@ -47,6 +47,24 @@ object DocStreams {
   def dedupedByFingerprint(docs: DataFrame): DataFrame =
     curated(docs).dropDuplicates("fp")
 
+  /** Ingest-time near-dup screening — a STREAM-STATIC join: arriving
+    * documents compute their MinHash-LSH band keys (stateless expressions,
+    * the same index definition as the batch pair join) and equi-join against
+    * the stored corpus's band index. Output = (doc_id, corpus_id) candidate
+    * matches; a match means the arriving doc is LSH-near an existing one and
+    * should be held for exact re-check. The static side is just a DataFrame —
+    * at 100 TB it is the bucketed band-index table, and the join stays a
+    * keyed equi-join per micro-batch with NO streaming state at all. */
+  def nearDupScreen(stream: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.functions.DedupQueries
+    val index = DedupQueries.bandKeysOf(corpus)
+      .withColumnRenamed("doc_id", "corpus_id")
+    DedupQueries.bandKeysOf(stream.select(col("doc_id"), col("text")))
+      .join(index, Seq("band_idx", "band_key"))
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .select(col("doc_id"), col("corpus_id"))
+  }
+
   /** Landing sink: each micro-batch of curated documents appends into the
     * engine's own Catalog through its INSERT path (foreachBatch = the bridge
     * from Structured Streaming to arbitrary batch sinks; per-batch this is

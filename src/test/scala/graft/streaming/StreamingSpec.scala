@@ -76,6 +76,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(landed.select("doc_id", "reason").exceptAll(batchReasons).isEmpty)
   }
 
+  test("stream-static near-dup screen finds exactly the batch LSH pairs") {
+    val corpus = Tables.df(spark, sf, "documents")
+    val screened = EventStreams.runToMemory(
+      spark, DocStreams.nearDupScreen(DocStreams.source(spark, sf), corpus),
+      "screen_out", OutputMode.Append())
+      .select("doc_id", "corpus_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the stream replays the same corpus, so the screen must flag the batch
+    // LSH candidate pairs in both directions and nothing else
+    val batchPairs = graft.functions.DedupQueries.dedupMinhashLsh.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val symmetric = batchPairs ++ batchPairs.map(_.swap)
+    assert(screened == symmetric,
+      s"screen flagged ${screened.size} pairs, batch has ${symmetric.size}")
+  }
+
   test("stream-stream interval join == batch interval join") {
     val streamed = EventStreams.runToMemory(
       spark, EventStreams.clickViewJoin(EventStreams.source(spark, sf)),
