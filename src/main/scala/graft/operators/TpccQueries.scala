@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TPC-C — the reference's OLTP suite (reference: src/benchmark/
+  * tpcc_benchmark.cpp, transactions under src/benchmarklib/tpcc/) — its
+  * READ-ONLY transaction shapes adapted to the fixture schema. The write
+  * transactions (NewOrder/Payment/Delivery) are multi-statement conflicts,
+  * the declared non-goal (SURVEY §2.9); the two read transactions are plain
+  * queries and belong to the engine's surface:
+  *
+  *  - Order-Status (tpcc/procedures/order_status): a customer's LATEST order
+  *    and its lines → latest-per-key via a max-keyed semi join (no global
+  *    window), then the line fetch.
+  *  - Stock-Level (tpcc/procedures/stock_level): distinct items of the last
+  *    20 orders of a district below a stock threshold → here the districts
+  *    are nations and "low stock" is a part-size threshold.
+  *
+  * Point-lookup shapes: every filter is a key or time bound that data
+  * skipping prunes; the per-customer latest-order aggregate is keyed. */
+object TpccQueries {
+  import Det._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
+
+  /** Order-Status for a customer slice: the latest order per customer (max
+    * orderdate, orderkey tie-break) with its line count and total. */
+  val orderStatus: Q = Q(
+    "tpcc_order_status",
+    """WITH latest AS (
+      |  SELECT o_custkey, MAX(epoch_us(o_orderdate) // 1000000 * 10000000 + o_orderkey) AS mk
+      |  FROM orders WHERE o_custkey < 50 GROUP BY o_custkey)
+      |SELECT o.o_custkey, o.o_orderkey, o.o_orderstatus,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS line_total
+      |FROM orders o
+      |JOIN latest ON o.o_custkey = latest.o_custkey
+      |  AND epoch_us(o.o_orderdate) // 1000000 * 10000000 + o.o_orderkey = latest.mk
+      |JOIN lineitem ON l_orderkey = o.o_orderkey
+      |GROUP BY o.o_custkey, o.o_orderkey, o.o_orderstatus
+      |ORDER BY o.o_custkey""".stripMargin) { (s, dir) =>
+    // latest-per-key WITHOUT a window: max over an order-preserving composite
+    // key, then an equi join back — two keyed shuffles, no per-partition sort
+    val ords = t(s, dir, "orders").filter(col("o_custkey") < 50)
+      // o_orderdate is TIMESTAMP_NTZ; the session runs UTC, so the cast is
+      // offset-free and unix_micros equals DuckDB's epoch_us. Seconds
+      // granularity keeps (ts·1e7 + orderkey) inside a long.
+      .withColumn("ok",
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 1000000 * 10000000") +
+          col("o_orderkey"))
+    val latest = ords.groupBy(col("o_custkey").as("lc")).agg(max("ok").as("mk"))
+    ords.join(latest, col("o_custkey") === col("lc") && col("ok") === col("mk"))
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey", "o_orderkey", "o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        asDouble(sum(dec(col("l_extendedprice")))).as("line_total"))
+      .orderBy("o_custkey")
+  }
+
+  /** Stock-Level: for each nation (≈ district), distinct small parts
+    * (p_size < 15 ≈ below stock threshold) among its customers' most recent
+    * orders (the last month of the data). */
+  val stockLevel: Q = Q(
+    "tpcc_stock_level",
+    """SELECT n_name, COUNT(DISTINCT p_partkey) AS low_stock_items
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00' AND p_size < 15
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").filter(col("o_orderdate") >= "1998-06-01")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "part").filter(col("p_size") < 15)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("n_name")
+      .agg(countDistinct("p_partkey").as("low_stock_items"))
+      .orderBy("n_name")
+  }
+
+  val all: Seq[Q] = Seq(orderStatus, stockLevel)
+}
