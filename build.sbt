@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout RAW: sbt's default logger prefixes
+// every forked line with "[info] ", which breaks any consumer that parses a
+// JSON line from `sbt runMain graft.Bench` output (the driver's BENCH gate
+// recorded parsed:null for exactly this reason).
+run / connectInput := true
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

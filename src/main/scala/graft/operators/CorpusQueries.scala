@@ -333,17 +333,50 @@ object CorpusQueries {
 
   /** Units that run on Spark but whose oracle DuckDB cannot evaluate the same
     * lax way (it hard-errors where SQLite/Spark-nonANSI yield NULL). The query
-    * stays in `queries` without an oracle → driver records rows-only. */
-  private[operators] val noOracle: Map[String, String] = Map(
-    "corpus_l123" -> "VARCHAR>INT compare: lax NULL in Spark/SQLite, binder error in DuckDB",
-    "corpus_l126" -> "VARCHAR>INT compare: lax NULL in Spark/SQLite, binder error in DuckDB",
-    "corpus_l127" -> "VARCHAR>INT compare: lax NULL in Spark/SQLite, binder error in DuckDB",
-    "corpus_l128" -> "VARCHAR>INT compare: lax NULL in Spark/SQLite, binder error in DuckDB",
-    "corpus_l169" -> "VARCHAR vs INT IN-list: lax NULL in Spark/SQLite, binder error in DuckDB",
-    "corpus_l445" -> "string literal in numeric IN-list: lax NULL in Spark/SQLite, conversion error in DuckDB",
-    "corpus_l446" -> "string column vs numeric IN-list: lax NULL in Spark/SQLite, conversion error in DuckDB",
-    "corpus_l464" -> "SUBSTR with non-positive start: SQLite/Spark/DuckDB all disagree on clamping",
-    "corpus_l465" -> "SUBSTR(varchar, double, double): implicit double→int cast absent in DuckDB")
+    * stays in `queries` without an oracle → driver records rows-only.
+    * (Round 3: emptied — every former member now has a faithful oracle twin
+    * in [[oracleOverrides]]. Kept as a mechanism for future corpus growth.) */
+  private[operators] val noOracle: Map[String, String] = Map.empty
+
+  /** Oracle-side-only rewrites: Spark executes the original lax unit, DuckDB
+    * gets a strict-mode twin that encodes Spark's non-ANSI semantics
+    * explicitly. Each is value-verified against the Spark output at sf0.01.
+    *
+    *  - VARCHAR-vs-numeric comparison: Spark casts the string to DOUBLE (NULL
+    *    on malformed) → TRY_CAST(x AS DOUBLE) in DuckDB.
+    *  - Mixed string/numeric IN-list with a STRING probe column: Spark widens
+    *    the numeric literals to VARCHAR and compares as strings.
+    *  - Mixed IN-list with a NUMERIC probe: Spark casts the string literals
+    *    to DOUBLE (NULL on malformed).
+    *  - SUBSTR: Spark's substringSQL computes end = start0 + len BEFORE
+    *    clamping a negative start0 to 0 (so substring('abcde',-7,3)='a'),
+    *    truncates fractional pos/len toward zero, and returns NULL iff any
+    *    input is NULL (DuckDB least/greatest skip NULLs, hence the explicit
+    *    guard). */
+  private[operators] val oracleOverrides: Map[String, String] = Map(
+    "corpus_l123" -> "SELECT a AS x FROM mixed WHERE TRY_CAST(a AS DOUBLE) > 10",
+    "corpus_l126" -> "SELECT a AS x, SUM(b) AS c1 FROM mixed GROUP BY x HAVING TRY_CAST(a AS DOUBLE) > 10",
+    "corpus_l127" -> "SELECT a AS x, SUM(b) AS c1 FROM mixed GROUP BY x HAVING TRY_CAST(x AS DOUBLE) > 10",
+    "corpus_l128" -> "SELECT a AS x, SUM(b) AS c1 FROM mixed GROUP BY x HAVING TRY_CAST(x AS DOUBLE) > 10",
+    "corpus_l169" -> ("SELECT * FROM (SELECT \"right\".a a, \"left\".b b FROM mixed AS \"left\"" +
+      " LEFT JOIN mixed AS \"right\" ON \"left\".a = \"right\".a) t where TRY_CAST(t.a AS DOUBLE) > 0"),
+    "corpus_l445" -> ("SELECT a + c AS c0 FROM id_int_int_int_100" +
+      " WHERE a + c IN (110, 9, TRY_CAST('Hello' AS DOUBLE), 13.345)"),
+    "corpus_l446" -> ("SELECT id FROM mixed WHERE d IN ('hamqiv', CAST(9 AS VARCHAR), 'Hello'," +
+      " CAST(13.345 AS VARCHAR), 'xfkk', CAST(13*13 AS VARCHAR))"),
+    "corpus_l464" -> sparkSubstrSql("SELECT d, id - 10 AS pos, b AS len FROM mixed"),
+    "corpus_l465" -> sparkSubstrSql(
+      "SELECT d, CAST(TRUNC(b/10) AS INT) AS pos, CAST(TRUNC(b/20) AS INT) AS len FROM mixed_null"))
+
+  /** DuckDB SQL replicating Spark's substringSQL over (d, pos, len) rows. */
+  private def sparkSubstrSql(src: String): String =
+    s"""SELECT CASE WHEN d IS NULL OR pos IS NULL OR len IS NULL THEN NULL
+       |            WHEN e <= s THEN '' ELSE substr(d, s+1, e-s) END AS s FROM (
+       |  SELECT d, pos, len, greatest(start0, 0) AS s,
+       |         least(start0 + greatest(len, 0), length(d)) AS e FROM (
+       |    SELECT d, pos, len,
+       |           CASE WHEN pos > 0 THEN pos-1 WHEN pos < 0 THEN length(d)+pos ELSE 0 END AS start0
+       |    FROM ($src) ) )""".stripMargin
 
   /** Hand-rewritten unit text (applied to BOTH engines), for constructs where
     * a mechanical bridge is impossible but an equivalent formulation exists. */
@@ -433,7 +466,10 @@ object CorpusQueries {
   val all: Seq[Q] = units.collect {
     case (name, rawUnit) if !skip.contains(name) =>
       val unit = canonicalizeNames(overrides.getOrElse(name, rawUnit))
-      if (noOracle.contains(name)) Q.noOracle(name)(runUnit(unit))
-      else Q(name, duckPrelude + unit)(runUnit(unit))
+      oracleOverrides.get(name) match {
+        case Some(o) => Q(name, duckPrelude + o)(runUnit(unit))
+        case None if noOracle.contains(name) => Q.noOracle(name)(runUnit(unit))
+        case None => Q(name, duckPrelude + unit)(runUnit(unit))
+      }
   }
 }
