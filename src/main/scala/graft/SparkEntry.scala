@@ -46,14 +46,19 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     allQ.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 
-  /** Headline subset timed by Bench (the TPC-H-style shapes that stress scans,
-    * shuffles, joins and aggregation — not the micro capability probes). */
-  def benchNames: Seq[String] = Seq(
+  /** The round-1 baseline query set (BASELINE.md: 7.27 s at sf0.1) — the
+    * like-for-like subset for cross-round comparison; Bench reports its
+    * subtotal as `baseline11_sec` next to the full-set total. */
+  def baseline11: Seq[String] = Seq(
     "agg_pricing_summary",
     "tpch_q3_shipping_priority", "tpch_q4_order_priority", "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue", "tpch_q10_returned_items", "tpch_q14_promo_effect",
     "tpch_q18_large_volume", "tpch_q19_disjunction",
-    "agg_count_distinct", "events_hourly",
+    "agg_count_distinct", "events_hourly")
+
+  /** Headline subset timed by Bench (the TPC-H-style shapes that stress scans,
+    * shuffles, joins and aggregation — not the micro capability probes). */
+  def benchNames: Seq[String] = baseline11 ++ Seq(
     "ssb_q1_1", "ssb_q2_1", "ssb_q3_1", "ssb_q4_1",
     "tpcds_q5_rollup_channels", "tpcds_q88_time_bands",
     // training-pipeline representatives: LSH near-dup candidates and

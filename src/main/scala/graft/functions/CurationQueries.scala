@@ -230,7 +230,13 @@ object CurationQueries {
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .localCheckpoint(true)
-      var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("label"))
+      // Propagate labels over EDGE VERTICES only — any doc outside the
+      // near-dup graph keeps its own id as cluster_id, so iterating over the
+      // full corpus would re-shuffle millions of fixed rows per round for
+      // nothing. At 100 TB the dup graph is orders of magnitude smaller than
+      // the corpus; the per-round joins here touch only it.
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("label"))
         .localCheckpoint(true)
       var lastSum = labels.agg(sum("label")).head.getLong(0)
       var converged = false
@@ -247,7 +253,13 @@ object CurationQueries {
         lastSum = s2
         rounds += 1
       }
-      labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+      // Fold the propagated labels back over the full corpus: docs outside
+      // the graph are their own singleton cluster.
+      docs(s, dir).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .orderBy("doc_id")
     }
   }
 
