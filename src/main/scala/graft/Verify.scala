@@ -44,6 +44,9 @@ object Verify {
       else c match {
         case '\'' => inStr = true
         case '"'  => inIdent = true
+        // `--` comment: skip to end-of-line so a `;` inside it is not a split
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          while (i < sql.length && sql.charAt(i) != '\n') i += 1
         case ';' if sql.drop(i + 1).exists(!_.isWhitespace) => last = i
         case _ => ()
       }
@@ -57,7 +60,11 @@ object Verify {
     * needs a cast (most queries) or when the Spark schema is unknown. */
   private[graft] def canonOracle(sql: String, schema: Option[StructType]): String =
     schema match {
-      case Some(st) if st.fields.exists(f => duckCast(f.dataType).isDefined) =>
+      // duplicate output names would make the wrapping SELECT a binder error
+      // in DuckDB — fall back to the unwrapped SQL rather than break a
+      // previously-working oracle
+      case Some(st) if st.fields.exists(f => duckCast(f.dataType).isDefined)
+          && st.fieldNames.distinct.length == st.fieldNames.length =>
         val items = st.fields.map { f =>
           val id = quoteIdent(f.name)
           duckCast(f.dataType) match {
@@ -66,7 +73,8 @@ object Verify {
           }
         }
         val (pre, fin) = splitLastStatement(sql)
-        s"$pre SELECT ${items.mkString(", ")} FROM ($fin) __typed"
+        // a trailing `;` on the final statement would end the subquery early
+        s"$pre SELECT ${items.mkString(", ")} FROM (${fin.trim.stripSuffix(";")}) __typed"
       case _ => sql
     }
 

@@ -238,8 +238,11 @@ object CurationQueries {
       var labels = edges.select(col("src").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("label"))
         .localCheckpoint(true)
-      var lastSum = labels.agg(sum("label")).head.getLong(0)
-      var converged = false
+      // sum over an EMPTY frame is NULL — a corpus with zero near-dup pairs
+      // must short-circuit straight to the singleton fold below
+      val sumRow = labels.agg(sum("label")).head
+      var lastSum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+      var converged = sumRow.isNullAt(0)
       var rounds = 0
       while (!converged && rounds < 30) {
         val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
