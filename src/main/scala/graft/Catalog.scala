@@ -27,13 +27,71 @@ final class Catalog(val spark: SparkSession) {
   private val parquetPaths = TrieMap.empty[String, String] // name -> storage path
   private val eventLog = scala.collection.mutable.Buffer.empty[(Int, String, String)]
 
+  // ------------------------------------------------ transaction bookkeeping
+  // Commit-ID clock + per-table last-commit CID, the moral equivalent of the
+  // reference's TransactionManager commit counter (reference:
+  // src/lib/concurrency/transaction_manager.hpp:41 `_last_commit_id`). Every
+  // committed write — auto-commit statement or multi-statement transaction —
+  // advances the clock and stamps the written tables, so a Transaction can
+  // validate first-committer-wins against ANY concurrent writer.
+  private val txnLock = new Object
+  private val commitCid = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val lastCommit = TrieMap.empty[String, Long]
+
   private def logEvent(level: String, msg: String): Unit = eventLog.synchronized {
     eventLog += ((eventLog.size + 1, level, msg))
   }
 
-  def register(name: String, df: DataFrame): Unit = {
+  /** Begin a snapshot-isolated multi-statement transaction (reference:
+    * TransactionManager::new_transaction_context, transaction_manager.hpp:29). */
+  def beginTxn(): Transaction = new Transaction(this)
+
+  /** Atomically capture (current commit CID, committed table bindings) — the
+    * snapshot a transaction reads from (reference: transaction_context.hpp:60
+    * `snapshot_commit_id`). */
+  private[graft] def snapshotForTxn: (Long, Map[String, DataFrame]) = txnLock.synchronized {
+    (commitCid.get, tables.readOnlySnapshot().toMap)
+  }
+
+  /** Publish a transaction's staged writes under one commit point, or report
+    * the conflicting tables if any of them committed since `snapshotCid`
+    * (first-committer-wins; reference: transaction_context.hpp:71-80 commit
+    * validation, RollbackReason::Conflict at types.hpp:227). `None` = drop. */
+  private[graft] def commitTxn(
+      snapshotCid: Long, writes: Seq[(String, Option[DataFrame])]): Either[Seq[String], Long] =
+    txnLock.synchronized {
+      val conflicts = writes.map(_._1).filter(n => lastCommit.getOrElse(n, 0L) > snapshotCid)
+      if (conflicts.nonEmpty) Left(conflicts)
+      else {
+        val cid = commitCid.incrementAndGet()
+        writes.foreach {
+          case (n, Some(df)) => publish(n, df); lastCommit.put(n, cid)
+          case (n, None) => removeBinding(n); lastCommit.put(n, cid)
+        }
+        logEvent("INFO", s"txn commit cid=$cid tables=${writes.map(_._1).mkString(",")}")
+        Right(cid)
+      }
+    }
+
+  private def recordCommit(name: String): Unit = txnLock.synchronized {
+    lastCommit.put(name, commitCid.incrementAndGet())
+  }
+
+  private def publish(name: String, df: DataFrame): Unit = {
     tables.put(name, df)
     df.createOrReplaceTempView(name)
+  }
+
+  private def removeBinding(name: String): Unit = {
+    tables.remove(name)
+    parquetPaths.remove(name)
+    graft.plans.ConstraintRegistry.drop(name)
+    spark.catalog.dropTempView(name)
+  }
+
+  def register(name: String, df: DataFrame): Unit = {
+    publish(name, df)
+    recordCommit(name)
     logEvent("INFO", s"register table $name")
   }
 
@@ -55,16 +113,16 @@ final class Catalog(val spark: SparkSession) {
   def hasTable(name: String): Boolean = tables.contains(name)
 
   def dropTable(name: String): Unit = {
-    tables.remove(name)
-    parquetPaths.remove(name)
-    graft.plans.ConstraintRegistry.drop(name)
-    spark.catalog.dropTempView(name)
+    removeBinding(name)
+    recordCommit(name)
     logEvent("INFO", s"drop table $name")
   }
 
-  /** INSERT: bag-append via union (reference: insert.cpp appends to chunks). */
+  /** INSERT: bag-append via union (reference: insert.cpp appends to chunks).
+    * Auto-commit DML delegates to [[Dml]] so the statement path and the
+    * transaction overlay path share one rewrite (ADVICE r4). */
   def insert(name: String, rows: DataFrame): Unit =
-    register(name, table(name).unionByName(rows))
+    register(name, Dml.insert(table(name), rows))
 
   /** INSERT INTO ... VALUES with the target's schema enforced. */
   def insertValues(name: String, values: Seq[Seq[Any]]): Unit = {
@@ -76,21 +134,12 @@ final class Catalog(val spark: SparkSession) {
 
   /** DELETE: anti-filter rewrite; NULL predicate = not deleted (SQL semantics). */
   def delete(name: String, cond: Column): Unit =
-    register(name, table(name).filter(!coalesce(cond, lit(false))))
+    register(name, Dml.delete(table(name), cond))
 
   /** UPDATE: per-column CASE rewrite (reference models it as Delete+Insert,
     * update.hpp:28 — same end state). */
-  def update(name: String, cond: Column, set: Map[String, Column]): Unit = {
-    val t = table(name)
-    val cols = t.columns.map { c =>
-      set.get(c) match {
-        case Some(v) => when(coalesce(cond, lit(false)), v.cast(t.schema(c).dataType))
-          .otherwise(col(c)).as(c)
-        case None => col(c)
-      }
-    }
-    register(name, t.select(cols.toSeq: _*))
-  }
+  def update(name: String, cond: Column, set: Map[String, Column]): Unit =
+    register(name, Dml.update(table(name), cond, set))
 
   /** MERGE (upsert): rows of `source` matching `keys` replace the target's
     * column values; unmatched source rows append. Modeled — like UPDATE — as
@@ -212,6 +261,7 @@ final class Catalog(val spark: SparkSession) {
     * parquet row group (reference: src/lib/utils/meta_tables/). */
   def metaChunks: DataFrame = MetaTables.chunks(spark, parquetTables)
   def metaSegments: DataFrame = MetaTables.segments(spark, parquetTables)
+  def metaSegmentsAccurate: DataFrame = MetaTables.segmentsAccurate(spark, parquetTables)
   def metaChunkSortOrders: DataFrame = MetaTables.chunkSortOrders(spark, parquetTables)
   def metaSettings: DataFrame = MetaTables.settings(spark)
   def metaSystemInformation: DataFrame = MetaTables.systemInformation(spark)

@@ -82,6 +82,47 @@ object MetaTables {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), segmentsSchema)
   }
 
+  val segmentsAccurateSchema: StructType = StructType(Seq(
+    StructField("table_name", StringType), StructField("chunk_id", IntegerType),
+    StructField("column_id", IntegerType), StructField("column_name", StringType),
+    StructField("column_data_type", StringType), StructField("distinct_value_count", LongType),
+    StructField("size_in_bytes", LongType), StructField("compression", StringType)))
+
+  /** `meta_segments_accurate` (reference: meta_segments_accurate_table.cpp —
+    * "Accurate segment information are expensive to gather. Use with caution.").
+    * Where [[segments]] reads ONLY parquet footers (metadata-cost), this runs a
+    * real distributed scan per table to compute EXACT `distinct_value_count`
+    * for every column — the reference's same fast/accurate split. One job per
+    * table: a single multi-count-distinct aggregate (Catalyst expands it to
+    * one pass over the data per distinct group — the documented, deliberate
+    * cost of the accurate table; never run it casually at 100 TB, exactly as
+    * the reference warns). Granularity is (table, column): a Spark scan does
+    * not preserve row-group identity, so `chunk_id = -1` means "all chunks" —
+    * the honest distributed re-expression of the reference's per-chunk walk. */
+  def segmentsAccurate(spark: SparkSession, tables: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val rows = tables.flatMap { case (name, path) =>
+      val df = spark.read.parquet(path)
+      // per-column compressed size + codec from footers (metadata-only)
+      val colFacts = (for {
+        file <- footerFiles(spark, path)
+        block <- withFooter(spark, file)(_.getBlocks.toArray.toSeq)
+        c <- block.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData]
+          .getColumns.toArray.toSeq
+      } yield {
+        val cm = c.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]
+        (cm.getPath.toDotString, cm.getTotalSize, cm.getCodec.name)
+      }).groupBy(_._1).map { case (k, vs) => k -> (vs.map(_._2).sum, vs.head._3) }
+      val aggs = df.columns.map(c => countDistinct(col(s"`$c`")).as(c))
+      val distinct = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+      df.schema.fields.zipWithIndex.map { case (f, i) =>
+        val (size, codec) = colFacts.getOrElse(f.name, (-1L, null))
+        Row(name, -1, i, f.name, f.dataType.simpleString, distinct.getLong(i), size, codec)
+      }
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), segmentsAccurateSchema)
+  }
+
   /** Chunk sort orders (reference: meta_chunk_sort_orders_table.cpp). The
     * parquet-hadoop metadata API in this Spark build does not surface row
     * groups' `sortingColumns`, and none of our writers declare one — the

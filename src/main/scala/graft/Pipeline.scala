@@ -37,6 +37,19 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
 
   private val prepared = mutable.Map.empty[String, String]
 
+  // Active multi-statement transaction, at most one per pipeline (the
+  // reference holds one TransactionContext per connection/pipeline,
+  // reference: src/lib/sql/sql_pipeline.hpp transaction_context). DML inside
+  // the transaction stages into its overlay and republishes the temp view so
+  // this session's SELECTs read their own writes; COMMIT validates
+  // first-committer-wins through Catalog.commitTxn; ROLLBACK (or a commit
+  // conflict) restores the committed bindings. Temp views are per-SparkSession,
+  // so a *concurrent* pipeline on the same session reads staged state early —
+  // conflict DETECTION is still correct (it runs against commit CIDs, not
+  // views); only read isolation is session-shared. DDL auto-commits.
+  private var activeTxn: Option[Transaction] = None
+  def inTransaction: Boolean = activeTxn.exists(_.isActive)
+
   // Per-pipeline statement log, surfaced as meta_exec (reference:
   // src/lib/utils/meta_tables/meta_exec_table.cpp). Appended after each
   // statement completes; the in-flight statement is never visible to itself.
@@ -59,7 +72,7 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
     "meta_columns" -> (() => catalog.metaColumns),
     "meta_chunk_sort_orders" -> (() => catalog.metaChunkSortOrders),
     "meta_chunks" -> (() => catalog.metaChunks),
-    "meta_segments_accurate" -> (() => catalog.metaSegments), // footer stats are exact
+    "meta_segments_accurate" -> (() => catalog.metaSegmentsAccurate), // + exact distinct counts (scan)
     "meta_segments" -> (() => catalog.metaSegments),
     "meta_settings" -> (() => catalog.metaSettings),
     "meta_system_information" -> (() => catalog.metaSystemInformation),
@@ -95,14 +108,39 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
     val s = statement.trim
     try {
       val upper = s.toUpperCase
-      if (upper == "BEGIN" || upper == "BEGIN TRANSACTION" || upper == "START TRANSACTION"
-          || upper == "COMMIT" || upper == "ROLLBACK") {
-        // Accepted as no-ops: the engine runs statement-level snapshot
-        // visibility (SURVEY §2.9 — multi-statement transactions are a
-        // declared non-goal), but a script containing transaction brackets
-        // must not fall through to a Spark parse error (reference:
-        // src/lib/sql/sql_pipeline_statement.cpp transaction handling).
+      if (upper == "BEGIN" || upper == "BEGIN TRANSACTION" || upper == "START TRANSACTION") {
+        // Snapshot-isolated multi-statement transaction (reference:
+        // src/lib/sql/sql_pipeline_statement.cpp transaction handling;
+        // TransactionContext at src/lib/concurrency/transaction_context.hpp).
+        require(!inTransaction, "a transaction is already active (no nested BEGIN)")
+        activeTxn = Some(catalog.beginTxn())
         StatementResult(s, Ok, None)
+      } else if (upper == "COMMIT") {
+        activeTxn match {
+          case None => StatementResult(s, Ok, None) // auto-commit mode: no-op
+          case Some(t) =>
+            activeTxn = None
+            invalidatePlanCache()
+            t.commit() match {
+              case Right(_) => StatementResult(s, Ok, None)
+              case Left(conflicts) =>
+                // first-committer-wins lost: roll back this txn's staged views
+                // (reference: RollbackReason::Conflict, src/lib/types.hpp:227)
+                restoreCommittedViews(t)
+                StatementResult(s,
+                  Failed(s"transaction aborted: conflict on ${conflicts.mkString(", ")}"), None)
+            }
+        }
+      } else if (upper == "ROLLBACK") {
+        activeTxn match {
+          case None => StatementResult(s, Ok, None)
+          case Some(t) =>
+            activeTxn = None
+            restoreCommittedViews(t) // before rollback(): it clears the write set
+            t.rollback()
+            invalidatePlanCache()
+            StatementResult(s, Ok, None)
+        }
       } else if (upper.startsWith("PREPARE ")) {
         // PREPARE name AS <statement>  (placeholders are ?)
         val rest = s.drop("PREPARE ".length)
@@ -239,7 +277,7 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
       // Optional column list: INSERT INTO t (c2, c1) VALUES/SELECT ... —
       // values bind to the listed columns; unlisted columns become NULL
       // (reference: src/lib/operators/insert.cpp column-reorder handling).
-      val target = catalog.table(name)
+      val target = activeTxn.filter(_.isActive).map(_.table(name)).getOrElse(catalog.table(name))
       val listed: Option[Seq[String]] =
         if (tail.startsWith("(")) {
           val close = tail.indexOf(')')
@@ -262,16 +300,15 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
             if (cols.contains(f.name)) c(f.name) else lit(null).cast(f.dataType).as(f.name)
           }.toSeq: _*)
       }
-      catalog.insert(name, rows)
-      invalidatePlanCache()
+      applyDml(name)(_.insert(name, rows), catalog.insert(name, rows))
       spark.emptyDataFrame
     } else if (upper.startsWith("DELETE FROM ")) {
       val rest = s.drop("DELETE FROM ".length).trim
       val name = rest.takeWhile(!_.isWhitespace)
       val whereIdx = rest.toUpperCase.indexOf("WHERE ")
       val cond = if (whereIdx >= 0) rest.drop(whereIdx + 6) else "true"
-      catalog.delete(name, org.apache.spark.sql.functions.expr(cond))
-      invalidatePlanCache()
+      val condCol = org.apache.spark.sql.functions.expr(cond)
+      applyDml(name)(_.delete(name, condCol), catalog.delete(name, condCol))
       spark.emptyDataFrame
     } else if (upper.startsWith("UPDATE ")) {
       val rest = s.drop("UPDATE ".length).trim
@@ -284,10 +321,32 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
         val eq = a.indexOf('=')
         a.take(eq).trim -> org.apache.spark.sql.functions.expr(a.drop(eq + 1).trim)
       }.toMap
-      catalog.update(name, org.apache.spark.sql.functions.expr(cond), assignments)
-      invalidatePlanCache()
+      val condCol = org.apache.spark.sql.functions.expr(cond)
+      applyDml(name)(_.update(name, condCol, assignments), catalog.update(name, condCol, assignments))
       spark.emptyDataFrame
     } else cachedSql(s)
+  }
+
+  /** Undo a rolled-back/aborted transaction's temp-view publications: rebind
+    * every written name to its committed state (or drop the view if the table
+    * was created inside the transaction and never committed). */
+  private def restoreCommittedViews(t: Transaction): Unit =
+    t.writeSet.foreach { n =>
+      if (catalog.exists(n)) catalog.table(n).createOrReplaceTempView(n)
+      else spark.catalog.dropTempView(n)
+    }
+
+  /** Route a DML write either through the active transaction's overlay (then
+    * republish the temp view so this session reads its own staged writes) or
+    * straight to the catalog's auto-commit path. */
+  private def applyDml(name: String)(inTxn: Transaction => Unit, autoCommit: => Unit): Unit = {
+    activeTxn match {
+      case Some(t) if t.isActive =>
+        inTxn(t)
+        t.table(name).createOrReplaceTempView(name)
+      case _ => autoCommit
+    }
+    invalidatePlanCache()
   }
 
   /** DML/DDL swaps the temp-view binding a memoized DataFrame still wraps, so

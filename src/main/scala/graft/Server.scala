@@ -15,13 +15,17 @@ import java.util.concurrent.atomic.AtomicBoolean
   * Protocol (newline-delimited, one statement per line):
   *   → `SELECT ...`
   *   ← `ok <n>`            then n JSON-object rows, then a blank line
+  *   ← `ok <n> truncated`  result exceeded `maxRows`; first n rows follow
   *   ← `error <message>`   then a blank line
   *
-  * Row payloads use `df.toJSON` — per-partition JSON encoding on executors,
-  * collected for the socket write (the driver is the network endpoint, same
-  * as the reference's server materializing each result table before sending).
+  * Row payloads use `df.toJSON` — per-partition JSON encoding on executors.
+  * The driver-side materialization is BOUNDED: `limit(maxRows + 1)` caps the
+  * fetch (the +1 row only signals truncation and is never sent), so a client
+  * sending `SELECT * FROM lineitem` at 100 TB costs one CollectLimit, not an
+  * unbounded driver OOM. `maxRows = 0` disables row payloads entirely
+  * (status-only mode for write-heavy clients).
   */
-final class Server(makePipeline: () => Pipeline, port: Int = 0) {
+final class Server(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int = 10000) {
 
   private val running = new AtomicBoolean(false)
   @volatile private var socket: ServerSocket = _
@@ -66,9 +70,13 @@ final class Server(makePipeline: () => Pipeline, port: Int = 0) {
         if (stmt.nonEmpty) {
           try {
             val df = pipeline.sql(stmt)
-            val rows = df.toJSON.collect()
-            out.println(s"ok ${rows.length}")
-            rows.foreach(out.println)
+            val rows =
+              if (df.columns.isEmpty) Array.empty[String] // DML/DDL: no result set
+              else df.limit(maxRows + 1).toJSON.collect()
+            val truncated = rows.length > maxRows
+            val sent = if (truncated) rows.take(maxRows) else rows
+            out.println(s"ok ${sent.length}" + (if (truncated) " truncated" else ""))
+            sent.foreach(out.println)
           } catch {
             case e: Throwable =>
               out.println(s"error ${String.valueOf(e.getMessage).replaceAll("\\R", " ").take(500)}")

@@ -36,6 +36,19 @@ object Verify {
     * respecting single-quoted strings ('' escape) and double-quoted idents,
     * and return (preamble-incl-semicolon, final statement). */
   private[graft] def splitLastStatement(sql: String): (String, String) = {
+    // a ';' terminates the script (is NOT a split point) when only whitespace
+    // and `--` line comments follow — "SELECT 1; -- done" has no next statement
+    def hasStatementAfter(idx: Int): Boolean = {
+      var j = idx
+      while (j < sql.length) {
+        val c = sql.charAt(j)
+        if (c.isWhitespace) j += 1
+        else if (c == '-' && j + 1 < sql.length && sql.charAt(j + 1) == '-') {
+          while (j < sql.length && sql.charAt(j) != '\n') j += 1
+        } else return true
+      }
+      false
+    }
     var inStr = false; var inIdent = false; var last = -1; var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
@@ -47,12 +60,36 @@ object Verify {
         // `--` comment: skip to end-of-line so a `;` inside it is not a split
         case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
           while (i < sql.length && sql.charAt(i) != '\n') i += 1
-        case ';' if sql.drop(i + 1).exists(!_.isWhitespace) => last = i
+        case ';' if hasStatementAfter(i + 1) => last = i
         case _ => ()
       }
       i += 1
     }
     if (last < 0) ("", sql) else (sql.substring(0, last + 1), sql.substring(last + 1))
+  }
+
+  /** Truncate a final statement at its terminating ';' so it can be wrapped as
+    * a subquery. Any top-level ';' inside the final statement is by
+    * construction (splitLastStatement) followed only by whitespace and `--`
+    * comments, so cutting at the first one drops exactly the trailer —
+    * "SELECT n FROM t; -- done" → "SELECT n FROM t". */
+  private[graft] def stripTerminator(stmt: String): String = {
+    var inStr = false; var inIdent = false; var i = 0
+    while (i < stmt.length) {
+      val c = stmt.charAt(i)
+      if (inStr) { if (c == '\'') { if (i + 1 < stmt.length && stmt.charAt(i + 1) == '\'') i += 1 else inStr = false } }
+      else if (inIdent) { if (c == '"') inIdent = false }
+      else c match {
+        case '\'' => inStr = true
+        case '"'  => inIdent = true
+        case '-' if i + 1 < stmt.length && stmt.charAt(i + 1) == '-' =>
+          while (i < stmt.length && stmt.charAt(i) != '\n') i += 1
+        case ';' => return stmt.substring(0, i)
+        case _ => ()
+      }
+      i += 1
+    }
+    stmt
   }
 
   /** Wrap the oracle's final statement so every numeric output column is cast
@@ -73,8 +110,9 @@ object Verify {
           }
         }
         val (pre, fin) = splitLastStatement(sql)
-        // a trailing `;` on the final statement would end the subquery early
-        s"$pre SELECT ${items.mkString(", ")} FROM (${fin.trim.stripSuffix(";")}) __typed"
+        // a trailing `;` (even one followed by a -- comment) would end the
+        // subquery early — strip it with quote-awareness
+        s"$pre SELECT ${items.mkString(", ")} FROM (${stripTerminator(fin).trim}) __typed"
       case _ => sql
     }
 

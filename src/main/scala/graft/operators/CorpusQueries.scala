@@ -326,10 +326,11 @@ object CorpusQueries {
     }.toSeq
   }
 
-  /** Units excluded entirely (Spark cannot execute the statement). Each is a
-    * documented SQLite/DuckDB-ism with no Spark counterpart. */
-  private[operators] val skip: Map[String, String] = Map(
-    "corpus_l506" -> "BEGIN/ROLLBACK undo — multi-statement transactions are a declared non-goal (statement-level snapshots)")
+  /** Units excluded entirely (Spark cannot execute the statement). Empty since
+    * round 5: the last skip (l506, BEGIN/ROLLBACK undo) is now executed by the
+    * Pipeline's snapshot-isolated transactions — DuckDB runs the same brackets
+    * natively on its side, so the unit keeps a full oracle. */
+  private[operators] val skip: Map[String, String] = Map.empty
 
   /** Units that run on Spark but whose oracle DuckDB cannot evaluate the same
     * lax way (it hard-errors where SQLite/Spark-nonANSI yield NULL). The query

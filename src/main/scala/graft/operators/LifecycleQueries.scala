@@ -142,6 +142,35 @@ object LifecycleQueries {
       .orderBy("s_suppkey")
   }
 
+  /** Multi-statement transaction: BEGIN stages writes invisibly, ROLLBACK
+    * undoes them, a following committed transaction publishes (reference:
+    * src/lib/concurrency/transaction_context.hpp:60-80; RollbackReason at
+    * types.hpp:227). The oracle runs the SAME brackets in DuckDB — both
+    * engines must agree the rolled-back DELETE never happened and the
+    * committed UPDATE did. */
+  val txnRollbackCommit: Q = Q(
+    "txn_rollback_commit",
+    """CREATE OR REPLACE TEMP TABLE nation_txn AS SELECT * FROM nation;
+      |BEGIN;
+      |DELETE FROM nation_txn WHERE n_regionkey = 1;
+      |ROLLBACK;
+      |BEGIN;
+      |UPDATE nation_txn SET n_name = 'TXN_SET' WHERE n_nationkey = 0;
+      |COMMIT;
+      |SELECT n_nationkey, n_name, n_regionkey FROM nation_txn ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    val p = pipeline(s, dir, "nation" -> "nation_txn_w")
+    val rs = p.run(
+      """BEGIN;
+        |DELETE FROM nation_txn_w WHERE n_regionkey = 1;
+        |ROLLBACK;
+        |BEGIN;
+        |UPDATE nation_txn_w SET n_name = 'TXN_SET' WHERE n_nationkey = 0;
+        |COMMIT;
+        |SELECT n_nationkey, n_name, n_regionkey FROM nation_txn_w ORDER BY n_nationkey""".stripMargin)
+    rs.foreach(r => require(r.status == p.Ok, s"${r.sql}: ${r.status}"))
+    rs.last.df.get
+  }
+
   val all: Seq[Q] = Seq(dmlInsert, dmlDelete, dmlUpdate, dmlSnapshot, viewPrepared,
-    metaTables, dmlMerge)
+    metaTables, dmlMerge, txnRollbackCommit)
 }

@@ -51,6 +51,43 @@ object MetaQueries {
         |GROUP BY column_name ORDER BY column_name""".stripMargin)
   }
 
+  /** `meta_segments_accurate` distinct counts come from a real distributed
+    * scan (reference: meta_segments_accurate_table.cpp computes uncached
+    * distinct counts — the expensive/accurate half of the fast/accurate
+    * split); the oracle recomputes them straight from the data. */
+  val metaSegmentsAccurateDistinct: Q = Q(
+    "meta_segments_accurate_distinct",
+    """SELECT * FROM (
+      |  SELECT 'n_name' AS column_name, CAST(COUNT(DISTINCT n_name) AS BIGINT) AS distinct_n FROM nation
+      |  UNION ALL SELECT 'o_orderstatus', COUNT(DISTINCT o_orderstatus) FROM orders
+      |  UNION ALL SELECT 'r_regionkey', COUNT(DISTINCT r_regionkey) FROM region)
+      |ORDER BY column_name""".stripMargin) { (s, dir) =>
+    pipe(s, dir).sql(
+      """SELECT column_name, distinct_value_count AS distinct_n
+        |FROM meta_segments_accurate
+        |WHERE (table_name = 'nation' AND column_name = 'n_name')
+        |   OR (table_name = 'orders' AND column_name = 'o_orderstatus')
+        |   OR (table_name = 'region' AND column_name = 'r_regionkey')
+        |ORDER BY column_name""".stripMargin)
+  }
+
+  /** ChangeMetaTable (reference: src/lib/operators/maintenance/
+    * change_meta_table.hpp:26): SQL DML on `meta_settings` rewrites the
+    * session conf; the meta snapshot bakes values at build time, so the
+    * result df is stable after the try/finally restore below. */
+  val metaChangeSettings: Q = Q(
+    "meta_change_settings",
+    "SELECT 'spark.sql.autoBroadcastJoinThreshold' AS name, '12345678' AS value") { (s, dir) =>
+    val p = pipe(s, dir)
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      p.sql("UPDATE meta_settings SET value = '12345678' " +
+        "WHERE name = 'spark.sql.autoBroadcastJoinThreshold'")
+      p.sql("SELECT name, value FROM meta_settings " +
+        "WHERE name = 'spark.sql.autoBroadcastJoinThreshold'")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   /** Engine-pinned settings are visible (the deterministic subset). */
   val metaSettingsFixed: Q = Q(
     "meta_settings_fixed",
@@ -89,5 +126,6 @@ object MetaQueries {
 
   val all: Seq[Q] = Seq(
     metaChunksRowcount, metaSegmentsMinmax, metaSettingsFixed,
-    metaExecScript, metaPluginsEmpty, metaSystem)
+    metaExecScript, metaPluginsEmpty, metaSystem,
+    metaSegmentsAccurateDistinct, metaChangeSettings)
 }

@@ -44,7 +44,13 @@ object BinFormat {
   // ------------------------------------------------------------------ read
 
   def read(spark: SparkSession, path: String): DataFrame = {
-    val buf = ByteBuffer.wrap(Files.readAllBytes(Paths.get(path))).order(ByteOrder.LITTLE_ENDIAN)
+    val (schema, rows) = parse(Files.readAllBytes(Paths.get(path)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Pure single-file decode — callable on executors (readDistributed). */
+  private[sources] def parse(bytes: Array[Byte]): (StructType, Array[Row]) = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def u8(): Int = buf.get() & 0xff
     def u16(): Int = buf.getShort() & 0xffff
     def u32(): Long = buf.getInt() & 0xffffffffL
@@ -129,16 +135,53 @@ object BinFormat {
       val cols = types.zip(nullables).map { case (t, nl) => readSegment(t, nl, rowCount) }
       (0 until rowCount).map(i => Row.fromSeq(cols.map(_(i))))
     }
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    (schema, rows.toArray)
   }
 
   // ----------------------------------------------------------------- write
 
   /** Export as a single Unencoded chunk (fixture-scale: collects driver-side
     * like TblReader.write; never the at-scale export path). */
-  def write(df: DataFrame, path: String): Unit = {
-    val rows = df.collect()
+  def write(df: DataFrame, path: String): Unit =
+    Files.write(Paths.get(path), serialize(df.schema, df.collect()))
+
+  /** Distributed export as a directory of part files, each a SELF-CONTAINED
+    * single-chunk `.bin` (header + one Unencoded chunk — the format's own
+    * chunked layout, split at file granularity so executors serialize their
+    * partitions in parallel with zero driver materialization). Parts target a
+    * shared filesystem, like every file sink. [[readDistributed]] restores the
+    * table with per-part parallelism. Parquet remains the at-scale storage
+    * format; this is interchange parity at real-data size. */
+  def writeDistributed(df: DataFrame, dirPath: String): Unit = {
     val schema = df.schema
+    val dir = new java.io.File(dirPath)
+    if (dir.exists()) { dir.listFiles().foreach(_.delete()) } else dir.mkdirs()
+    val written = df.rdd.mapPartitionsWithIndex { case (i, it) =>
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val name = f"part-$i%05d.bin"
+        Files.write(Paths.get(s"$dirPath/$name"), serialize(schema, rows))
+        Iterator.single(name)
+      }
+    }.collect() // collects part NAMES only (one tiny string per partition)
+    // empty input still needs a schema-bearing part for readDistributed
+    if (written.isEmpty)
+      Files.write(Paths.get(s"$dirPath/part-00000.bin"), serialize(schema, Array.empty[Row]))
+  }
+
+  def readDistributed(spark: SparkSession, dirPath: String): DataFrame = {
+    val files = new java.io.File(dirPath).listFiles()
+      .filter(_.getName.endsWith(".bin")).map(_.getAbsolutePath).sorted
+    require(files.nonEmpty, s"no .bin part files under $dirPath")
+    val schema = parse(Files.readAllBytes(Paths.get(files.head)))._1
+    val rdd = spark.sparkContext.parallelize(files.toIndexedSeq, files.length)
+      .flatMap(f => parse(Files.readAllBytes(Paths.get(f)))._2)
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Pure single-chunk encode — callable on executors (writeDistributed). */
+  private[sources] def serialize(schema: StructType, rows: Array[Row]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val b8 = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
     def u8(v: Int): Unit = out.write(v & 0xff)
@@ -182,7 +225,7 @@ object BinFormat {
         typed(f.dataType, if (n) zeroOf(f.dataType) else r.get(ci))
       }
     }
-    Files.write(Paths.get(path), out.toByteArray)
+    out.toByteArray
   }
 
   private def zeroOf(t: DataType): Any = t match {

@@ -27,14 +27,31 @@ object TblReader {
     (dt, nullable)
   }
 
+  private def schemaFromHeader(names: String, types: String): StructType =
+    StructType(names.split('|').zip(types.split('|')).map { case (n, t) =>
+      val (dt, nullable) = parseType(t.trim)
+      StructField(n.trim, dt, nullable)
+    })
+
   def schemaOf(path: String): StructType = {
     val src = scala.io.Source.fromFile(path)
     val Seq(names, types) =
       try src.getLines().take(2).toSeq
       finally src.close()
-    StructType(names.split('|').zip(types.split('|')).map { case (n, t) =>
-      val (dt, nullable) = parseType(t.trim)
-      StructField(n.trim, dt, nullable)
+    schemaFromHeader(names, types)
+  }
+
+  private def parseLine(schema: StructType)(line: String): Row = {
+    val parts = line.split("\\|", -1)
+    Row.fromSeq(parts.zip(schema.fields.toSeq).map { case (v, f) =>
+      if (v == "null" && f.nullable) null
+      else f.dataType match {
+        case IntegerType => v.trim.toInt
+        case LongType => v.trim.toLong
+        case FloatType => v.trim.toFloat
+        case DoubleType => v.trim.toDouble
+        case _ => v
+      }
     })
   }
 
@@ -42,20 +59,7 @@ object TblReader {
     val schema = schemaOf(path)
     val body = spark.sparkContext.textFile(path)
       .zipWithIndex().filter(_._2 >= 2).map(_._1) // drop name + type header lines
-    val rows = body.map { line =>
-      val parts = line.split("\\|", -1)
-      Row.fromSeq(parts.zip(schema.fields.toSeq).map { case (v, f) =>
-        if (v == "null" && f.nullable) null
-        else f.dataType match {
-          case IntegerType => v.trim.toInt
-          case LongType => v.trim.toLong
-          case FloatType => v.trim.toFloat
-          case DoubleType => v.trim.toDouble
-          case _ => v
-        }
-      })
-    }
-    spark.createDataFrame(rows, schema)
+    spark.createDataFrame(body.map(parseLine(schema)), schema)
   }
 
   private def typeToken(f: StructField): String = {
@@ -70,6 +74,8 @@ object TblReader {
     if (f.nullable) s"${base}_null" else base
   }
 
+  /** Byte-exact single-file fixture writer (collects driver-side — KB-scale
+    * golden files ONLY; real data goes through [[writeDistributed]]). */
   def write(df: DataFrame, path: String): Unit = {
     val fields = df.schema.fields
     val header = fields.map(_.name).mkString("|")
@@ -80,5 +86,28 @@ object TblReader {
     }.mkString("|"))
     val out = (Seq(header, types) ++ rows).mkString("", "\n", "\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), out)
+  }
+
+  /** Distributed export: executors format and write the pipe-separated body as
+    * part files in parallel (one codegen'd concat_ws projection + a text sink
+    * — nothing materializes on the driver); the two-line name/type header goes
+    * in a `<dir>.header` side-car, mirroring [[CsvMeta.writeDistributed]]'s
+    * side-car pattern. */
+  def writeDistributed(df: DataFrame, dirPath: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit}
+    val fields = df.schema.fields
+    val cols = fields.map(f => coalesce(col(s"`${f.name}`").cast(StringType), lit("null")))
+    df.select(concat_ws("|", cols.toIndexedSeq: _*).as("value"))
+      .write.mode("overwrite").text(dirPath)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dirPath.header"),
+      fields.map(_.name).mkString("|") + "\n" + fields.map(typeToken).mkString("|") + "\n")
+  }
+
+  def readDistributed(spark: SparkSession, dirPath: String): DataFrame = {
+    val Array(names, types) = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$dirPath.header")).split('\n').take(2)
+    val schema = schemaFromHeader(names, types)
+    val body = spark.read.textFile(dirPath)
+    spark.createDataFrame(body.rdd.map(parseLine(schema)), schema)
   }
 }

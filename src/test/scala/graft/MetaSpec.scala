@@ -43,6 +43,22 @@ class MetaSpec extends AnyFunSuite {
     assert(nulls == 0)
   }
 
+  test("meta_segments_accurate distinct counts are exact (scan), unlike meta_segments") {
+    val p = freshPipe()
+    val acc = p.sql(
+      """SELECT column_name, distinct_value_count FROM meta_segments_accurate
+        |WHERE table_name='nation'""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nation = Tables.df(spark, sf, "nation")
+    val truth = nation.columns.map(c =>
+      c -> nation.select(c).distinct().count()).toMap
+    assert(acc == truth, s"accurate=$acc truth=$truth")
+    // schema parity with the reference's segments_accurate columns
+    val cols = p.sql("SELECT * FROM meta_segments_accurate LIMIT 1").columns.toSeq
+    assert(cols.containsSlice(Seq("table_name", "chunk_id", "column_id", "column_name",
+      "column_data_type", "distinct_value_count")))
+  }
+
   test("meta_settings, meta_system_*, meta_plugins, meta_chunk_sort_orders answer") {
     val p = freshPipe()
     assert(p.sql("SELECT value FROM meta_settings WHERE name='spark.sql.session.timeZone'")

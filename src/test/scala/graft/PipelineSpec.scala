@@ -76,7 +76,7 @@ class PipelineSpec extends AnyFunSuite {
       s"cached plan must not survive DML: before=$before after=$after")
   }
 
-  test("BEGIN/COMMIT/ROLLBACK are accepted as statement-level no-ops") {
+  test("BEGIN/COMMIT publishes staged DML; trailing ROLLBACK outside a txn is a no-op") {
     val p = freshPipeline()
     val rs = p.run(
       """BEGIN;
@@ -85,8 +85,64 @@ class PipelineSpec extends AnyFunSuite {
         |ROLLBACK;
         |SELECT COUNT(*) AS n FROM t_region""".stripMargin)
     assert(rs.forall(_.status == p.Ok), rs.map(_.status).mkString(","))
-    // statement-level snapshots: ROLLBACK cannot undo — the delete stays.
     assert(rs.last.df.get.collect().head.getLong(0) == 4)
+  }
+
+  test("ROLLBACK undoes staged DML: reads inside the txn see writes, after it don't") {
+    val p = freshPipeline()
+    val rs = p.run(
+      """BEGIN;
+        |INSERT INTO t_region VALUES (90, 'STAGED');
+        |SELECT COUNT(*) AS n FROM t_region;
+        |ROLLBACK;
+        |SELECT COUNT(*) AS n FROM t_region""".stripMargin)
+    assert(rs.forall(_.status == p.Ok), rs.map(_.status).mkString(","))
+    val counts = rs.flatMap(_.df).filter(_.columns.nonEmpty).map(_.collect().head.getLong(0))
+    assert(counts == Seq(6, 5), s"read-your-writes then undo, got $counts")
+    assert(p.catalog.table("t_region").count() == 5, "catalog binding untouched")
+  }
+
+  test("first-committer-wins: second txn writing the same table gets a conflict") {
+    val cat = new Catalog(spark)
+    cat.register("c_region", Tables.df(spark, SparkTestBase.sf, "region"))
+    val t1 = cat.beginTxn()
+    val t2 = cat.beginTxn()
+    t1.delete("c_region", col("r_regionkey") === 0)
+    t2.delete("c_region", col("r_regionkey") === 1)
+    assert(t1.commit().isRight)
+    t2.commit() match {
+      case Left(conflicts) => assert(conflicts == Seq("c_region"))
+      case Right(cid) => fail(s"t2 must conflict, committed at cid=$cid")
+    }
+    // first committer's state won: regionkey 0 gone, 1 survives
+    val keys = cat.table("c_region").select("r_regionkey").collect().map(_.getInt(0)).sorted
+    assert(keys.toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("pipeline txn conflicts with a concurrent auto-commit write") {
+    val cat = new Catalog(spark)
+    cat.register("p_region", Tables.df(spark, SparkTestBase.sf, "region"))
+    val p1 = new Pipeline(cat)
+    val p2 = new Pipeline(cat)
+    p1.run("BEGIN; DELETE FROM p_region WHERE r_regionkey = 0")
+    p2.run("DELETE FROM p_region WHERE r_regionkey = 4") // auto-commit wins
+    val rs = p1.run("COMMIT")
+    rs.head.status match {
+      case p1.Failed(e) => assert(e.contains("conflict") && e.contains("p_region"), e)
+      case p1.Ok => fail("COMMIT must report the conflict")
+    }
+    // the auto-commit delete survives; the aborted txn's staged delete does not
+    val keys = cat.table("p_region").select("r_regionkey").collect().map(_.getInt(0)).sorted
+    assert(keys.toSeq == Seq(0, 1, 2, 3))
+    assert(!p1.inTransaction)
+  }
+
+  test("read-only transaction always commits; nested BEGIN rejected") {
+    val p = freshPipeline()
+    val rs = p.run("BEGIN; SELECT COUNT(*) AS n FROM t_region; BEGIN; COMMIT")
+    assert(rs(0).status == p.Ok)
+    assert(rs(2).status != p.Ok, "nested BEGIN must fail")
+    assert(rs(3).status == p.Ok, "read-only commit succeeds")
   }
 
   test("CREATE TABLE AS / DROP TABLE") {

@@ -46,6 +46,22 @@ class ServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("results larger than maxRows are capped and flagged truncated") {
+    val server = new Server(makePipeline _, maxRows = 10)
+    val port = server.start()
+    try {
+      val sock = new Socket("127.0.0.1", port)
+      try {
+        val (st, rows) = roundtrip(sock, "SELECT * FROM t_nation") // 25 rows > cap
+        assert(st == "ok 10 truncated", st)
+        assert(rows.length == 10)
+        // capped fetch, not capped correctness: aggregates still see all rows
+        val (st2, rows2) = roundtrip(sock, "SELECT COUNT(*) AS n FROM t_nation")
+        assert(st2 == "ok 1" && rows2.head.contains("\"n\":25"))
+      } finally sock.close()
+    } finally server.stop()
+  }
+
   test("two concurrent connections are independent sessions") {
     val server = new Server(makePipeline _)
     val port = server.start()

@@ -30,6 +30,13 @@ class VerifySpec extends AnyFunSuite {
     assert(Verify.splitLastStatement(sql) === (("", sql)))
   }
 
+  test("splitLastStatement: final ';' followed only by a -- comment terminates the script") {
+    val sql = "SELECT n FROM t; -- done"
+    assert(Verify.splitLastStatement(sql) === (("", sql)))
+    val wrapped = Verify.canonOracle(sql, Some(longSchema))
+    assert(wrapped.contains("""FROM (SELECT n FROM t) __typed"""), wrapped)
+  }
+
   test("canonOracle: trailing semicolon on final statement is stripped") {
     val out = Verify.canonOracle("SELECT n FROM t;", Some(longSchema))
     assert(!out.contains(";"))

@@ -44,6 +44,12 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(0)).toSeq === Seq(1))
   }
 
+  test("BEGIN/ROLLBACK unit (l506) undoes its INSERT — last corpus skip closed") {
+    assert(CorpusQueries.skip.isEmpty, "no skipped units remain")
+    val df = run("corpus_l506") // BEGIN; INSERT 1 row; SELECT; ROLLBACK; SELECT *
+    assert(df.count() === 100, "rolled-back INSERT must not be visible")
+  }
+
   test("ANSI mode is restored after a corpus run") {
     run("corpus_l006")
     assert(spark.conf.get("spark.sql.ansi.enabled") === "true")
