@@ -19,6 +19,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"LSH missed ${trueDups.diff(lsh)} — banding should catch every j>=0.2 pair at this scale")
   }
 
+  test("hot-shingle cap: ubiquitous boilerplate cannot create pairs or a hot join key") {
+    import spark.implicits._
+    // 40 docs sharing ONE boilerplate sentence (shingle df = 40 > cap), plus
+    // one genuine near-dup pair with distinctive text
+    val boiler = "this document is provided as is without warranty of any kind"
+    val docsDf = ((1L to 40L).map(i => (i, s"$boiler unique$i word$i token$i extra$i")) ++ Seq(
+      (100L, "zebra quokka narwhal axolotl capuchin gibbon tamarin lemur loris galago"),
+      (101L, "zebra quokka narwhal axolotl capuchin gibbon tamarin lemur loris galago")))
+      .toDF("doc_id", "text")
+    val pairs = DedupQueries.ngramJaccardPairs(docsDf, maxPostings = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the planted pair survives at jaccard 1.0; no boilerplate-only pair appears
+    assert(pairs.exists { case (a, b, j) => a == 100L && b == 101L && j == 1.0 })
+    assert(pairs.forall { case (a, b, _) => (a, b) == ((100L, 101L)) },
+      s"boilerplate-driven pairs leaked: ${pairs.filterNot(p => (p._1, p._2) == ((100L, 101L))).take(5).toSeq}")
+  }
+
   test("identical texts get identical minhash signatures") {
     import spark.implicits._
     val two = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "alpha beta gamma delta epsilon"))
