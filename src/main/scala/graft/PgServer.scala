@@ -14,14 +14,17 @@ import org.apache.spark.sql.types._
   * session per connection, every statement dispatched through the SAME
   * [[Pipeline]] as the programmatic and line-JSON entry points.
   *
-  * Implements protocol 3.0's SIMPLE QUERY flow — the flow the reference's
-  * QueryHandler serves (query_handler.cpp): Startup/SSLRequest negotiation,
-  * AuthenticationOk (trust), ParameterStatus, BackendKeyData, then
-  * Query → RowDescription + DataRow* + CommandComplete + ReadyForQuery, with
-  * per-statement ErrorResponse and transaction status ('I' idle / 'T' in
-  * transaction) reported from the pipeline's BEGIN/COMMIT/ROLLBACK state.
-  * Extended-protocol messages (Parse/Bind/...) get a clean ErrorResponse
-  * rather than a hang, mirroring how the reference rejects what it can't do.
+  * Implements protocol 3.0's SIMPLE and EXTENDED query flows — both flows the
+  * reference's handler serves (postgres_protocol_handler.hpp:28,
+  * query_handler.cpp): Startup/SSLRequest negotiation, AuthenticationOk
+  * (trust), ParameterStatus, BackendKeyData, then either
+  * Query → RowDescription + DataRow* + CommandComplete + ReadyForQuery, or
+  * Parse → Bind ($n text parameters substituted as quoted literals, the
+  * reference's placeholder binding: prepared_plan.hpp) → Describe →
+  * Execute → Sync. Per-statement ErrorResponse keeps the session alive;
+  * after an extended-flow error, messages are discarded until Sync (the
+  * protocol's error-recovery rule). Transaction status ('I' idle / 'T' in
+  * transaction) reports the pipeline's BEGIN/COMMIT/ROLLBACK state.
   *
   * All values travel in text format (format code 0). Result fetches are
   * BOUNDED like [[Server]]: `limit(maxRows + 1)` caps driver materialization;
@@ -153,22 +156,146 @@ final class PgServer(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int =
     msg(out, 'K') { o => o.writeInt(0); o.writeInt(0) } // BackendKeyData (cancel unsupported)
     sendReady(out, pipeline)
 
+    // extended-protocol session state (reference: prepared_plan.hpp storage)
+    val statements = scala.collection.mutable.Map.empty[String, String] // name -> SQL with $n
+    val portals = scala.collection.mutable.Map.empty[String, String]    // name -> bound SQL
+    var errorUntilSync = false // after an extended-flow error, discard until Sync
+
     while (running.get()) {
       val tpe = in.read()
       if (tpe < 0) return
       val len = in.readInt()
       val body = new Array[Byte](len - 4)
       in.readFully(body)
-      tpe.toChar match {
+      val t = tpe.toChar
+      if (errorUntilSync && t != 'S' && t != 'X') () // protocol error recovery
+      else t match {
         case 'Q' =>
           val sql = new String(body, 0, math.max(0, body.length - 1), UTF_8)
           runScript(pipeline, sql, out)
           sendReady(out, pipeline)
+        case 'P' => // Parse: name\0 query\0 nParamTypes (oid...)
+          try {
+            val b = reader(body)
+            val name = b.cstring()
+            val query = b.cstring()
+            statements(name) = query
+            msg(out, '1')(_ => ()) // ParseComplete
+          } catch { case e: Throwable =>
+            sendError(out, s"malformed Parse message: ${e.getClass.getSimpleName}")
+            errorUntilSync = true
+          }
+        case 'B' => // Bind: portal\0 stmt\0 fmts params resultFmts
+          try {
+            val b = reader(body)
+            val portal = b.cstring()
+            val stmt = b.cstring()
+            val nFmt = b.u16(); (0 until nFmt).foreach(_ => b.u16())
+            val nParams = b.u16()
+            val params = (0 until nParams).map { _ =>
+              val plen = b.i32()
+              if (plen < 0) null else new String(b.bytes(plen), UTF_8)
+            }
+            val template = statements.getOrElse(stmt, sys.error(s"unknown statement '$stmt'"))
+            portals(portal) = bindParams(template, params)
+            msg(out, '2')(_ => ()) // BindComplete
+          } catch { case e: Throwable =>
+            sendError(out, String.valueOf(e.getMessage)); errorUntilSync = true
+          }
+        case 'D' => // Describe: 'S'|'P' + name
+          try {
+            val b = reader(body)
+            val kind = b.u8().toChar
+            val name = b.cstring()
+            val sql = (if (kind == 'P') portals.get(name) else statements.get(name))
+              .getOrElse(sys.error(s"unknown ${if (kind == 'P') "portal" else "statement"} '$name'"))
+            describeSql(pipeline, sql) match {
+              case Some(schema) => sendRowDescription(out, schema)
+              case None => msg(out, 'n')(_ => ()) // NoData
+            }
+          } catch { case e: Throwable =>
+            sendError(out, String.valueOf(e.getMessage)); errorUntilSync = true
+          }
+        case 'E' => // Execute: portal\0 maxRows i32 (0 = all, we cap regardless)
+          try {
+            val b = reader(body)
+            val portal = b.cstring()
+            val limit = b.i32()
+            val sql = portals.getOrElse(portal, sys.error(s"unknown portal '$portal'"))
+            executePortal(pipeline, sql, if (limit > 0) math.min(limit, maxRows) else maxRows, out)
+          } catch { case e: Throwable =>
+            sendError(out, String.valueOf(e.getMessage)); errorUntilSync = true
+          }
+        case 'C' => // Close statement/portal
+          val b = reader(body)
+          val kind = b.u8().toChar
+          val name = b.cstring()
+          if (kind == 'P') portals.remove(name) else statements.remove(name)
+          msg(out, '3')(_ => ()) // CloseComplete
+        case 'H' => out.flush() // Flush
+        case 'S' => // Sync: end of extended-flow batch
+          errorUntilSync = false
+          sendReady(out, pipeline)
         case 'X' => return // Terminate
         case other =>
-          sendError(out, s"'$other' message not supported: simple query protocol only " +
-            "(reference scope: postgres_protocol_handler.hpp simple query flow)")
+          sendError(out, s"'$other' message not supported " +
+            "(reference scope: postgres_protocol_handler.hpp simple+extended flows)")
           sendReady(out, pipeline)
+      }
+    }
+  }
+
+  // ------------------------------------------------------- extended protocol
+
+  private final class Reader(body: Array[Byte]) {
+    private val b = java.nio.ByteBuffer.wrap(body)
+    def cstring(): String = {
+      val sb = new StringBuilder
+      var c = b.get()
+      while (c != 0) { sb += c.toChar; c = b.get() }
+      sb.toString
+    }
+    def u8(): Int = b.get() & 0xff
+    def u16(): Int = b.getShort() & 0xffff
+    def i32(): Int = b.getInt()
+    def bytes(n: Int): Array[Byte] = { val a = new Array[Byte](n); b.get(a); a }
+  }
+  private def reader(body: Array[Byte]) = new Reader(body)
+
+  /** Substitute $1..$n with quoted text literals (params always arrive in text
+    * format here — format-code 1 binary params are rejected by omission since
+    * Bind ignores format codes and we quote textually; Spark coerces string
+    * literals in comparisons). NULL params become the NULL literal. */
+  private def bindParams(template: String, params: Seq[String]): String =
+    params.zipWithIndex.foldLeft(template) { case (sql, (v, i)) =>
+      val lit = if (v == null) "NULL" else "'" + v.replace("'", "''") + "'"
+      sql.replace(s"$$${i + 1}", lit)
+    }
+
+  /** Schema of a bound statement without executing it: only SELECT-shaped
+    * statements have a row description (analysis is lazy — no job runs). */
+  private def describeSql(pipeline: Pipeline, sql: String): Option[StructType] = {
+    val head = sql.trim.split("\\s+").headOption.getOrElse("").toUpperCase
+    if (head == "SELECT" || head == "WITH" || head == "VALUES")
+      Some(pipeline.catalog.spark.sql(sql).schema)
+    else None
+  }
+
+  private def executePortal(pipeline: Pipeline, sql: String, limit: Int, out: DataOutputStream): Unit = {
+    val results = pipeline.run(sql)
+    results.foreach { r =>
+      r.status match {
+        case pipeline.Ok =>
+          r.df.filter(_.columns.nonEmpty) match {
+            case Some(df) =>
+              val rows = df.limit(limit + 1).collect()
+              val sent = if (rows.length > limit) rows.take(limit) else rows
+              sent.foreach(sendDataRow(out, _)) // extended flow: no RowDescription here
+              if (rows.length > limit) msg(out, 's')(_ => ()) // PortalSuspended
+              else sendComplete(out, commandTag(r.sql, sent.length.toLong))
+            case None => sendComplete(out, commandTag(r.sql, 0L))
+          }
+        case pipeline.Failed(err) => sys.error(err)
       }
     }
   }
