@@ -75,19 +75,6 @@ final class Transaction private[graft] (cat: Catalog) {
     case None => snapshot.contains(name)
   }
 
-  /** Every binding this transaction sees: snapshot overridden by staged writes
-    * (dropped tables excluded). Used to resolve SELECTs inside the txn. */
-  def visibleTables: Seq[(String, DataFrame)] = {
-    val m = mutable.LinkedHashMap.empty[String, Option[DataFrame]]
-    snapshot.foreach { case (n, df) => m(n) = Some(df) }
-    overlay.foreach { case (n, o) => m(n) = o }
-    m.collect { case (n, Some(df)) => (n, df) }.toSeq
-  }
-
-  /** Names visible to this txn but absent from the committed catalog — their
-    * temp views must be dropped when the committed state is republished. */
-  def phantomNames: Seq[String] = visibleTables.map(_._1).filterNot(cat.exists)
-
   def insert(name: String, rows: DataFrame): Unit = stage(name, Dml.insert(table(name), rows))
   def delete(name: String, cond: Column): Unit = stage(name, Dml.delete(table(name), cond))
   def update(name: String, cond: Column, set: Map[String, Column]): Unit =

@@ -318,7 +318,52 @@ object CurationQueries {
     }
   }
 
+  // --------------------------------------------------- decontamination
+  // Brown et al. 2020 (GPT-3, arXiv:2005.14165 appendix C) style: a training
+  // document is contaminated if it shares >= OVERLAP_MIN distinct word
+  // n-grams with ANY evaluation document. The eval set here is a
+  // deterministic hash-selected ~5% slice of the corpus (a real pipeline
+  // plugs in its benchmark files; the JOIN SHAPE is identical). Scale: the
+  // eval side collapses to a DISTINCT shingle SET (bounded by the benchmark
+  // corpus, broadcastable), the train side is a map-only explode + distinct;
+  // set semantics cap join fan-out at 1 per (doc, shingle) — no skew, no
+  // quadratic blow-up, one keyed agg.
+
+  private val EVAL_PCT = 5L     // pseudo-benchmark slice of the corpus
+  private val OVERLAP_MIN = 5L  // distinct shared n-grams ⇒ contaminated
+
+  val decontaminate: Q = Q(
+    "cur_decontaminate",
+    s"""WITH eval_sh AS (
+       |  SELECT DISTINCT s FROM (
+       |    SELECT unnest(${shinglesSql(tokensSql("text"), DedupQueries.NGRAM)}) AS s
+       |    FROM documents
+       |    WHERE ${hash64Sql("CAST(doc_id AS VARCHAR)", "eval")} % 100 < $EVAL_PCT)
+       |), train_sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest(${shinglesSql(tokensSql("text"), DedupQueries.NGRAM)}) AS s
+       |    FROM documents
+       |    WHERE ${hash64Sql("CAST(doc_id AS VARCHAR)", "eval")} % 100 >= $EVAL_PCT)
+       |)
+       |SELECT t.doc_id, COUNT(*) AS n_overlap
+       |FROM train_sh t JOIN eval_sh e ON t.s = e.s
+       |GROUP BY t.doc_id
+       |HAVING COUNT(*) >= $OVERLAP_MIN
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    val isEval = hash64(col("doc_id").cast("string"), "eval") % 100 < EVAL_PCT
+    val evalSh = d.filter(isEval)
+      .select(explode(shingles(tokens(col("text")), DedupQueries.NGRAM)).as("s")).distinct()
+    val trainSh = d.filter(!isEval)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), DedupQueries.NGRAM)).as("s"))
+      .distinct()
+    trainSh.join(evalSh, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= OVERLAP_MIN)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     repetition, qualityFilter, sampleStratified, packSequences, dedupClusterCc,
-    corpusDiff)
+    corpusDiff, decontaminate)
 }

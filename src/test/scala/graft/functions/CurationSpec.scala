@@ -9,6 +9,17 @@ class CurationSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val sf = SparkTestBase.sf
 
+  test("decontamination: eval docs never flagged, overlaps meet the threshold") {
+    val flagged = CurationQueries.decontaminate.run(spark, sf).collect()
+    assert(flagged.nonEmpty, "synthetic corpus should have some contaminated docs")
+    assert(flagged.forall(_.getLong(1) >= 5L), "HAVING threshold respected")
+    // the eval slice (hash % 100 < 5) must be excluded from the train side
+    val evalIds = graft.Tables.df(spark, sf, "documents")
+      .filter(TextFunctions.hash64(col("doc_id").cast("string"), "eval") % 100 < 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.forall(r => !evalIds.contains(r.getLong(0))), "no eval doc in output")
+  }
+
   test("repetition fractions are in [0,1] and distinct_ratio positive") {
     val rows = CurationQueries.repetition.run(spark, sf).collect()
     assert(rows.nonEmpty)
