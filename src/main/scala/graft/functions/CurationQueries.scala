@@ -363,7 +363,57 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------ domain mixing
+  // Data-mixture rebalancing (cf. The Pile, arXiv:2101.00027 §1: per-source
+  // sampling weights; GPT-3 table 2.2): each source gets a declared weight
+  // (here 2× for even-numbered sources — a real pipeline passes its mixture
+  // table), its token budget is weight-proportional, and docs are kept by
+  // deterministic hash sampling at the per-source rate. ALL-INTEGER
+  // arithmetic (basis points, floor division) so both engines agree exactly.
+  // Scale: per-source totals are a tiny keyed agg; the rate table broadcasts
+  // back; the doc-level pass is map-only + one map-side-combinable agg.
+
+  val domainMix: Q = Q(
+    "cur_domain_mix",
+    s"""WITH tok AS (
+       |  SELECT source, doc_id, ${tokenCountSql("text")} AS tok,
+       |    CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 0 THEN 2 ELSE 1 END AS w
+       |  FROM documents
+       |), totals AS (
+       |  SELECT source, MIN(w) AS w, SUM(tok) AS src_tok FROM tok GROUP BY source
+       |), overall AS (
+       |  SELECT SUM(src_tok) AS all_tok, SUM(w) AS sum_w FROM totals
+       |), rates AS (
+       |  SELECT source, src_tok,
+       |    LEAST(10000, (10000 * ((all_tok * w) // sum_w)) // src_tok) AS keep_bp
+       |  FROM totals CROSS JOIN overall
+       |)
+       |SELECT r.source, CAST(r.src_tok AS BIGINT) AS src_tok,
+       |  CAST(r.keep_bp AS BIGINT) AS keep_bp,
+       |  COUNT(*) FILTER (
+       |    WHERE ${hash64Sql("CAST(t.doc_id AS VARCHAR)", "mix")} % 10000 < r.keep_bp) AS kept_docs,
+       |  COALESCE(SUM(t.tok) FILTER (
+       |    WHERE ${hash64Sql("CAST(t.doc_id AS VARCHAR)", "mix")} % 10000 < r.keep_bp), 0) AS kept_tok
+       |FROM tok t JOIN rates r ON t.source = r.source
+       |GROUP BY r.source, r.src_tok, r.keep_bp
+       |ORDER BY r.source""".stripMargin) { (s, dir) =>
+    val w = when(substring(col("source"), 4, 10).cast("int") % 2 === 0, 2L).otherwise(1L)
+    val tok = docs(s, dir)
+      .select(col("source"), col("doc_id"), tokenCount(col("text")).as("tok"), w.as("w"))
+    val totals = tok.groupBy("source").agg(min("w").as("w"), sum("tok").as("src_tok"))
+    val overall = totals.agg(sum("src_tok").as("all_tok"), sum("w").as("sum_w"))
+    val rates = totals.crossJoin(broadcast(overall))
+      .select(col("source"), col("src_tok"),
+        least(lit(10000L), expr("(10000 * ((all_tok * w) div sum_w)) div src_tok")).as("keep_bp"))
+    val keep = hash64(col("doc_id").cast("string"), "mix") % 10000 < col("keep_bp")
+    tok.join(broadcast(rates), "source")
+      .groupBy(col("source"), col("src_tok"), col("keep_bp"))
+      .agg(count(when(keep, 1)).as("kept_docs"),
+        coalesce(sum(when(keep, col("tok"))), lit(0L)).as("kept_tok"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     repetition, qualityFilter, sampleStratified, packSequences, dedupClusterCc,
-    corpusDiff, decontaminate)
+    corpusDiff, decontaminate, domainMix)
 }

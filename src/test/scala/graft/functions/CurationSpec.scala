@@ -20,6 +20,20 @@ class CurationSpec extends AnyFunSuite {
     assert(flagged.forall(r => !evalIds.contains(r.getLong(0))), "no eval doc in output")
   }
 
+  test("domain mix: overweighted sources keep more; counts bounded by bucket size") {
+    val rows = CurationQueries.domainMix.run(spark, sf).collect()
+    assert(rows.length == 20, "one row per source")
+    val bp = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val evenMin = bp.collect { case (s, b) if s.drop(3).toInt % 2 == 0 => b }.min
+    val oddMax = bp.collect { case (s, b) if s.drop(3).toInt % 2 == 1 => b }.max
+    assert(evenMin > oddMax, s"2x-weight sources must keep at a higher rate ($evenMin vs $oddMax)")
+    assert(bp.values.forall(b => b > 0 && b <= 10000))
+    rows.foreach { r =>
+      assert(r.getLong(3) <= 25, "kept docs bounded by bucket size")
+      assert(r.getLong(4) <= r.getLong(1), "kept tokens bounded by bucket tokens")
+    }
+  }
+
   test("repetition fractions are in [0,1] and distinct_ratio positive") {
     val rows = CurationQueries.repetition.run(spark, sf).collect()
     assert(rows.nonEmpty)
