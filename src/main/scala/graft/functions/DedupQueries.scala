@@ -26,7 +26,7 @@ object DedupQueries {
   private val K = 12            // minhash signature length
   private val BANDS = 4         // LSH bands (rows-per-band = K / BANDS = 3)
   private val ROWS = K / BANDS
-  private[functions] val NGRAM = 3 // shingle width (words); shared with CurationQueries.decontaminate
+  private[graft] val NGRAM = 3 // shingle width (words); shared with CurationQueries.decontaminate + DocStreams
   private val JACCARD_MIN = 0.2 // near-dup threshold (calibrated: 25 planted pairs)
   private val SIMHASH_BITS = 32
 

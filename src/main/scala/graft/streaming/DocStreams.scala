@@ -65,6 +65,27 @@ object DocStreams {
       .select(col("doc_id"), col("corpus_id"))
   }
 
+  /** Ingest-time decontamination screen — a STREAM-STATIC join against the
+    * benchmark corpus's DISTINCT shingle set (the same constants as the batch
+    * CurationQueries.decontaminate, so screen and batch agree exactly).
+    * Emits one row per (arriving doc, matched eval shingle); thresholding to
+    * a keep/drop decision happens downstream (foreachBatch or the batch
+    * re-check), keeping the stream STATELESS — no watermark, no aggregation
+    * state, and the static side is a broadcastable set bounded by the
+    * benchmark size. */
+  def decontaminationScreen(stream: DataFrame, evalDocs: DataFrame): DataFrame = {
+    import graft.functions.DedupQueries
+    val evalSh = evalDocs
+      .select(explode(TextFunctions.shingles(
+        TextFunctions.tokens(col("text")), DedupQueries.NGRAM)).as("s"))
+      .distinct()
+    stream
+      .select(col("doc_id"), explode(array_distinct(TextFunctions.shingles(
+        TextFunctions.tokens(col("text")), DedupQueries.NGRAM))).as("s"))
+      .join(evalSh, Seq("s"))
+      .select(col("doc_id"), col("s"))
+  }
+
   /** Landing sink: each micro-batch of curated documents appends into the
     * engine's own Catalog through its INSERT path (foreachBatch = the bridge
     * from Structured Streaming to arbitrary batch sinks; per-batch this is
