@@ -296,7 +296,122 @@ object DedupQueries {
     }
   }
 
+  /** Span width for substring dedup — long enough that a shared span means
+    * genuine duplication, short enough to catch partial overlap the doc-level
+    * methods miss. (Lee et al. 2021 use 50 BPE tokens on real corpora; the
+    * synthetic fixture docs are ~20-120 words, so 8 words plays the same
+    * role at fixture scale.) */
+  private val SPAN = 8
+
+  /** Span-level exact substring dedup (Lee et al. 2021, arXiv:2107.06499):
+    * find every `SPAN`-token sequence that occurs in more than one document.
+    * Doc-level dedup (exact/minhash/simhash) misses boilerplate shared
+    * between otherwise-distinct docs; this is the operator that catches it.
+    *
+    * Shape: positional spans are map-only (`spans`, every occurrence kept),
+    * one keyed groupBy on the span string aggregates document reach and
+    * occurrence count. No join at all — a boilerplate span that appears in
+    * millions of docs is just a hot aggregation key, absorbed by map-side
+    * partial aggregation (each task emits one partial row per span), so the
+    * hot-key risk the shingle inverted-index join has does not exist here.
+    * At 100 TB: group on a 64-bit span hash instead of the string to shrink
+    * shuffle bytes; the plan is otherwise identical. */
+  val dedupSubstringSpan: Q = Q(
+    "dedup_substring_span",
+    s"""SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+       |FROM (
+       |  SELECT doc_id, unnest(${spansSql(tokensSql("text"), SPAN)}) AS span
+       |  FROM documents)
+       |GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+       |ORDER BY span""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), explode(spans(tokens(col("text")), SPAN)).as("span"))
+      .groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("span")
+  }
+
+  private val SEM_MIN = 0.45 // within-cluster cosine ⇒ semantic duplicate
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
+    * space, call within-cluster pairs above a cosine threshold semantic
+    * duplicates, and from each duplicate pair KEEP the point with the LOWER
+    * cosine to its centroid (the paper's keep-the-outlier policy — it
+    * preserves the cluster's diversity; ties drop the higher id).
+    *
+    * Versus [[dedupEmbeddingCosine]] (LSH-banded candidates): candidate
+    * generation here is the coarse quantizer — every vector joins ONLY its
+    * own cluster, so pair cost is bounded by cluster size and the number of
+    * clusters scales with the corpus (NLIST ∝ √N keeps clusters ~constant).
+    * Cross-cluster duplicates are the documented recall trade, exactly as in
+    * the paper. Centroids here are the deterministic untrained quantizer
+    * shared with ann_ivf_topk; the trained variant is ann_ivf_kmeans_topk's
+    * Lloyd loop and plugs in unchanged.
+    *
+    * Determinism: integer-quantized vectors (SimilarityQueries.quantize) make
+    * every dot an exact integer sum; cosines are identical doubles in both
+    * engines, so the keep/drop decision cannot drift. Shape: one broadcast
+    * assign (map-only) + one equi-self-join on cent_id + one keyed agg. */
+  val dedupSemantic: Q = {
+    import SimilarityQueries.{quantizeSql, cosLSql, IVF_NLIST}
+    Q(
+      "dedup_semantic",
+      s"""WITH quant AS (
+         |  SELECT vec_id, ${quantizeSql("embedding")} AS qe FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, qe AS cemb FROM quant WHERE vec_id < $IVF_NLIST
+         |), assigned AS (
+         |  SELECT vec_id, qe, cent_id, ccos FROM (
+         |    SELECT q.vec_id, q.qe, c.cent_id,
+         |      ${cosLSql("q.qe", "c.cemb")} AS ccos,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosLSql("q.qe", "c.cemb")} DESC, c.cent_id) AS rk
+         |    FROM quant q CROSS JOIN cents c) WHERE rk = 1
+         |), pairs AS (
+         |  SELECT a.cent_id,
+         |    CASE WHEN a.ccos > b.ccos THEN a.vec_id
+         |         WHEN b.ccos > a.ccos THEN b.vec_id
+         |         ELSE GREATEST(a.vec_id, b.vec_id) END AS drop_id,
+         |    ${cosLSql("a.qe", "b.qe")} AS sim
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |  WHERE ${cosLSql("a.qe", "b.qe")} >= $SEM_MIN
+         |)
+         |SELECT cent_id, drop_id, COUNT(*) AS n_pairs, MAX(sim) AS max_sim
+         |FROM pairs GROUP BY cent_id, drop_id
+         |ORDER BY cent_id, drop_id""".stripMargin) { (s, dir) =>
+      import SimilarityQueries.{quantize, cosL}
+      import org.apache.spark.sql.expressions.Window
+      val quant = Tables.dfSpread(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      val cents = quant.filter(col("vec_id") < IVF_NLIST)
+        .select(col("vec_id").as("cent_id"), col("qe").as("cemb"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(cosL(col("qe"), col("cemb")).desc, col("cent_id"))
+      val assigned = quant.join(broadcast(cents))
+        .withColumn("ccos", cosL(col("qe"), col("cemb")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("qe"), col("cent_id"), col("ccos"))
+      val a = assigned.select(col("cent_id"), col("vec_id").as("id_a"),
+        col("qe").as("qa"), col("ccos").as("ca"))
+      val b = assigned.select(col("cent_id").as("cent_b"), col("vec_id").as("id_b"),
+        col("qe").as("qb"), col("ccos").as("cb"))
+      val dropId = when(col("ca") > col("cb"), col("id_a"))
+        .when(col("cb") > col("ca"), col("id_b"))
+        .otherwise(greatest(col("id_a"), col("id_b")))
+      a.join(b, col("cent_id") === col("cent_b") && col("id_a") < col("id_b"))
+        .select(col("cent_id"), dropId.as("drop_id"), cosL(col("qa"), col("qb")).as("sim"))
+        .filter(col("sim") >= SEM_MIN)
+        .groupBy("cent_id", "drop_id")
+        .agg(count(lit(1)).as("n_pairs"), max(col("sim")).as("max_sim"))
+        .orderBy("cent_id", "drop_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashLsh,
-    dedupSimhash, dedupSimhashPairs, dedupEmbeddingCosine)
+    dedupSimhash, dedupSimhashPairs, dedupEmbeddingCosine, dedupSubstringSpan,
+    dedupSemantic)
 }

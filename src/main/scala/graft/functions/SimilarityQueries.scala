@@ -207,7 +207,7 @@ object SimilarityQueries {
     }
   }
 
-  private val IVF_NLIST = 8
+  private[functions] val IVF_NLIST = 8
 
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to its
     * nearest of NLIST centroids; a query only scans its own cell, then exact
@@ -283,20 +283,20 @@ object SimilarityQueries {
 
   // the float widens to double BEFORE scaling in both engines — float×int
   // multiplication would round in float precision and drift the quantization
-  private def quantize(e: Column): Column =
+  private[functions] def quantize(e: Column): Column =
     transform(e, x => floor(x.cast("double") * 1000000 + lit(0.5)).cast("long"))
-  private def quantizeSql(e: String): String =
+  private[functions] def quantizeSql(e: String): String =
     s"[CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) for x in $e]"
 
-  private def dotL(a: Column, b: Column): Column =
+  private[functions] def dotL(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-  private def dotLSql(a: String, b: String): String =
+  private[functions] def dotLSql(a: String, b: String): String =
     s"CAST(list_sum([$a[i] * $b[i] for i in range(1, ${DIM + 1})]) AS BIGINT)"
 
-  private def cosL(a: Column, b: Column): Column =
+  private[functions] def cosL(a: Column, b: Column): Column =
     dotL(a, b).cast("double") /
       (sqrt(dotL(a, a).cast("double")) * sqrt(dotL(b, b).cast("double")))
-  private def cosLSql(a: String, b: String): String =
+  private[functions] def cosLSql(a: String, b: String): String =
     s"(CAST(${dotLSql(a, b)} AS DOUBLE) / (sqrt(CAST(${dotLSql(a, a)} AS DOUBLE)) * sqrt(CAST(${dotLSql(b, b)} AS DOUBLE))))"
 
   val annIvfKmeans: Q = {

@@ -78,6 +78,23 @@ object TextFunctions {
       s"ELSE [array_to_string($ws, ' ')] END)"
   }
 
+  /** POSITIONAL word n-gram spans (space-joined, NOT deduplicated — every
+    * occurrence counts, unlike [[shingles]]). Docs shorter than `n` tokens
+    * produce no spans: a sub-`n` fragment cannot contain an `n`-token
+    * duplicate. Used by span-level substring dedup (Lee et al. 2021,
+    * arXiv:2107.06499: duplicated exact substrings across training docs). */
+  def spans(ws: Column, n: Int): Column =
+    F.when(F.size(ws) >= n,
+      F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        i => F.concat_ws(" ", (0 until n).map(o => F.element_at(ws, i + o)): _*)))
+      .otherwise(F.array().cast("array<string>"))
+  def spansSql(ws: String, n: Int): String = {
+    val parts = (0 until n).map(o => s"$ws[i+$o]").mkString(" || ' ' || ")
+    s"(CASE WHEN len($ws) >= $n THEN [$parts for i in range(1, len($ws) - ${n - 2})] " +
+      s"ELSE CAST([] AS VARCHAR[]) END)"
+  }
+
   // ------------------------------------------------------------ MinHash
 
   /** MinHash signature: k independent min-hashes over a shingle array. */

@@ -164,7 +164,38 @@ object WindowQueries {
       .orderBy("rn")
   }
 
+  /** NTILE bucketing + FIRST_VALUE / LAST_VALUE / NTH_VALUE over an explicit
+    * full-partition frame (reference window surface:
+    * src/lib/expression/window_function_expression.hpp:19-33). The ORDER BY
+    * carries a unique tiebreaker (c_custkey) so NTILE's bucket boundaries and
+    * the value functions are deterministic in both engines; the frame is
+    * pinned to UNBOUNDED..UNBOUNDED because LAST_VALUE/NTH_VALUE over the
+    * default frame (..CURRENT ROW) is a classic cross-engine trap. */
+  val windowNtileValue: Q = Q(
+    "window_ntile_value",
+    """SELECT c_custkey, c_mktsegment,
+      |  NTILE(4) OVER w AS quartile,
+      |  FIRST_VALUE(c_custkey) OVER w AS richest,
+      |  LAST_VALUE(c_custkey) OVER w AS poorest,
+      |  NTH_VALUE(c_custkey, 2) OVER w AS runner_up
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY c_mktsegment, quartile, c_custkey""".stripMargin) { (s, dir) =>
+    val ord = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(ord).as("quartile"),
+        first(col("c_custkey")).over(full).as("richest"),
+        last(col("c_custkey")).over(full).as("poorest"),
+        nth_value(col("c_custkey"), 2).over(full).as("runner_up"))
+      .orderBy("c_mktsegment", "quartile", "c_custkey")
+  }
+
   val all: Seq[Q] = Seq(
     windowRank, windowRowNumber, windowPercentRank,
-    windowRunningSum, windowRangeFrame, windowLagLead, windowGlobalRank)
+    windowRunningSum, windowRangeFrame, windowLagLead, windowGlobalRank,
+    windowNtileValue)
 }

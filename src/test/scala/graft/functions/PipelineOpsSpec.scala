@@ -82,6 +82,64 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bucketed == total)
   }
 
+  test("substring spans: planted shared span found; short docs produce none") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight"
+    val docsDf = Seq(
+      (1L, s"prefix tokens here $shared suffix words"),
+      (2L, s"$shared completely different tail content"),
+      (3L, "a short doc"), // < 8 tokens: contributes no spans
+      (4L, "unrelated content with no overlap at all whatsoever in any span"))
+      .toDF("doc_id", "text")
+    val spansOf = docsDf.select(col("doc_id"),
+      explode(TextFunctions.spans(TextFunctions.tokens(col("text")), 8)).as("span"))
+    assert(spansOf.filter(col("doc_id") === 3L).count() == 0,
+      "a doc shorter than the span width must produce no spans")
+    val dup = spansOf.groupBy("span")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= 2).collect()
+    assert(dup.map(_.getString(0)).contains(shared),
+      s"the planted 8-token shared span must be reported, got: ${dup.toSeq}")
+    dup.foreach(r => assert(r.getString(0) == shared,
+      s"only the planted span is shared across docs, got ${r.getString(0)}"))
+  }
+
+  test("substring spans count every occurrence (positional, not distinct)") {
+    import spark.implicits._
+    val rep = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val one = Seq((1L, s"$rep $rep")).toDF("doc_id", "text")
+    val n = one.select(explode(TextFunctions.spans(
+      TextFunctions.tokens(col("text")), 8)).as("s"))
+      .filter(col("s") === rep).count()
+    assert(n == 2L, s"the repeated span occurs at 2 positions, counted $n")
+  }
+
+  test("semantic dedup pairs are a subset of the exact threshold pairs") {
+    // SemDeDup restricts candidates to within-cluster; every (drop) decision
+    // must therefore trace to a genuine sim>=0.45 pair that the exact O(n^2)
+    // oracle also sees — recall can be <1 (cross-cluster misses), but
+    // precision must be 1.
+    val exactIds = SimilarityQueries.annThresholdPairs.run(spark, sf)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val dropped = DedupQueries.dedupSemantic.run(spark, sf)
+      .collect().map(_.getLong(1))
+    assert(dropped.nonEmpty, "fixture plants near-dup embeddings; some must be dropped")
+    assert(dropped.distinct.length == dropped.length,
+      "one drop decision per (cluster, vec)")
+    dropped.foreach(id => assert(exactIds.contains(id),
+      s"dropped vec $id is not part of any exact sim>=0.45 pair"))
+  }
+
+  test("ntile quartiles balance within each segment (sizes differ by <=1)") {
+    val rows = graft.operators.WindowQueries.windowNtileValue.run(spark, sf)
+      .groupBy("c_mktsegment", "quartile").count().collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, byTile) =>
+      val sizes = byTile.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1,
+        s"NTILE must balance buckets, got ${byTile.toSeq}")
+    }
+  }
+
   test("multimodal payload plumbing: byte counts & batched features") {
     val docs = Tables.df(spark, sf, "documents")
     val out = Multimodal.decodeBatched(spark, Multimodal.attachPayload(docs, "text"))
