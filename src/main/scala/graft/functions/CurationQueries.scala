@@ -413,7 +413,55 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  // -------------------------------------------------- fractional-epoch upsampling
+  // The upsampling half of data mixing (The Pile, arXiv:2101.00027 table 1
+  // declares per-source epochs like 1.5 or 2.5; cur_domain_mix is the
+  // downsampling half). Fractional epochs are realized EXACTLY: a source at
+  // 2.5 epochs emits 2 full replicas of every document plus a third replica
+  // for a deterministic hash-selected 50% of documents. Epochs are carried as
+  // integer basis points (25000 = 2.5x) so the replica count is pure integer
+  // arithmetic — bit-identical in both engines. The mixture table here maps
+  // source index % 3 -> {2.5, 1.5, 1.0}; a real pipeline passes its own.
+  // Scale: map-side only — a per-row CASE, a <= ceil(epochs) sequence
+  // explode, zero joins, zero shuffles (the ORDER BY is presentation). Output
+  // is bounded at ceil(max epochs) x input.
+
+  private val EPOCH_BP: Seq[Long] = Seq(25000L, 15000L, 10000L) // idx%3 -> bp
+
+  val oversampleEpochs: Q = {
+    val caseSql =
+      s"""CASE CAST(SUBSTR(source, 4) AS INT) % 3
+         |      WHEN 0 THEN ${EPOCH_BP(0)} WHEN 1 THEN ${EPOCH_BP(1)}
+         |      ELSE ${EPOCH_BP(2)} END""".stripMargin
+    Q(
+      "cur_oversample_epochs",
+      s"""WITH planned AS (
+         |  SELECT source, doc_id,
+         |    CAST(($caseSql) AS BIGINT) AS epochs_bp,
+         |    CAST(($caseSql) // 10000
+         |      + CASE WHEN ${hash64Sql("CAST(doc_id AS VARCHAR)", "epoch")} % 10000
+         |                  < ($caseSql) % 10000 THEN 1 ELSE 0 END AS BIGINT) AS n_rep
+         |  FROM documents
+         |)
+         |SELECT source, doc_id, epochs_bp, epoch FROM (
+         |  SELECT source, doc_id, epochs_bp, unnest(range(1, n_rep + 1)) AS epoch
+         |  FROM planned)
+         |ORDER BY source, doc_id, epoch""".stripMargin) { (s, dir) =>
+      val idx = substring(col("source"), 4, 10).cast("int") % 3
+      val bp = when(idx === 0, EPOCH_BP(0)).when(idx === 1, EPOCH_BP(1))
+        .otherwise(EPOCH_BP(2))
+      val extra = when(hash64(col("doc_id").cast("string"), "epoch") % 10000
+        < bp % 10000, 1L).otherwise(0L)
+      docs(s, dir)
+        .select(col("source"), col("doc_id"), bp.as("epochs_bp"),
+          (floor(bp / 10000).cast("long") + extra).as("n_rep"))
+        .select(col("source"), col("doc_id"), col("epochs_bp"),
+          explode(sequence(lit(1L), col("n_rep"))).as("epoch"))
+        .orderBy("source", "doc_id", "epoch")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     repetition, qualityFilter, sampleStratified, packSequences, dedupClusterCc,
-    corpusDiff, decontaminate, domainMix)
+    corpusDiff, decontaminate, domainMix, oversampleEpochs)
 }

@@ -76,6 +76,30 @@ class CurationSpec extends AnyFunSuite {
     assert(packed == total, s"token conservation: $packed != $total")
   }
 
+  test("fractional epochs: replica counts realize the declared mixture exactly") {
+    val rows = CurationQueries.oversampleEpochs.run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val perDoc = rows.groupBy(r => (r._1, r._2)).map { case ((src, id), rs) =>
+      val bp = rs.head._3
+      (src, id, bp, rs.length.toLong, rs.map(_._4).sorted.toSeq)
+    }
+    perDoc.foreach { case (src, id, bp, n, epochs) =>
+      val full = bp / 10000
+      assert(n == full || n == full + 1,
+        s"doc $src/$id at ${bp}bp must have $full or ${full + 1} replicas, got $n")
+      assert(epochs == (1L to n), s"doc $src/$id epochs must be 1..$n, got $epochs")
+      if (bp % 10000 == 0)
+        assert(n == full, s"doc $src/$id: whole epochs ($bp bp) never gain a replica")
+    }
+    // the fractional remainder is realized: a 1.5x source has BOTH 1- and
+    // 2-replica docs (hash-sampled 50%), never all-or-nothing
+    val byBp = perDoc.groupBy(_._3)
+    byBp.get(15000L).foreach { ds =>
+      val ns = ds.map(_._4).toSet
+      assert(ns == Set(1L, 2L), s"1.5x source must mix 1 and 2 replicas, got $ns")
+    }
+  }
+
   test("dedup clusters: endpoints of every LSH pair share a cluster; rep is min member") {
     val labels = CurationQueries.dedupClusterCc.run(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
