@@ -38,5 +38,19 @@ object IoQueries {
     BinFormat.read(s, p).orderBy("n_nationkey")
   }
 
-  val all: Seq[Q] = Seq(tblRoundtrip, csvRoundtrip, binRoundtrip)
+  /** JSON-lines round-trip over `documents` — the interchange format every
+    * training-data pipeline speaks. Unlike the fixture formats above this one
+    * is distributed end-to-end: `df.write.json` emits executor-parallel part
+    * files and the read-back scans them in parallel with the ORIGINAL schema
+    * pinned (JSON inference would widen/reorder — never rely on it at scale). */
+  val jsonlRoundtrip: Q = Q(
+    "io_jsonl_roundtrip",
+    "SELECT * FROM documents ORDER BY doc_id") { (s, dir) =>
+    val d = Tables.df(s, dir, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    d.write.json(out)
+    s.read.schema(d.schema).json(out).orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(tblRoundtrip, csvRoundtrip, binRoundtrip, jsonlRoundtrip)
 }
