@@ -37,6 +37,64 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
 
+  /** 16-bit Morton interleave: bit i of `a` lands at position 2i+1, bit i of
+    * `b` at 2i — points close in BOTH dimensions get close z-values. Pure
+    * bit arithmetic, stays inside whole-stage codegen. */
+  private def interleave16(a: Column, b: Column): Column =
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+
+  /** Map `c` linearly onto [0, 65535] given its global min/max. */
+  private def norm16(c: Column, mn: Long, mx: Long): Column =
+    floor((c.cast("double") - mn) * 65535.0 / math.max(1L, mx - mn).toDouble)
+      .cast("long")
+
+  /** Persist `df` Z-ORDER clustered on two columns: rows are range-partitioned
+    * and sorted by the Morton interleave of the (min/max-normalized) columns,
+    * so every output file covers a small RECTANGLE of the 2-D key space
+    * instead of a thin slice of one dimension. Parquet row-group min/max
+    * stats then skip files for selective predicates on EITHER column — the
+    * multi-dimension generalization of sort-based data skipping, and the
+    * standard lakehouse answer when a 100 TB fact table is filtered by more
+    * than one dimension (the reference's counterpart is per-chunk pruning
+    * statistics over its sorted chunks, src/lib/storage/chunk.hpp).
+    *
+    * One tiny driver action fetches the two min/max pairs; the z-value is a
+    * map-only expression and the write pays the one range shuffle any
+    * clustered layout costs. Skew caveat: linear normalization assumes
+    * roughly uniform key ranges (true for surrogate keys); heavy skew wants
+    * rank-based normalization first. */
+  def writeZOrdered(df: DataFrame, path: String, ca: String, cb: String,
+      files: Int): Unit = {
+    val r = df.agg(
+      min(col(ca)).cast("long"), max(col(ca)).cast("long"),
+      min(col(cb)).cast("long"), max(col(cb)).cast("long")).head()
+    val z = interleave16(
+      norm16(col(ca), r.getLong(0), r.getLong(1)),
+      norm16(col(cb), r.getLong(2), r.getLong(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Compact a directory of small part files into `targetFiles` — the
+    * small-file maintenance pass every long-lived 100 TB table needs
+    * (streaming sinks and fine-grained partitions accrete KB-sized files;
+    * scan-task scheduling overhead then dominates I/O). `coalesce` merges
+    * read-side WITHOUT a shuffle; per-partition layouts compact each
+    * partition directory independently. The reference's counterpart is chunk
+    * consolidation under MVCC cleanup (src/lib/utils/pausable_loop_thread.hpp
+    * driving MvccDeletePlugin). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFiles: Int): Unit =
+    spark.read.parquet(inPath).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(outPath)
+
   /** Salted equi join for skewed build keys, the manual counterpart of AQE's
     * skew-join splitting (enabled in GraftSession) for when skew is KNOWN
     * up front: the left (skewed) side gets a deterministic per-row salt in

@@ -78,4 +78,58 @@ class LayoutSpec extends AnyFunSuite {
     assert(optimized.contains("dynamicpruning"),
       s"expected a dynamic partition pruning subquery in:\n$optimized")
   }
+
+  /** Per-file normalized width of `c`'s [min,max] envelope, averaged over the
+    * part files of `dir` — the file-skipping proxy: a selective predicate on
+    * `c` can skip a file iff its envelope misses the value, so narrower
+    * envelopes = more skipping. */
+  private def avgEnvelope(dir: String, c: String): Double = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 1, s"need multiple part files in $dir")
+    val widths = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+      r.getDouble(1) - r.getDouble(0)
+    }
+    val g = spark.read.parquet(dir)
+      .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+    widths.sum / widths.length / math.max(1.0, g.getDouble(1) - g.getDouble(0))
+  }
+
+  test("z-order layout: every file covers a small rectangle of BOTH dimensions") {
+    val li = Tables.df(spark, sf, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    val single = java.nio.file.Files.createTempDirectory("graft_zsingle").toString
+    val zdir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // baseline: the best SINGLE-column layout (sorted by l_partkey)
+    li.repartitionByRange(4, col("l_partkey")).sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(single)
+    Layout.writeZOrdered(li, zdir, "l_partkey", "l_suppkey", files = 4)
+    // single-col sort: near-perfect on partkey, but every file spans the FULL
+    // suppkey range (~1.0); z-order: both dims get a fractional envelope, so
+    // the WORST dimension — what a mixed workload feels — improves a lot
+    val worstSingle = math.max(avgEnvelope(single, "l_partkey"), avgEnvelope(single, "l_suppkey"))
+    val worstZ = math.max(avgEnvelope(zdir, "l_partkey"), avgEnvelope(zdir, "l_suppkey"))
+    assert(worstZ < 0.75 * worstSingle,
+      s"z-order worst-dim envelope $worstZ must beat single-sort $worstSingle")
+    // and it is a layout, not a transformation: same rows
+    assert(spark.read.parquet(zdir).count() === li.count())
+  }
+
+  test("compaction merges small files without a shuffle and preserves data") {
+    val li = Tables.df(spark, sf, "lineitem")
+    val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val tidy = java.nio.file.Files.createTempDirectory("graft_tidy").toString
+    li.repartition(20).write.mode("overwrite").parquet(frag)
+    def nFiles(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles(frag) === 20)
+    Layout.compact(spark, frag, tidy, targetFiles = 2)
+    assert(nFiles(tidy) === 2, "compaction must hit the target file count")
+    val a = spark.read.parquet(frag)
+    val b = spark.read.parquet(tidy)
+    assert(b.count() === a.count())
+    assert(a.join(b, a.columns.toSeq, "left_anti").count() === 0,
+      "compaction must preserve every row")
+  }
 }
