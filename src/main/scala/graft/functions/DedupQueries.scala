@@ -332,6 +332,51 @@ object DedupQueries {
       .orderBy("span")
   }
 
+  private val FUZZY_MIN_BP = 9000L // edit-similarity floor (basis points)
+
+  /** Edit-distance re-rank of the LSH candidates: shingle-based banding can
+    * collide on docs that merely share vocabulary; Levenshtein over the full
+    * text is the character-level ground truth that confirms them (the
+    * verify-stage of fuzzy dedup, cf. BigCode/The-Stack dedup pipelines which
+    * re-check candidates before dropping). Similarity is integer basis
+    * points, 10000 - 10000·lev/max(len) — exact in both engines.
+    *
+    * Scale: Levenshtein is O(len²) per pair, which is exactly why it runs on
+    * the CANDIDATE set (|pairs| ≪ |corpus|²) and never on the corpus itself;
+    * the join fetching the two texts is doc_id-keyed. In production, cap the
+    * compared prefix (levenshtein(substr(a,1,4096), ...)) to bound per-pair
+    * cost; the fixture texts are already below any such cap. */
+  val dedupFuzzyRerank: Q = {
+    val candSql = dedupMinhashLsh.oracle.get.stripSuffix("ORDER BY doc_a, doc_b")
+    Q(
+      "dedup_fuzzy_rerank",
+      s"""WITH cand AS ($candSql)
+         |SELECT doc_a, doc_b, lev, sim_bp FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+         |    10000 - (10000 * CAST(levenshtein(da.text, db.text) AS BIGINT))
+         |      // GREATEST(length(da.text), length(db.text)) AS sim_bp
+         |  FROM cand c
+         |  JOIN documents da ON da.doc_id = c.doc_a
+         |  JOIN documents db ON db.doc_id = c.doc_b)
+         |WHERE sim_bp >= $FUZZY_MIN_BP
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val cand = dedupMinhashLsh.run(s, dir)
+      val d = docs(s, dir)
+      cand
+        .join(d.select(col("doc_id"), col("text").as("ta")), col("doc_id") === col("doc_a")).drop("doc_id")
+        .join(d.select(col("doc_id"), col("text").as("tb")), col("doc_id") === col("doc_b")).drop("doc_id")
+        .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+        // `div` (integral divide) keeps sim_bp a BIGINT in both engines;
+        // Column./ would widen to double and break the oracle schema compare.
+        .withColumn("sim_bp",
+          lit(10000L) - expr("(10000 * lev) div greatest(length(ta), length(tb))"))
+        .select(col("doc_a"), col("doc_b"), col("lev"), col("sim_bp"))
+        .filter(col("sim_bp") >= FUZZY_MIN_BP)
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
   private val SEM_MIN = 0.45 // within-cluster cosine ⇒ semantic duplicate
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
@@ -413,5 +458,5 @@ object DedupQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashLsh,
     dedupSimhash, dedupSimhashPairs, dedupEmbeddingCosine, dedupSubstringSpan,
-    dedupSemantic)
+    dedupSemantic, dedupFuzzyRerank)
 }

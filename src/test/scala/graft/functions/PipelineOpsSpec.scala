@@ -36,6 +36,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"boilerplate-driven pairs leaked: ${pairs.filterNot(p => (p._1, p._2) == ((100L, 101L))).take(5).toSeq}")
   }
 
+  test("fuzzy rerank: subset of LSH candidates, sim floor holds, exact dups score 10000") {
+    val lsh = DedupQueries.dedupMinhashLsh.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = DedupQueries.dedupFuzzyRerank.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rr.nonEmpty, "fixture plants near-dup pairs; rerank should confirm some")
+    assert(rr.forall { case (a, b, _, _) => lsh.contains((a, b)) },
+      "rerank is a verify stage — it can only confirm LSH candidates, never invent pairs")
+    assert(rr.forall { case (_, _, _, bp) => bp >= 9000L && bp <= 10000L })
+    assert(rr.forall { case (_, _, lev, bp) => (lev == 0L) == (bp == 10000L) },
+      "levenshtein 0 iff similarity 10000 bp")
+  }
+
   test("identical texts get identical minhash signatures") {
     import spark.implicits._
     val two = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "alpha beta gamma delta epsilon"))
