@@ -137,6 +137,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(!p1.inTransaction)
   }
 
+  test("txn stress: 8 threads with retry loops serialize; no lost updates") {
+    import spark.implicits._
+    val cat = new Catalog(spark)
+    cat.register("s_log", Seq((0L, "init")).toDF("id", "who"))
+    val threads = 8
+    val cids = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val futures = (1 to threads).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            var attempts = 0
+            var committed = false
+            while (!committed) {
+              attempts += 1
+              assert(attempts <= 200, s"thread $i starved after $attempts attempts")
+              val t = cat.beginTxn()
+              t.insert("s_log", Seq((i.toLong, s"thread$i")).toDF("id", "who"))
+              t.commit() match {
+                case Right(cid) => assert(cids.add(cid), s"duplicate commit cid $cid"); committed = true
+                case Left(conflicts) => assert(conflicts == Seq("s_log")) // retry
+              }
+            }
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    // every thread's row survives exactly once: conflicts forced retries, not lost updates
+    val rows = cat.table("s_log").select("id").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == (0L to threads.toLong), s"lost/duplicated updates: ${rows.toSeq}")
+    assert(cids.size == threads)
+  }
+
   test("read-only transaction always commits; nested BEGIN rejected") {
     val p = freshPipeline()
     val rs = p.run("BEGIN; SELECT COUNT(*) AS n FROM t_region; BEGIN; COMMIT")
