@@ -461,7 +461,37 @@ object CurationQueries {
     }
   }
 
+  // ------------------------------------------------------- train/val/test split
+  // Holdout assignment must be a pure function of the document identity —
+  // never of row order, partitioning, or a random() call — so that (a) the
+  // split is identical on any cluster/engine/rerun, (b) a document can never
+  // migrate between train and test across pipeline versions (the classic
+  // leakage bug with rand()-based splits), (c) no shuffle is needed: the
+  // assignment is one map-only CASE over the portable hash. 98/1/1 permille
+  // buckets, the common LLM pretraining shape.
+  private val VAL_LO = 980
+  private val TEST_LO = 990
+
+  val splitAssign: Q = Q(
+    "cur_split_assign",
+    s"""SELECT doc_id, source, b AS bucket,
+       |  CASE WHEN b < $VAL_LO THEN 'train' WHEN b < $TEST_LO THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, source,
+       |        ${hash64Sql("CAST(doc_id AS VARCHAR)", "split")} % 1000 AS b
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        (hash64(col("doc_id").cast("string"), "split") % 1000).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < VAL_LO, "train")
+          .when(col("bucket") < TEST_LO, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     repetition, qualityFilter, sampleStratified, packSequences, dedupClusterCc,
-    corpusDiff, decontaminate, domainMix, oversampleEpochs)
+    corpusDiff, decontaminate, domainMix, oversampleEpochs, splitAssign)
 }

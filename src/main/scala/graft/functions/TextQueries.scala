@@ -179,6 +179,43 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Frequency-ranked vocabulary with cumulative corpus coverage — the
+    * "how much vocab covers 95% of tokens" analysis behind tokenizer sizing
+    * and stopword lists. Integer basis points (`div`) keep the oracle exact.
+    *
+    * Scale: the explode+count is one keyed shuffle with map-side combine over
+    * the corpus; everything after operates on the VOCAB table (≪ corpus —
+    * even web-scale text has ~10⁷ distinct tokens vs 10¹² occurrences), so
+    * the unpartitioned rank/cumsum window is bounded by vocabulary size, not
+    * data size. The corpus-total join is a broadcast of one row. */
+  val textVocabCoverage: Q = Q(
+    "text_vocab_coverage",
+    s"""WITH tok AS (
+       |  SELECT unnest(${tokensSql("text")}) AS w FROM documents
+       |), c AS (
+       |  SELECT w, COUNT(*) AS n FROM tok GROUP BY w
+       |)
+       |SELECT w, n,
+       |  ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank,
+       |  SUM(n) OVER (ORDER BY n DESC, w ROWS UNBOUNDED PRECEDING) AS cum_n,
+       |  (10000 * SUM(n) OVER (ORDER BY n DESC, w ROWS UNBOUNDED PRECEDING))
+       |    // (SELECT SUM(n) FROM c) AS coverage_bp
+       |FROM c ORDER BY rank""".stripMargin) { (s, dir) =>
+    val c = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("w"))
+    val total = c.agg(sum("n").as("tot"))
+    c.withColumn("rank", row_number().over(byFreq).cast("long")) // BIGINT like the oracle's ROW_NUMBER
+      .withColumn("cum_n", sum("n").over(byFreq.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .join(broadcast(total))
+      .withColumn("coverage_bp", expr("(10000 * cum_n) div tot"))
+      .select("w", "n", "rank", "cum_n", "coverage_bp")
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(textTokenCount, textQuality, textLangId, textFingerprint,
-    textBpeTokens, textRedact, textDfScore)
+    textBpeTokens, textRedact, textDfScore, textVocabCoverage)
 }

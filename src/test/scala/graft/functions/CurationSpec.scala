@@ -34,6 +34,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("split assign: pure function of doc_id, partitions the corpus, near-declared rates") {
+    val a = CurationQueries.splitAssign.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val b = CurationQueries.splitAssign.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    assert(a.toSeq == b.toSeq, "assignment must be bit-stable across runs")
+    val n = a.length.toDouble
+    val byName = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byName.keySet == Set("train", "val", "test"), s"got ${byName.keySet}")
+    // 98/1/1 permille targets; hash buckets are uniform so allow generous slack
+    assert(byName("train") / n > 0.95, s"train frac ${byName("train") / n}")
+    assert(byName("val") + byName("test") < 0.05 * n)
+    assert(a.map(_._1).distinct.length == a.length, "exactly one split per doc")
+  }
+
+  test("vocab coverage: cumsum monotone, last row covers the whole corpus") {
+    val rows = TextQueries.textVocabCoverage.run(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))) // rank, cum_n, coverage_bp
+    assert(rows.map(_._1).toSeq == (1L to rows.length.toLong), "ranks dense from 1")
+    assert(rows.sliding(2).forall { case Array(p, q) => q._2 > p._2; case _ => true },
+      "cumulative count strictly increases (every token has n >= 1)")
+    assert(rows.last._3 == 10000L, "final cumulative coverage is 100.00%")
+    assert(rows.map(_._3).sliding(2).forall { case Array(p, q) => q >= p; case _ => true })
+  }
+
   test("repetition fractions are in [0,1] and distinct_ratio positive") {
     val rows = CurationQueries.repetition.run(spark, sf).collect()
     assert(rows.nonEmpty)
