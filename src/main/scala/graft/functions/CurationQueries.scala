@@ -491,7 +491,38 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------- per-domain cap
+  // RefinedWeb-style hard cap: at most CAP documents from any one source, the
+  // guard against a single domain flooding the corpus (rate-based mixing above
+  // reweights; this bounds). Selection order is (portable hash, doc_id) — a
+  // deterministic uniform shuffle within the domain, so the kept subset is
+  // reproducible and unbiased, never "first CAP in crawl order".
+  //
+  // Scale: one window shuffle keyed by source. A mega-domain makes that key
+  // hot; the fix at 100 TB is a hash-threshold pre-filter (keep_bp ≈
+  // CAP/domain_count from a first keyed count pass) that shrinks each domain
+  // to ~CAP candidates before the exact window ranks them.
+  private val DOMAIN_CAP = 20
+
+  val domainCap: Q = Q(
+    "cur_domain_cap",
+    s"""SELECT doc_id, source, rk FROM (
+       |  SELECT doc_id, source, ROW_NUMBER() OVER (
+       |    PARTITION BY source
+       |    ORDER BY ${hash64Sql("CAST(doc_id AS VARCHAR)", "cap")}, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $DOMAIN_CAP ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val bySrc = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(hash64(col("doc_id").cast("string"), "cap"), col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        row_number().over(bySrc).cast("long").as("rk"))
+      .filter(col("rk") <= DOMAIN_CAP)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     repetition, qualityFilter, sampleStratified, packSequences, dedupClusterCc,
-    corpusDiff, decontaminate, domainMix, oversampleEpochs, splitAssign)
+    corpusDiff, decontaminate, domainMix, oversampleEpochs, splitAssign, domainCap)
 }

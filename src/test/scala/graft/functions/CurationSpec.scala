@@ -59,6 +59,18 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(_._3).sliding(2).forall { case Array(p, q) => q >= p; case _ => true })
   }
 
+  test("domain cap: at most CAP docs per source, selection hash-deterministic") {
+    val rows = CurationQueries.domainCap.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = rows.groupBy(_._2)
+    assert(bySrc.values.forall(_.length <= 20), "cap respected")
+    assert(bySrc.values.forall(g => g.map(_._3).sorted.toSeq == (1L to g.length.toLong)),
+      "ranks dense within each source")
+    val again = CurationQueries.domainCap.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq, "kept subset reproducible")
+  }
+
   test("repetition fractions are in [0,1] and distinct_ratio positive") {
     val rows = CurationQueries.repetition.run(spark, sf).collect()
     assert(rows.nonEmpty)
