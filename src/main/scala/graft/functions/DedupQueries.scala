@@ -104,16 +104,18 @@ object DedupQueries {
 
   /** MinHash signatures (first 4 of K values dumped for inspection/verification). */
   val dedupMinhashSig: Q = {
-    val sigCols = (0 until 4).map(i => s"${minhashSigSql("sg", i)} AS h$i").mkString(",\n       |  ")
+    val sigCols = (0 until 4).map(i => s"${minhashSigSql("hsg", i)} AS h$i").mkString(",\n       |  ")
     Q(
       "dedup_minhash_sig",
       s"""SELECT doc_id,
          |  $sigCols
-         |FROM (SELECT doc_id, ${shinglesSql(tokensSql("text"), NGRAM)} AS sg FROM documents)
+         |FROM (SELECT doc_id, ${shingleHashesSql("sg")} AS hsg
+         |      FROM (SELECT doc_id, ${shinglesSql(tokensSql("text"), NGRAM)} AS sg FROM documents))
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val withSg = docs(s, dir)
+      val withHsg = docs(s, dir)
         .select(col("doc_id"), shingles(tokens(col("text")), NGRAM).as("sg"))
-      withSg.select(col("doc_id") +: minhashSig(col("sg"), 4): _*).orderBy("doc_id")
+        .select(col("doc_id"), shingleHashes(col("sg")).as("hsg"))
+      withHsg.select(col("doc_id") +: minhashSig(col("hsg"), 4): _*).orderBy("doc_id")
     }
   }
 
@@ -125,7 +127,8 @@ object DedupQueries {
   def bandKeysOf(in: DataFrame): DataFrame = {
     val withSig = in
       .select(col("doc_id"), shingles(tokens(col("text")), NGRAM).as("sg"))
-      .select(col("doc_id") +: minhashSig(col("sg"), K): _*)
+      .select(col("doc_id"), shingleHashes(col("sg")).as("hsg")) // md5 once per shingle
+      .select(col("doc_id") +: minhashSig(col("hsg"), K): _*)
     val hs = (0 until K).map(i => col(s"h$i"))
     withSig.select(
       col("doc_id"),
@@ -135,13 +138,14 @@ object DedupQueries {
 
   /** MinHash + LSH banding: candidate pairs sharing ≥1 of BANDS band keys. */
   val dedupMinhashLsh: Q = {
-    val sigList = (0 until K).map(i => minhashSigSql("sg", i)).mkString("[", ",\n       |   ", "]")
+    val sigList = (0 until K).map(i => minhashSigSql("hsg", i)).mkString("[", ",\n       |   ", "]")
     val bandExpr = (0 until ROWS).map(r => s"hs[$ROWS*i + ${r + 1}]::VARCHAR").mkString(" || '_' || ")
     Q(
       "dedup_minhash_lsh",
       s"""WITH sig AS (
          |  SELECT doc_id, $sigList AS hs
-         |  FROM (SELECT doc_id, ${shinglesSql(tokensSql("text"), NGRAM)} AS sg FROM documents)
+         |  FROM (SELECT doc_id, ${shingleHashesSql("sg")} AS hsg
+         |        FROM (SELECT doc_id, ${shinglesSql(tokensSql("text"), NGRAM)} AS sg FROM documents))
          |), bands AS (
          |  SELECT doc_id, i AS band_idx, $bandExpr AS band_key
          |  FROM sig CROSS JOIN range(0, $BANDS) t(i)

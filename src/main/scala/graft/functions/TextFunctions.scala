@@ -97,11 +97,34 @@ object TextFunctions {
 
   // ------------------------------------------------------------ MinHash
 
-  /** MinHash signature: k independent min-hashes over a shingle array. */
-  def minhashSig(sg: Column, k: Int): Seq[Column] =
-    (0 until k).map(i => F.array_min(F.transform(sg, s => hash64(s, s"mh$i"))).as(s"h$i"))
-  def minhashSigSql(sg: String, i: Int): String =
-    s"list_min([${hash64Sql("s", s"mh$i")} for s in $sg])"
+  /** Base shingle hash, computed ONCE per shingle. The k MinHash families are
+    * affine rehashes of this value (below) instead of k independent md5
+    * passes — the standard MinHash construction (one strong base hash + a
+    * universal family h_i(x) = (a_i·x + b_i) mod p, p Mersenne prime), and a
+    * 12× cut in md5/hex-conv work on the corpus-sized signature stage. */
+  def shingleHashes(sg: Column): Column = F.transform(sg, s => hash64(s, "mh"))
+  def shingleHashesSql(sg: String): String = s"[${hash64Sql("s", "mh")} for s in $sg]"
+
+  private val MH_P = 2147483647L // 2^31 - 1; (p-1)² + p < 2^63, no overflow
+  /** Family constants (a_i ∈ [1, p-1], b_i ∈ [0, p-1]) from fixed golden-ratio
+    * multipliers — deterministic, inlined as literals into BOTH engines. */
+  private[graft] def mhFam(i: Int): (Long, Long) = {
+    val a = ((i + 1).toLong * 2654435761L) % (MH_P - 1) + 1
+    val b = ((i + 1).toLong * 2246822519L) % MH_P
+    (a, b)
+  }
+
+  /** MinHash signature: k affine min-hashes over the PRE-HASHED shingle array
+    * (`shingleHashes` above) — pure integer arithmetic, codegen-friendly. */
+  def minhashSig(hsg: Column, k: Int): Seq[Column] =
+    (0 until k).map { i =>
+      val (a, b) = mhFam(i)
+      F.array_min(F.transform(hsg, h => ((h % MH_P) * a + b) % MH_P)).as(s"h$i")
+    }
+  def minhashSigSql(hsg: String, i: Int): String = {
+    val (a, b) = mhFam(i)
+    s"list_min([((s % $MH_P) * $a + $b) % $MH_P for s in $hsg])"
+  }
 
   /** LSH band key: rows-per-band consecutive signature values joined to a string. */
   def bandKey(hs: Seq[Column], band: Int, rowsPerBand: Int): Column =

@@ -54,7 +54,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     val two = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text")
     val sigs = two.select(TextFunctions.minhashSig(
-      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3), 12): _*).collect()
+      TextFunctions.shingleHashes(
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)), 12): _*).collect()
     assert(sigs(0) == sigs(1))
   }
 
