@@ -55,10 +55,15 @@ object DedupQueries {
   private val MAX_POSTINGS = 1000L
 
   /** N-gram Jaccard pairs over any (doc_id, text) frame: inverted shingle
-    * index, hot-shingle cap, equi-self-join — no cross join, no hot key. */
+    * index, hot-shingle cap, equi-self-join — no cross join, no hot key.
+    * Postings carry the 8-byte shingle HASH, not the shingle string: the
+    * self-join key (the largest shuffle in this plan) shrinks ~3-4× and
+    * compares as a single long. Both engines hash identically, so counts —
+    * and therefore Jaccard — are unchanged (60-bit collisions negligible). */
   def ngramJaccardPairs(in: DataFrame, maxPostings: Long = MAX_POSTINGS): DataFrame = {
     val sh = in
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), NGRAM)).as("s"))
+      .select(col("doc_id"),
+        explode(shingleHashes(shingles(tokens(col("text")), NGRAM))).as("s"))
     // tiny by construction (only shingles with df > cap) → broadcast anti join
     val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxPostings).select("s")
@@ -80,7 +85,8 @@ object DedupQueries {
   val dedupNgramJaccard: Q = Q(
     "dedup_ngram_jaccard",
     s"""WITH sh AS (
-       |  SELECT doc_id, unnest(${shinglesSql(tokensSql("text"), NGRAM)}) AS s FROM documents
+       |  SELECT doc_id, unnest(${shingleHashesSql(shinglesSql(tokensSql("text"), NGRAM))}) AS s
+       |  FROM documents
        |), hot AS (
        |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) > $MAX_POSTINGS
        |), kept AS (

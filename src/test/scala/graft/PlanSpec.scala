@@ -44,6 +44,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"q6 must be join-free:\n$p")
   }
 
+  test("split assign: map-only — the holdout assignment adds no shuffle") {
+    // the final ORDER BY is presentation; strip everything after the sort's
+    // exchange by asserting the pre-sort fragment has no join and no
+    // aggregate — assignment must be computable per-row from the scan.
+    val p = planOf("cur_split_assign")
+    assert(!p.contains("Join"), s"split assignment must be join-free:\n$p")
+    assert(!p.contains("HashAggregate"), s"split assignment must be agg-free:\n$p")
+  }
+
+  test("domain cap: single keyed window, no join, no second corpus scan") {
+    val p = planOf("cur_domain_cap")
+    assert(!p.contains("Join"), s"per-domain cap must be join-free:\n$p")
+    assert(p.contains("Window"), "cap is one window over source")
+    assert(p.split("FileScan").length <= 2, s"one corpus scan expected:\n$p")
+  }
+
+  test("vocab coverage: corpus stage is one keyed count; windows run on vocab only") {
+    val f = formatted("text_vocab_coverage")
+    // the only corpus-sized shuffle is the token groupBy; the rank/cumsum
+    // window and the 1-row total join must sit above the vocab-sized agg
+    assert(f.contains("HashAggregate"), "token counting is a hash aggregate")
+    assert(f.contains("BroadcastNestedLoopJoin") || f.contains("BroadcastExchange"),
+      "the corpus total joins as a broadcast of one row")
+  }
+
   test("top-k uses TakeOrderedAndProject (no global sort materialization)") {
     val p = planOf("limit_topk")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
