@@ -141,6 +141,24 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
             invalidatePlanCache()
             StatementResult(s, Ok, None)
         }
+      } else if (upper.startsWith("EXPLAIN ")) {
+        // EXPLAIN [SIMPLE|FORMATTED|EXTENDED|COST|CODEGEN] <query> — the
+        // console/debug surface of the reference (hyriseConsole `visualize`
+        // prints the LQP/PQP, reference: src/bin/console/console.cpp); here
+        // the Catalyst plan IS that artifact. Returns one row per plan line
+        // so clients (incl. pgwire) render it like psql's EXPLAIN.
+        val rest = s.drop("EXPLAIN ".length).trim
+        val (mode, q) = {
+          val u = rest.toUpperCase
+          Seq("FORMATTED", "EXTENDED", "COST", "CODEGEN", "SIMPLE")
+            .find(m => u.startsWith(m + " "))
+            .map(m => (m.toLowerCase, rest.drop(m.length).trim))
+            .getOrElse(("formatted", rest))
+        }
+        val plan = spark.sql(q).queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+        import spark.implicits._
+        StatementResult(s, Ok, Some(plan.linesIterator.toSeq.toDF("plan")))
       } else if (upper.startsWith("PREPARE ")) {
         // PREPARE name AS <statement>  (placeholders are ?)
         val rest = s.drop("PREPARE ".length)

@@ -179,6 +179,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(rs(3).status == p.Ok, "read-only commit succeeds")
   }
 
+  test("EXPLAIN returns the formatted physical plan, one row per line") {
+    val p = freshPipeline()
+    val lines = p.sql("EXPLAIN SELECT r_name FROM t_region WHERE r_regionkey = 1")
+      .collect().map(_.getString(0))
+    assert(lines.exists(_.contains("Physical Plan")), lines.take(5).mkString("\n"))
+    assert(lines.exists(l => l.contains("Scan") && l.contains("parquet") || l.contains("Scan ExistingRDD")
+      || l.contains("LocalTableScan")), "plan must show the scan")
+    // mode prefix accepted too
+    val simple = p.sql("EXPLAIN SIMPLE SELECT COUNT(*) FROM t_region").collect()
+    assert(simple.nonEmpty)
+  }
+
   test("CREATE TABLE AS / DROP TABLE") {
     val p = freshPipeline()
     p.run("CREATE TABLE n_copy AS SELECT * FROM t_nation WHERE n_regionkey = 0")
