@@ -114,33 +114,39 @@ object CurationQueries {
       .otherwise("keep")
   }
 
-  val qualityFilter: Q = {
+  /** Oracle twin of [[keepReason]]: SELECT wrapping `src` (any relation with a
+    * `text` column) that adds a `reason` column, carrying `carry` through.
+    * Shared by cur_quality_filter and cur_end_to_end so the two cannot drift. */
+  private def keepReasonSelectSql(src: String, carry: String*): String = {
     val stops = langMarkers.flatMap(_._2)
-    Q(
-      "cur_quality_filter",
-      s"""SELECT reason, COUNT(*) AS n FROM (
-         |  SELECT CASE
-         |    WHEN n_tokens < $minTokens THEN 'too_short'
-         |    WHEN n_tokens > $maxTokens THEN 'too_long'
-         |    WHEN n_stop * 100 < $stopFloorPct * n_tokens THEN 'low_stopword'
-         |    WHEN n_digit * 100 > $digitCeilPct * chars THEN 'high_digit'
-         |    WHEN dupchars * 100 > $dup2CeilPct * chars THEN 'repetitive'
-         |    ELSE 'keep' END AS reason
-         |  FROM (
-         |    SELECT ${tokenCountSql("text")} AS n_tokens,
-         |      ${markerCountSql(tokensSql("text"), stops)} AS n_stop,
-         |      ${digitCountSql("text")} AS n_digit,
-         |      length(text) AS chars,
-         |      COALESCE(list_sum(list_transform(
-         |        list_filter(${grams2Sql(tokensSql("text"))},
-         |          gr -> len(list_filter(${grams2Sql(tokensSql("text"))}, x -> x = gr)) > 1),
-         |        x -> len(x))), 0) AS dupchars
-         |    FROM documents))
-         |GROUP BY reason ORDER BY reason""".stripMargin) { (s, dir) =>
-      docs(s, dir).select(keepReason(col("text")).as("reason"))
-        .groupBy("reason").agg(count(lit(1)).as("n"))
-        .orderBy("reason")
-    }
+    val carryOut = carry.map(c => s"$c, ").mkString
+    s"""SELECT ${carryOut}CASE
+       |    WHEN n_tokens < $minTokens THEN 'too_short'
+       |    WHEN n_tokens > $maxTokens THEN 'too_long'
+       |    WHEN n_stop * 100 < $stopFloorPct * n_tokens THEN 'low_stopword'
+       |    WHEN n_digit * 100 > $digitCeilPct * chars THEN 'high_digit'
+       |    WHEN dupchars * 100 > $dup2CeilPct * chars THEN 'repetitive'
+       |    ELSE 'keep' END AS reason, n_tokens
+       |  FROM (
+       |    SELECT $carryOut${tokenCountSql("text")} AS n_tokens,
+       |      ${markerCountSql(tokensSql("text"), stops)} AS n_stop,
+       |      ${digitCountSql("text")} AS n_digit,
+       |      length(text) AS chars,
+       |      COALESCE(list_sum(list_transform(
+       |        list_filter(${grams2Sql(tokensSql("text"))},
+       |          gr -> len(list_filter(${grams2Sql(tokensSql("text"))}, x -> x = gr)) > 1),
+       |        x -> len(x))), 0) AS dupchars
+       |    FROM $src)""".stripMargin
+  }
+
+  val qualityFilter: Q = Q(
+    "cur_quality_filter",
+    s"""SELECT reason, COUNT(*) AS n FROM (
+       |  ${keepReasonSelectSql("documents")})
+       |GROUP BY reason ORDER BY reason""".stripMargin) { (s, dir) =>
+    docs(s, dir).select(keepReason(col("text")).as("reason"))
+      .groupBy("reason").agg(count(lit(1)).as("n"))
+      .orderBy("reason")
   }
 
   // --------------------------------------------------- stratified sampling
@@ -522,7 +528,57 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------- end-to-end pipeline
+  // The whole curation DAG as ONE composed DataFrame program — exact dedup →
+  // quality gate → holdout split → per-(source, split) corpus report. This is
+  // the "a user could run their nightly job on this" proof: the stages are the
+  // SAME operators verified individually above, composed without any
+  // materialization between them, so Catalyst optimizes across stage
+  // boundaries (the quality expressions and split hash run in the same
+  // codegen stage as the dedup join's probe side).
+  //
+  // Scale: 2 corpus shuffles total — the fingerprint groupBy and the keep-set
+  // join on doc_id (AQE-sized); quality + split are map-only on the survivors;
+  // the final report agg is 20×3 groups. Nothing else at 100 TB.
+  val endToEnd: Q = Q(
+    "cur_end_to_end",
+    s"""WITH keep1 AS (
+       |  SELECT MIN(doc_id) AS doc_id
+       |  FROM documents GROUP BY ${fingerprintSql("text")}
+       |), kept AS (
+       |  SELECT d.doc_id, d.source, d.text
+       |  FROM documents d JOIN keep1 ON d.doc_id = keep1.doc_id
+       |), scored AS (
+       |  ${keepReasonSelectSql("kept", "doc_id", "source")}
+       |), survivors AS (
+       |  SELECT doc_id, source, n_tokens FROM scored WHERE reason = 'keep'
+       |), assigned AS (
+       |  SELECT source, n_tokens,
+       |    CASE WHEN b < $VAL_LO THEN 'train' WHEN b < $TEST_LO THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT source, n_tokens,
+       |          ${hash64Sql("CAST(doc_id AS VARCHAR)", "split")} % 1000 AS b
+       |        FROM survivors)
+       |)
+       |SELECT source, split, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+       |FROM assigned GROUP BY source, split
+       |ORDER BY source, split""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    val keep1 = d.groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val survivors = d.join(keep1, "doc_id")
+      .filter(keepReason(col("text")) === "keep")
+    survivors
+      .withColumn("b", hash64(col("doc_id").cast("string"), "split") % 1000)
+      .withColumn("split",
+        when(col("b") < VAL_LO, "train").when(col("b") < TEST_LO, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCount(col("text"))).as("n_tokens"))
+      .orderBy("source", "split")
+  }
+
   val all: Seq[Q] = Seq(
     repetition, qualityFilter, sampleStratified, packSequences, dedupClusterCc,
-    corpusDiff, decontaminate, domainMix, oversampleEpochs, splitAssign, domainCap)
+    corpusDiff, decontaminate, domainMix, oversampleEpochs, splitAssign, domainCap,
+    endToEnd)
 }

@@ -71,6 +71,24 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq, "kept subset reproducible")
   }
 
+  test("end-to-end pipeline agrees with composing the stage operators separately") {
+    val rep = CurationQueries.endToEnd.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rep.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    val total = rep.map(_._3).sum
+    // independently: dedup keep-set (from the verified exact-dedup operator),
+    // then the quality gate, must yield the same survivor count
+    val keepIds = DedupQueries.dedupExact.run(spark, sf)
+      .select(col("keep_id").as("doc_id"))
+    val survivors = graft.Tables.df(spark, sf, "documents")
+      .join(keepIds, "doc_id")
+      .filter(CurationQueries.keepReason(col("text")) === "keep")
+      .count()
+    assert(total == survivors, s"fused pipeline $total != staged composition $survivors")
+    val train = rep.filter(_._2 == "train").map(_._3).sum
+    assert(train.toDouble / total > 0.9, "98/1/1 split: train dominates")
+  }
+
   test("repetition fractions are in [0,1] and distinct_ratio positive") {
     val rows = CurationQueries.repetition.run(spark, sf).collect()
     assert(rows.nonEmpty)
