@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape assertions — the scale contract, not just results: filters must
@@ -67,6 +68,40 @@ class PlanSpec extends AnyFunSuite {
     assert(f.contains("HashAggregate"), "token counting is a hash aggregate")
     assert(f.contains("BroadcastNestedLoopJoin") || f.contains("BroadcastExchange"),
       "the corpus total joins as a broadcast of one row")
+  }
+
+  test("AQE splits a skewed join partition at runtime (skew-join re-plan)") {
+    // one key carries ~1000× the rows of the others; with broadcast disabled
+    // the SMJ would stall on that partition — AQE must mark it skewed and
+    // split it. Thresholds lowered so the tiny fixture triggers the same
+    // re-plan a hot key triggers at 100 TB.
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB")
+      val pad = "x" * 64
+      // 50k rows on key 0, ~100 rows on each of keys 1..100 → ~500× skew
+      val left = spark.range(0, 60000)
+        .select(when(col("id") < 50000, 0L).otherwise(col("id") % 100 + 1).as("k"),
+          concat(lit(pad), col("id")).as("v"))
+      val right = spark.range(0, 101).select(col("id").as("k"), lit("dim").as("d"))
+      val joined = left.join(right, "k")
+      // execute THIS plan (count() would plan separately), then read the
+      // finalized adaptive plan
+      assert(joined.collect().length == 60000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("SortMergeJoin"), s"expected SMJ:\n$finalPlan")
+      assert(finalPlan.toLowerCase.contains("skew"),
+        s"AQE must mark/split the skewed partition:\n$finalPlan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
   test("top-k uses TakeOrderedAndProject (no global sort materialization)") {
