@@ -577,8 +577,55 @@ object CurationQueries {
       .orderBy("source", "split")
   }
 
+  // ------------------------------------------------------- shard assignment
+  // Training loaders want N output shards of ~equal TOKEN mass (docs per
+  // shard vary wildly in length). Greedy sequential fill over a deterministic
+  // hash order: shard = floor(tokens_before_me / budget). The global running
+  // sum is the scalable two-phase shape (same as window_global_rank_scalable):
+  // range-partition by the order key, per-partition local sums, then a
+  // partition-count-sized offset join — never a single-partition window.
+  private val SHARD_TOKENS = 2048L
+
+  val shardAssign: Q = Q(
+    "cur_shard_assign",
+    s"""WITH d AS (
+       |  SELECT doc_id, ${tokenCountSql("text")} AS tok,
+       |    ${hash64Sql("CAST(doc_id AS VARCHAR)", "shard")} AS hk
+       |  FROM documents
+       |), c AS (
+       |  SELECT tok, COALESCE(SUM(tok) OVER (ORDER BY hk, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM d
+       |)
+       |SELECT cum_before // $SHARD_TOKENS AS shard,
+       |  COUNT(*) AS n_docs, SUM(tok) AS n_tokens
+       |FROM c GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+    val keyed = docs(s, dir)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("tok"),
+        hash64(col("doc_id").cast("string"), "shard").as("hk"))
+      .repartitionByRange(32, col("hk"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy("pid").orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // pin the range boundaries: offsets pass and final pass must agree
+    val local = keyed
+      .withColumn("cum_local", sum("tok").over(wLocal))
+      .localCheckpoint(true)
+    val sums = local.groupBy("pid").agg(sum("tok").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = sums.map(_._1)
+      .zip(sums.scanLeft(0L) { case (acc, (_, t)) => acc + t }.init)
+    val offDf = broadcast(s.createDataFrame(offsets.toSeq).toDF("pid2", "offset"))
+    local.join(offDf, col("pid") === col("pid2"))
+      .withColumn("cum_before", col("cum_local") - col("tok") + col("offset"))
+      .withColumn("shard", expr(s"cum_before div $SHARD_TOKENS"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .orderBy("shard")
+  }
+
   val all: Seq[Q] = Seq(
     repetition, qualityFilter, sampleStratified, packSequences, dedupClusterCc,
     corpusDiff, decontaminate, domainMix, oversampleEpochs, splitAssign, domainCap,
-    endToEnd)
+    endToEnd, shardAssign)
 }

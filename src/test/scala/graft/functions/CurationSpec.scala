@@ -89,6 +89,23 @@ class CurationSpec extends AnyFunSuite {
     assert(train.toDouble / total > 0.9, "98/1/1 split: train dominates")
   }
 
+  test("shard assign: contiguous ids, every full shard within a doc-length of budget") {
+    val rows = CurationQueries.shardAssign.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (0L until rows.length.toLong), "shards contiguous from 0")
+    val maxDoc = graft.Tables.df(spark, sf, "documents")
+      .select(max(TextFunctions.tokenCount(col("text")).cast("long")))
+      .collect().head.getLong(0)
+    // greedy fill: a full shard's mass can miss the budget by at most the
+    // straddling docs at each boundary
+    rows.init.foreach { case (s0, _, tok) =>
+      assert(tok >= 2048 - 2 * maxDoc && tok <= 2048 + 2 * maxDoc,
+        s"shard $s0 token mass $tok vs budget 2048 (maxDoc=$maxDoc)")
+    }
+    assert(rows.map(_._2).sum == graft.Tables.df(spark, sf, "documents").count(),
+      "every doc lands in exactly one shard")
+  }
+
   test("repetition fractions are in [0,1] and distinct_ratio positive") {
     val rows = CurationQueries.repetition.run(spark, sf).collect()
     assert(rows.nonEmpty)
