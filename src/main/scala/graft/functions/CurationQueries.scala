@@ -42,6 +42,27 @@ object CurationQueries {
   private def grams2Sql(ws: String): String =
     s"[$ws[i] || ' ' || $ws[i+1] for i in range(1, len($ws))]"
 
+  /** Characters inside duplicated 2-grams, from the SORTED gram array `ss`:
+    * every occurrence of a gram with count ≥ 2 has an equal sorted neighbor,
+    * so one sort + one neighbor-compare pass replaces the nested
+    * filter-inside-filter (which is O(g²) per row AND re-evaluates the gram
+    * construction per outer element — at long-document scale that quadratic
+    * blowup, not any shuffle, was the cost ceiling of the quality gate). */
+  private def dupChars(ss: Column): Column = {
+    val n = size(ss)
+    // m(i) = ss(i) == ss(i+1), length n-1
+    val m = zip_with(slice(ss, lit(1), n - 1), slice(ss, lit(2), n - 1), (a, b) => a === b)
+    val flags = zip_with(
+      concat(array(lit(false)), m), concat(m, array(lit(false))), (a, b) => a || b)
+    when(n >= 2,
+      aggregate(zip_with(ss, flags, (g, f) => when(f, length(g)).otherwise(0)),
+        lit(0), (a, x) => a + x))
+      .otherwise(0)
+  }
+  private def dupCharsSql(ss: String): String =
+    s"COALESCE(list_sum([CASE WHEN $ss[i] = $ss[i-1] OR $ss[i] = $ss[i+1] " +
+      s"THEN len($ss[i]) ELSE 0 END for i in range(1, len($ss)+1)]), 0)"
+
   val repetition: Q = Q(
     "cur_repetition",
     s"""SELECT doc_id,
@@ -53,26 +74,24 @@ object CurationQueries {
        |  SELECT doc_id, chars, ws, grams,
        |    list_max([{'c': len(list_filter(grams, x -> x = g)), 'g': g}
        |              for g in list_distinct(grams)]) AS best,
-       |    CAST(COALESCE(list_sum(list_transform(
-       |      list_filter(grams, gr -> len(list_filter(grams, x -> x = gr)) > 1),
-       |      x -> len(x))), 0) AS DOUBLE) AS dupchars
+       |    CAST(${dupCharsSql("sg")} AS DOUBLE) AS dupchars
        |  FROM (SELECT doc_id, CAST(length(text) AS DOUBLE) AS chars,
-       |          ${tokensSql("text")} AS ws, ${grams2Sql(tokensSql("text"))} AS grams
+       |          ${tokensSql("text")} AS ws, ${grams2Sql(tokensSql("text"))} AS grams,
+       |          list_sort(${grams2Sql(tokensSql("text"))}) AS sg
        |        FROM documents))
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val base = docs(s, dir).select(
       col("doc_id"),
       length(col("text")).cast("double").as("chars"),
       tokens(col("text")).as("ws"),
-      grams2(tokens(col("text"))).as("grams"))
+      grams2(tokens(col("text"))).as("grams"),
+      array_sort(grams2(tokens(col("text")))).as("sg"))
     val enriched = base.select(
       col("doc_id"), col("chars"), col("ws"), col("grams"),
       array_max(transform(array_distinct(col("grams")),
         g => struct(size(filter(col("grams"), x => x === g)).as("c"), g.as("g"))))
         .as("best"),
-      aggregate(
-        filter(col("grams"), gr => size(filter(col("grams"), x => x === gr)) > 1),
-        lit(0), (a, x) => a + length(x)).cast("double").as("dupchars"))
+      dupChars(col("sg")).cast("double").as("dupchars"))
     enriched.select(
       col("doc_id"),
       when(size(col("grams")) === 0, lit(0.0))
@@ -101,11 +120,8 @@ object CurationQueries {
   def keepReason(text: Column): Column = {
     val stops = langMarkers.flatMap(_._2)
     val ws = tokens(text)
-    val gs = grams2(ws)
     val nTokens = tokenCount(text)
-    val dupchars = aggregate(
-      filter(gs, gr => size(filter(gs, x => x === gr)) > 1),
-      lit(0), (a, x) => a + length(x))
+    val dupchars = dupChars(array_sort(grams2(ws)))
     when(nTokens < minTokens, "too_short")
       .when(nTokens > maxTokens, "too_long")
       .when(markerCount(ws, stops) * 100 < lit(stopFloorPct) * nTokens, "low_stopword")
@@ -125,17 +141,14 @@ object CurationQueries {
        |    WHEN n_tokens > $maxTokens THEN 'too_long'
        |    WHEN n_stop * 100 < $stopFloorPct * n_tokens THEN 'low_stopword'
        |    WHEN n_digit * 100 > $digitCeilPct * chars THEN 'high_digit'
-       |    WHEN dupchars * 100 > $dup2CeilPct * chars THEN 'repetitive'
+       |    WHEN ${dupCharsSql("sg")} * 100 > $dup2CeilPct * chars THEN 'repetitive'
        |    ELSE 'keep' END AS reason, n_tokens
        |  FROM (
        |    SELECT $carryOut${tokenCountSql("text")} AS n_tokens,
        |      ${markerCountSql(tokensSql("text"), stops)} AS n_stop,
        |      ${digitCountSql("text")} AS n_digit,
        |      length(text) AS chars,
-       |      COALESCE(list_sum(list_transform(
-       |        list_filter(${grams2Sql(tokensSql("text"))},
-       |          gr -> len(list_filter(${grams2Sql(tokensSql("text"))}, x -> x = gr)) > 1),
-       |        x -> len(x))), 0) AS dupchars
+       |      list_sort(${grams2Sql(tokensSql("text"))}) AS sg
        |    FROM $src)""".stripMargin
   }
 
