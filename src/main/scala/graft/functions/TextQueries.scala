@@ -216,6 +216,33 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** Adjacent character-pair counts within words — the statistic behind the
+    * first merge of BPE tokenizer TRAINING (Sennrich et al. 2016,
+    * arXiv:1508.07909): the most frequent pair becomes the first merge rule;
+    * iterating this map-reduce (re-count after each merge) trains the vocab.
+    * One explode chain (tokens → pairs) + one keyed count with map-side
+    * combine + TakeOrdered top-k — scales linearly with corpus size.
+    * Deterministic tie-break (n DESC, pair) keeps the top-50 cut exact. */
+  val textBpePairs: Q = Q(
+    "text_bpe_pairs",
+    s"""WITH tok AS (
+       |  SELECT unnest(${tokensSql("text")}) AS w FROM documents
+       |), pairs AS (
+       |  SELECT unnest([substring(w, i, 2) for i in range(1, len(w))]) AS pair FROM tok
+       |)
+       |SELECT pair, COUNT(*) AS n FROM pairs
+       |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin) { (s, dir) =>
+    val tok = docs(s, dir).select(explode(tokens(col("text"))).as("w"))
+    // guard: Spark's sequence(1, 0) counts DOWN, so short words need an
+    // explicit empty-array branch (DuckDB's range(1, 1) is already empty)
+    val pairs = tok.select(explode(
+      when(length(col("w")) >= 2,
+        transform(sequence(lit(1), length(col("w")) - 1), i => col("w").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+    pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(50)
+  }
+
   val all: Seq[Q] = Seq(textTokenCount, textQuality, textLangId, textFingerprint,
-    textBpeTokens, textRedact, textDfScore, textVocabCoverage)
+    textBpeTokens, textRedact, textDfScore, textVocabCoverage, textBpePairs)
 }

@@ -49,6 +49,13 @@ class PipelineOpsSpec extends AnyFunSuite {
       "levenshtein 0 iff similarity 10000 bp")
   }
 
+  test("bpe pair counts: all pairs are 2 chars, counts non-increasing") {
+    val rows = TextQueries.textBpePairs.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.forall(_._1.length == 2))
+    assert(rows.map(_._2).sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
+  }
+
   test("identical texts get identical minhash signatures") {
     import spark.implicits._
     val two = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "alpha beta gamma delta epsilon"))
