@@ -53,7 +53,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val rows = TextQueries.textBpePairs.run(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     assert(rows.nonEmpty && rows.forall(_._1.length == 2))
-    assert(rows.map(_._2).sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
+    assert(rows.map(_._2).sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
   test("identical texts get identical minhash signatures") {
