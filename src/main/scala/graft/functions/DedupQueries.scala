@@ -357,6 +357,9 @@ object DedupQueries {
     * compared prefix (levenshtein(substr(a,1,4096), ...)) to bound per-pair
     * cost; the fixture texts are already below any such cap. */
   val dedupFuzzyRerank: Q = {
+    require(dedupMinhashLsh.oracle.get.endsWith("ORDER BY doc_a, doc_b"),
+      "fuzzy-rerank embeds the LSH oracle as a CTE by stripping its ORDER BY; " +
+        "update this derivation if the LSH oracle's tail changes")
     val candSql = dedupMinhashLsh.oracle.get.stripSuffix("ORDER BY doc_a, doc_b")
     Q(
       "dedup_fuzzy_rerank",

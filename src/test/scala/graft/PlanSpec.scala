@@ -104,6 +104,19 @@ class PlanSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("end-to-end curation: two corpus scans (dedup build + probe), no cartesian") {
+    val p = planOf("cur_end_to_end")
+    assert(p.split("FileScan").length - 1 <= 2, s"dedup self-join reads the corpus twice, max:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"equi joins only:\n$p")
+  }
+
+  test("bpe pair counting: explode chain with no join, top-k take-ordered") {
+    val p = planOf("text_bpe_pairs")
+    assert(!p.contains("Join"), s"pair counting is join-free:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-50 must not global-sort:\n$p")
+  }
+
   test("top-k uses TakeOrderedAndProject (no global sort materialization)") {
     val p = planOf("limit_topk")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
