@@ -14,6 +14,38 @@ class SourcesSpec extends AnyFunSuite {
   private def tmp(name: String): String =
     Files.createTempDirectory("graft-sources").resolve(name).toString
 
+  test("JSONL ingest tolerates malformed lines: PERMISSIVE captures, DROPMALFORMED skips, FAILFAST throws") {
+    // web-scale corpora always carry some broken lines; ingestion must be able
+    // to quarantine them (for audit) without failing the job — and to fail
+    // loudly when strictness is wanted.
+    val path = tmp("docs.jsonl")
+    Files.writeString(java.nio.file.Paths.get(path),
+      """{"doc_id": 1, "text": "alpha"}
+        |{"doc_id": 2, "text": "beta"
+        |not json at all
+        |{"doc_id": 3, "text": "gamma"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path).cache()
+    assert(permissive.count() == 4)
+    assert(permissive.filter("_corrupt_record IS NOT NULL").count() == 2,
+      "both broken lines quarantined with their raw text")
+    assert(permissive.filter("_corrupt_record IS NULL").count() == 2)
+    permissive.unpersist()
+
+    val dropped = spark.read.schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(path)
+    assert(dropped.count() == 2, "DROPMALFORMED keeps only parseable rows")
+
+    val strict = spark.read.schema(StructType(schema.dropRight(1)))
+      .option("mode", "FAILFAST").json(path)
+    intercept[org.apache.spark.SparkException](strict.collect())
+  }
+
   test(".tbl read: header types, nullability, null literal") {
     val path = tmp("mixed.tbl")
     Files.writeString(java.nio.file.Paths.get(path),
