@@ -616,7 +616,10 @@ object CurationQueries {
     val keyed = docs(s, dir)
       .select(col("doc_id"), tokenCount(col("text")).cast("long").as("tok"),
         hash64(col("doc_id").cast("string"), "shard").as("hk"))
-      .repartitionByRange(32, col("hk"), col("doc_id"))
+      // partition count from the session (not a constant): the result is
+      // partition-count-invariant because the range keys are a total order
+      .repartitionByRange(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("hk"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
     val wLocal = Window.partitionBy("pid").orderBy(col("hk"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -142,7 +142,8 @@ object WindowQueries {
       |ORDER BY rn""".stripMargin) { (s, dir) =>
     val keyed = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .repartitionByRange(32, col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .repartitionByRange(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
       .withColumn("pid", spark_partition_id())
     val wLocal = Window.partitionBy("pid")
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
