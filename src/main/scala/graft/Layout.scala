@@ -95,6 +95,41 @@ object Layout {
     spark.read.parquet(inPath).coalesce(targetFiles)
       .write.mode("overwrite").parquet(outPath)
 
+  /** Write `df` as token-balanced shard directories (`shard=<n>/part-*`),
+    * the physical realization of the cur_shard_assign operator: training
+    * loaders read one directory per shard and every shard carries ~budget
+    * mass of `massCol` (token counts, byte sizes — any additive weight).
+    * Greedy sequential fill in deterministic hash order of `idCol`; the
+    * global running sum is the two-phase shape (range partition on the order
+    * key → per-partition sums → partition-count-sized offset join), so no
+    * single-partition window ever materializes. Deterministic: same input →
+    * same shard contents, on any cluster size (total-order range keys). */
+  def writeTokenShards(df: DataFrame, path: String, idCol: String,
+      massCol: String, budget: Long): Unit = {
+    val s = df.sparkSession
+    val keyed = df
+      .withColumn("__hk", xxhash64(col(idCol)))
+      .repartitionByRange(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("__hk"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col("__hk"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val local = keyed
+      .withColumn("__cum", sum(col(massCol).cast("long")).over(w))
+      .localCheckpoint(true) // pin range boundaries across the two passes
+    val sums = local.groupBy("__pid").agg(sum(col(massCol).cast("long")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = sums.map(_._1)
+      .zip(sums.scanLeft(0L) { case (acc, (_, t)) => acc + t }.init)
+    val offDf = broadcast(s.createDataFrame(offsets.toSeq).toDF("__pid2", "__offset"))
+    local.join(offDf, col("__pid") === col("__pid2"))
+      .withColumn("shard",
+        expr(s"(__cum - CAST($massCol AS BIGINT) + __offset) div $budget"))
+      .drop("__hk", "__pid", "__pid2", "__cum", "__offset")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Salted equi join for skewed build keys, the manual counterpart of AQE's
     * skew-join splitting (enabled in GraftSession) for when skew is KNOWN
     * up front: the left (skewed) side gets a deterministic per-row salt in

@@ -116,6 +116,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(zdir).count() === li.count())
   }
 
+  test("token shards: directories balanced to budget, rows conserved, deterministic") {
+    val docs = Tables.df(spark, sf, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/docs"
+    Layout.writeTokenShards(docs, out, "doc_id", "n_chars", budget = 4000L)
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count(), "every doc in exactly one shard")
+    val masses = back.groupBy("shard").agg(sum("n_chars").as("m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(masses.map(_._1).toSeq == (0 until masses.length), "shard ids contiguous")
+    val maxDoc = docs.agg(max("n_chars")).collect().head.getLong(0)
+    masses.init.foreach { case (id, m) =>
+      assert(m >= 4000 - 2 * maxDoc && m <= 4000 + 2 * maxDoc,
+        s"shard $id mass $m vs budget 4000 (maxDoc=$maxDoc)")
+    }
+    // deterministic: a second write lands identical shard contents
+    val out2 = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/docs"
+    Layout.writeTokenShards(docs, out2, "doc_id", "n_chars", budget = 4000L)
+    val a = back.select("shard", "doc_id").collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    val b = spark.read.parquet(out2).select("shard", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("compaction merges small files without a shuffle and preserves data") {
     val li = Tables.df(spark, sf, "lineitem")
     val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
