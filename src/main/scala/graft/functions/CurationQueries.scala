@@ -249,16 +249,66 @@ object CurationQueries {
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .localCheckpoint(true)
-      // Propagate labels over EDGE VERTICES only — any doc outside the
-      // near-dup graph keeps its own id as cluster_id, so iterating over the
-      // full corpus would re-shuffle millions of fixed rows per round for
-      // nothing. At 100 TB the dup graph is orders of magnitude smaller than
-      // the corpus; the per-round joins here touch only it.
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("label"))
-        .localCheckpoint(true)
+      val labels = ccLabels(s, edges)
+      // Fold the propagated labels back over the full corpus: docs outside
+      // the graph are their own singleton cluster.
+      docs(s, dir).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Above this many edge VERTICES the connected-components loop stays
+    * distributed; at or below it the graph is collected and solved with a
+    * driver union-find. 2^20 vertices ≈ a few MB of longs — trivially
+    * driver-sized — and near-dup graphs are orders of magnitude smaller than
+    * the corpus, so in practice most runs take the O(E·α) fast path while the
+    * iterative path remains the guarantee for adversarially dense corpora. */
+  private[graft] val DRIVER_CC_MAX = 1L << 20
+
+  /** Min-label connected components over the edge-vertex set: returns
+    * (doc_id, label) where label = min doc_id of the component. Adaptive:
+    * driver union-find for small graphs, min-label propagation otherwise —
+    * both produce identical labels (the propagation fixpoint IS the
+    * per-component min). */
+  private[graft] def ccLabels(s: SparkSession, edges: DataFrame,
+      forceDistributed: Boolean = false): DataFrame = {
+    import s.implicits._
+    // Propagate labels over EDGE VERTICES only — any doc outside the
+    // near-dup graph keeps its own id as cluster_id, so iterating over the
+    // full corpus would re-shuffle millions of fixed rows per round for
+    // nothing. At 100 TB the dup graph is orders of magnitude smaller than
+    // the corpus; the joins here touch only it.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    val nVertices = labels.count()
+    if (!forceDistributed && nVertices <= DRIVER_CC_MAX) {
+      // union-find with path compression; min member becomes the label
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.select("src", "dst").collect().foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) parent(if (a < b) b else a) = if (a < b) a else b
+      }
+      val members = parent.keySet ++ parent.values
+      val byRoot = members.groupBy(find)
+      val label = byRoot.flatMap { case (root, ms) =>
+        val m = (ms + root).min
+        (ms + root).map(_ -> m)
+      }
+      label.toSeq.toDF("doc_id", "label")
+    } else {
       // sum over an EMPTY frame is NULL — a corpus with zero near-dup pairs
-      // must short-circuit straight to the singleton fold below
+      // must short-circuit straight to the caller's singleton fold
       val sumRow = labels.agg(sum("label")).head
       var lastSum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       var converged = sumRow.isNullAt(0)
@@ -275,13 +325,7 @@ object CurationQueries {
         lastSum = s2
         rounds += 1
       }
-      // Fold the propagated labels back over the full corpus: docs outside
-      // the graph are their own singleton cluster.
-      docs(s, dir).select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("cluster_id"))
-        .orderBy("doc_id")
+      labels
     }
   }
 

@@ -106,6 +106,18 @@ class CurationSpec extends AnyFunSuite {
       "every doc lands in exactly one shard")
   }
 
+  test("cc adaptive: driver union-find equals distributed propagation exactly") {
+    val pairs = DedupQueries.dedupMinhashLsh.run(spark, sf)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val fast = CurationQueries.ccLabels(spark, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val dist = CurationQueries.ccLabels(spark, edges, forceDistributed = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(fast.nonEmpty && fast.toSeq == dist.toSeq,
+      "both CC paths must produce identical min-labels")
+  }
+
   test("repetition fractions are in [0,1] and distinct_ratio positive") {
     val rows = CurationQueries.repetition.run(spark, sf).collect()
     assert(rows.nonEmpty)
