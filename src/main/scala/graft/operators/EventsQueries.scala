@@ -150,6 +150,39 @@ object EventsQueries {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Strict first-occurrence funnel: users whose first view precedes their
+    * first click precedes their first purchase. One keyed aggregation with
+    * map-side partial MINs + a one-row final — the scale-minimal funnel
+    * formulation (no self-joins, no per-user sequence materialization; the
+    * sequence variant for within-N-steps funnels is events_user_seq).
+    * NULL comparisons drop non-reaching users in both engines identically. */
+  val eventsFunnel: Q = Q(
+    "events_funnel",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MIN(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS t_view,
+      |    MIN(epoch_us(ts)) FILTER (WHERE event_type = 'click') AS t_click,
+      |    MIN(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS t_buy
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+      |  COUNT(*) FILTER (WHERE t_click > t_view) AS n_view_click,
+      |  COUNT(*) FILTER (WHERE t_click > t_view AND t_buy > t_click) AS n_full
+      |FROM u""".stripMargin) { (s, dir) =>
+    val u = ev(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts_us"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("t_buy"))
+    u.agg(
+      count(when(col("t_view").isNotNull, 1)).as("n_view"),
+      count(when(col("t_click") > col("t_view"), 1)).as("n_view_click"),
+      count(when(col("t_click") > col("t_view") && col("t_buy") > col("t_click"), 1))
+        .as("n_full"))
+  }
+
   val all: Seq[Q] = Seq(eventsByType, eventsHourly, eventsUserSeq,
-    eventsAsofJoin, eventsSessionize)
+    eventsAsofJoin, eventsSessionize, eventsFunnel)
 }
