@@ -183,6 +183,35 @@ object EventsQueries {
         .as("n_full"))
   }
 
+  /** Cohort retention grid: users grouped by their first-activity hour
+    * (cohort), counted again at each later hour they return. Two keyed
+    * aggregations (user → distinct activity hours + cohort; then
+    * (cohort, offset) → distinct users) and nothing quadratic: the
+    * per-user distinct-hour explode is bounded by the observation window,
+    * not the event count — retention at 100 TB is exactly this shape. */
+  val eventsRetention: Q = Q(
+    "events_retention",
+    """WITH act AS (
+      |  SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS h
+      |  FROM events GROUP BY user_id, h
+      |), coh AS (
+      |  SELECT user_id, MIN(h) AS cohort FROM act GROUP BY user_id
+      |)
+      |SELECT c.cohort, a.h - c.cohort AS offset_h,
+      |  COUNT(DISTINCT a.user_id) AS n_users
+      |FROM act a JOIN coh c ON a.user_id = c.user_id
+      |GROUP BY c.cohort, offset_h
+      |ORDER BY c.cohort, offset_h""".stripMargin) { (s, dir) =>
+    val act = ev(s, dir)
+      .select(col("user_id"), expr("floor((ts div 1000) / 3600000000)").cast("long").as("h"))
+      .distinct()
+    val coh = act.groupBy("user_id").agg(min("h").as("cohort"))
+    act.join(coh, "user_id")
+      .groupBy(col("cohort"), (col("h") - col("cohort")).as("offset_h"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort", "offset_h")
+  }
+
   val all: Seq[Q] = Seq(eventsByType, eventsHourly, eventsUserSeq,
-    eventsAsofJoin, eventsSessionize, eventsFunnel)
+    eventsAsofJoin, eventsSessionize, eventsFunnel, eventsRetention)
 }
