@@ -212,6 +212,35 @@ object EventsQueries {
       .orderBy("cohort", "offset_h")
   }
 
+  /** Per-user event-type transition counts (path analysis): LAG over each
+    * user's time-ordered stream, then count (from, to) pairs. One keyed
+    * window shuffle on user_id + one small keyed agg over the type×type
+    * grid — the Markov-chain estimation shape at any scale. */
+  val eventsTransitions: Q = Q(
+    "events_transitions",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events
+      |)
+      |SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      |FROM seq WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, next_type
+      |ORDER BY prev_type, next_type""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
   val all: Seq[Q] = Seq(eventsByType, eventsHourly, eventsUserSeq,
-    eventsAsofJoin, eventsSessionize, eventsFunnel, eventsRetention)
+    eventsAsofJoin, eventsSessionize, eventsFunnel, eventsRetention,
+    eventsTransitions)
 }
