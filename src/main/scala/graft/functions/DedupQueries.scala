@@ -61,9 +61,7 @@ object DedupQueries {
     * compares as a single long. Both engines hash identically, so counts —
     * and therefore Jaccard — are unchanged (60-bit collisions negligible). */
   def ngramJaccardPairs(in: DataFrame, maxPostings: Long = MAX_POSTINGS): DataFrame = {
-    val sh = in
-      .select(col("doc_id"),
-        explode(shingleHashes(shingles(tokens(col("text")), NGRAM))).as("s"))
+    val sh = hsgOf(in).select(col("doc_id"), explode(col("hsg")).as("s"))
     // tiny by construction (only shingles with df > cap) → broadcast anti join
     val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxPostings).select("s")
@@ -81,12 +79,26 @@ object DedupQueries {
       .filter(col("jaccard") >= JACCARD_MIN)
   }
 
+  /** Shared oracle fragment: per-doc integer shingle keys (one md5 per token
+    * + polynomial n-gram mix — see TextFunctions.shingleKeys). The token-hash
+    * array is materialized in its own subquery level so the comprehension
+    * references a column, never re-evaluates the md5 list. */
+  private def hsgFromDocsSql: String =
+    s"""(SELECT doc_id, ${shingleKeysSql("ws", "th", NGRAM)} AS hsg
+       |      FROM (SELECT doc_id, ws, ${tokenHashesSql("ws")} AS th
+       |            FROM (SELECT doc_id, ${tokensSql("text")} AS ws FROM documents)))""".stripMargin
+
+  /** Spark twin of [[hsgFromDocsSql]]: (doc_id, hsg) with th materialized. */
+  private def hsgOf(in: DataFrame): DataFrame = in
+    .select(col("doc_id"), tokens(col("text")).as("ws"))
+    .select(col("doc_id"), col("ws"), tokenHashes(col("ws")).as("th"))
+    .select(col("doc_id"), shingleKeys(col("ws"), col("th"), NGRAM).as("hsg"))
+
   /** N-gram Jaccard near-dup pairs via inverted shingle index (no cross join). */
   val dedupNgramJaccard: Q = Q(
     "dedup_ngram_jaccard",
     s"""WITH sh AS (
-       |  SELECT doc_id, unnest(${shingleHashesSql(shinglesSql(tokensSql("text"), NGRAM))}) AS s
-       |  FROM documents
+       |  SELECT doc_id, unnest(hsg) AS s FROM $hsgFromDocsSql
        |), hot AS (
        |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) > $MAX_POSTINGS
        |), kept AS (
@@ -115,13 +127,10 @@ object DedupQueries {
       "dedup_minhash_sig",
       s"""SELECT doc_id,
          |  $sigCols
-         |FROM (SELECT doc_id, ${shingleHashesSql("sg")} AS hsg
-         |      FROM (SELECT doc_id, ${shinglesSql(tokensSql("text"), NGRAM)} AS sg FROM documents))
+         |FROM $hsgFromDocsSql
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val withHsg = docs(s, dir)
-        .select(col("doc_id"), shingles(tokens(col("text")), NGRAM).as("sg"))
-        .select(col("doc_id"), shingleHashes(col("sg")).as("hsg"))
-      withHsg.select(col("doc_id") +: minhashSig(col("hsg"), 4): _*).orderBy("doc_id")
+      hsgOf(docs(s, dir))
+        .select(col("doc_id") +: minhashSig(col("hsg"), 4): _*).orderBy("doc_id")
     }
   }
 
@@ -131,9 +140,7 @@ object DedupQueries {
     * the expressions are stateless, so the SAME index definition serves both
     * the stored corpus side and the arriving stream side. */
   def bandKeysOf(in: DataFrame): DataFrame = {
-    val withSig = in
-      .select(col("doc_id"), shingles(tokens(col("text")), NGRAM).as("sg"))
-      .select(col("doc_id"), shingleHashes(col("sg")).as("hsg")) // md5 once per shingle
+    val withSig = hsgOf(in) // one md5 per token, integer shingle keys
       .select(col("doc_id") +: minhashSig(col("hsg"), K): _*)
     val hs = (0 until K).map(i => col(s"h$i"))
     withSig.select(
@@ -150,8 +157,7 @@ object DedupQueries {
       "dedup_minhash_lsh",
       s"""WITH sig AS (
          |  SELECT doc_id, $sigList AS hs
-         |  FROM (SELECT doc_id, ${shingleHashesSql("sg")} AS hsg
-         |        FROM (SELECT doc_id, ${shinglesSql(tokensSql("text"), NGRAM)} AS sg FROM documents))
+         |  FROM $hsgFromDocsSql
          |), bands AS (
          |  SELECT doc_id, i AS band_idx, $bandExpr AS band_key
          |  FROM sig CROSS JOIN range(0, $BANDS) t(i)

@@ -105,6 +105,47 @@ object TextFunctions {
   def shingleHashes(sg: Column): Column = F.transform(sg, s => hash64(s, "mh"))
   def shingleHashesSql(sg: String): String = s"[${hash64Sql("s", "mh")} for s in $sg]"
 
+  /** One md5 per TOKEN — the base layer for integer shingle keys below. */
+  def tokenHashes(ws: Column): Column = F.transform(ws, w => hash64(w, "mh"))
+  def tokenHashesSql(ws: String): String = s"[${hash64Sql("w", "mh")} for w in $ws]"
+
+  // Two independent 31-bit polynomial lanes packed into one 62-bit key.
+  // Multipliers < p keep every intermediate below 2^63 (no overflow in
+  // either engine); two lanes push the collision space from 2^31 (birthday-
+  // marginal at 10^5+ shingles) to 2^62 (negligible).
+  private val SK_A1 = 1103515245L
+  private val SK_A2 = 48271L
+
+  /** Distinct n-gram shingle KEYS from the pre-hashed token array `th` (plus
+    * the raw tokens `ws` for the short-doc fallback): an order-sensitive
+    * polynomial mix of n consecutive token hashes replaces per-shingle
+    * string building + md5 — one md5 per token instead of per shingle, and
+    * ~3× fewer hashed bytes, on the corpus-sized stage every dedup pipeline
+    * pays. Consumers treat shingle identity opaquely (join/distinct/minhash),
+    * so an integer key is a drop-in for the space-joined string.
+    * Short docs (<n tokens) collapse to one whole-text key, mirroring
+    * [[shingles]]; that branch only evaluates on such docs. */
+  def shingleKeys(ws: Column, th: Column, n: Int): Column = {
+    def lane(i: Column, a: Long): Column =
+      (0 until n).foldLeft(F.lit(0L)) { (acc, o) =>
+        (acc * a + F.element_at(th, i + o) % MH_P) % MH_P
+      }
+    val grams = F.transform(
+      F.sequence(F.lit(1), F.size(th) - (n - 1)),
+      i => lane(i, SK_A1) * 2147483648L + lane(i, SK_A2))
+    F.when(F.size(th) >= n, F.array_distinct(grams))
+      .otherwise(F.array(hash64(F.concat_ws(" ", ws), "mh")))
+  }
+  def shingleKeysSql(ws: String, th: String, n: Int): String = {
+    def lane(a: Long): String =
+      (0 until n).foldLeft("0") { (acc, o) =>
+        s"(($acc * $a + $th[i+$o] % $MH_P) % $MH_P)"
+      }
+    s"(CASE WHEN len($th) >= $n THEN list_distinct([${lane(SK_A1)} * 2147483648 + ${lane(SK_A2)} " +
+      s"for i in range(1, len($th) - ${n - 2})]) " +
+      s"ELSE [${hash64Sql(s"array_to_string($ws, ' ')", "mh")}] END)"
+  }
+
   private val MH_P = 2147483647L // 2^31 - 1; (p-1)² + p < 2^63, no overflow
   /** Family constants (a_i ∈ [1, p-1], b_i ∈ [0, p-1]) from fixed golden-ratio
     * multipliers — deterministic, inlined as literals into BOTH engines. */

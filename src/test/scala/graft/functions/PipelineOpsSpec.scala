@@ -60,9 +60,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val two = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text")
+    val ws = TextFunctions.tokens(col("text"))
     val sigs = two.select(TextFunctions.minhashSig(
-      TextFunctions.shingleHashes(
-        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)), 12): _*).collect()
+      TextFunctions.shingleKeys(ws, TextFunctions.tokenHashes(ws), 3), 12): _*).collect()
     assert(sigs(0) == sigs(1))
   }
 
