@@ -397,16 +397,16 @@ object CurationQueries {
 
   val decontaminate: Q = Q(
     "cur_decontaminate",
-    s"""WITH eval_sh AS (
-       |  SELECT DISTINCT s FROM (
-       |    SELECT unnest(${shinglesSql(tokensSql("text"), DedupQueries.NGRAM)}) AS s
-       |    FROM documents
-       |    WHERE ${hash64Sql("CAST(doc_id AS VARCHAR)", "eval")} % 100 < $EVAL_PCT)
+    s"""WITH hsg AS (
+       |  SELECT doc_id, ${hash64Sql("CAST(doc_id AS VARCHAR)", "eval")} % 100 AS bucket,
+       |    ${shingleKeysSql("ws", "th", DedupQueries.NGRAM)} AS hsg
+       |  FROM (SELECT doc_id, ws, ${tokenHashesSql("ws")} AS th
+       |        FROM (SELECT doc_id, ${tokensSql("text")} AS ws FROM documents))
+       |), eval_sh AS (
+       |  SELECT DISTINCT s FROM (SELECT unnest(hsg) AS s FROM hsg WHERE bucket < $EVAL_PCT)
        |), train_sh AS (
        |  SELECT DISTINCT doc_id, s FROM (
-       |    SELECT doc_id, unnest(${shinglesSql(tokensSql("text"), DedupQueries.NGRAM)}) AS s
-       |    FROM documents
-       |    WHERE ${hash64Sql("CAST(doc_id AS VARCHAR)", "eval")} % 100 >= $EVAL_PCT)
+       |    SELECT doc_id, unnest(hsg) AS s FROM hsg WHERE bucket >= $EVAL_PCT)
        |)
        |SELECT t.doc_id, COUNT(*) AS n_overlap
        |FROM train_sh t JOIN eval_sh e ON t.s = e.s
@@ -415,10 +415,12 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val d = docs(s, dir)
     val isEval = hash64(col("doc_id").cast("string"), "eval") % 100 < EVAL_PCT
-    val evalSh = d.filter(isEval)
-      .select(explode(shingles(tokens(col("text")), DedupQueries.NGRAM)).as("s")).distinct()
-    val trainSh = d.filter(!isEval)
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), DedupQueries.NGRAM)).as("s"))
+    // integer shingle keys (one md5 per token) — the join keys shrink to
+    // 8-byte longs, same keys as the dedup family (DedupQueries.hsgOf)
+    val evalSh = DedupQueries.hsgOf(d.filter(isEval))
+      .select(explode(col("hsg")).as("s")).distinct()
+    val trainSh = DedupQueries.hsgOf(d.filter(!isEval))
+      .select(col("doc_id"), explode(col("hsg")).as("s"))
       .distinct()
     trainSh.join(evalSh, "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))

@@ -88,8 +88,9 @@ object DedupQueries {
        |      FROM (SELECT doc_id, ws, ${tokenHashesSql("ws")} AS th
        |            FROM (SELECT doc_id, ${tokensSql("text")} AS ws FROM documents)))""".stripMargin
 
-  /** Spark twin of [[hsgFromDocsSql]]: (doc_id, hsg) with th materialized. */
-  private def hsgOf(in: DataFrame): DataFrame = in
+  /** Spark twin of [[hsgFromDocsSql]]: (doc_id, hsg) with th materialized.
+    * Package-visible: decontamination joins on the same keys. */
+  private[functions] def hsgOf(in: DataFrame): DataFrame = in
     .select(col("doc_id"), tokens(col("text")).as("ws"))
     .select(col("doc_id"), col("ws"), tokenHashes(col("ws")).as("th"))
     .select(col("doc_id"), shingleKeys(col("ws"), col("th"), NGRAM).as("hsg"))

@@ -97,14 +97,6 @@ object TextFunctions {
 
   // ------------------------------------------------------------ MinHash
 
-  /** Base shingle hash, computed ONCE per shingle. The k MinHash families are
-    * affine rehashes of this value (below) instead of k independent md5
-    * passes — the standard MinHash construction (one strong base hash + a
-    * universal family h_i(x) = (a_i·x + b_i) mod p, p Mersenne prime), and a
-    * 12× cut in md5/hex-conv work on the corpus-sized signature stage. */
-  def shingleHashes(sg: Column): Column = F.transform(sg, s => hash64(s, "mh"))
-  def shingleHashesSql(sg: String): String = s"[${hash64Sql("s", "mh")} for s in $sg]"
-
   /** One md5 per TOKEN — the base layer for integer shingle keys below. */
   def tokenHashes(ws: Column): Column = F.transform(ws, w => hash64(w, "mh"))
   def tokenHashesSql(ws: String): String = s"[${hash64Sql("w", "mh")} for w in $ws]"
@@ -156,7 +148,7 @@ object TextFunctions {
   }
 
   /** MinHash signature: k affine min-hashes over the PRE-HASHED shingle array
-    * (`shingleHashes` above) — pure integer arithmetic, codegen-friendly. */
+    * (`shingleKeys` above) — pure integer arithmetic, codegen-friendly. */
   def minhashSig(hsg: Column, k: Int): Seq[Column] =
     (0 until k).map { i =>
       val (a, b) = mhFam(i)
