@@ -366,6 +366,44 @@ object SimilarityQueries {
     }
   }
 
+  /** Class prototypes over the labeled embeddings: per-label centroid (exact
+    * integer mean — SUM of quantized vectors `div` member count, so both
+    * engines floor identically and the later dot products stay inside i64)
+    * plus class compactness as MIN/MAX member-to-centroid cosine (min/max
+    * are aggregation-order-independent, unlike a float mean). One keyed agg
+    * + a broadcast of the label-count-sized centroid table — linear scale. */
+  val embClassCentroids: Q = {
+    val meanList = (1 to DIM)
+      .map(i => s"CAST(SUM(qe[$i]) AS BIGINT) // COUNT(*)").mkString("[", ", ", "]")
+    Q(
+      "emb_class_centroids",
+      s"""WITH quant AS (
+         |  SELECT vec_id, label, ${quantizeSql("embedding")} AS qe FROM embeddings
+         |), cent AS (
+         |  SELECT label, COUNT(*) AS n_members, $meanList AS cemb
+         |  FROM quant GROUP BY label
+         |)
+         |SELECT q.label, c.n_members,
+         |  MIN(${cosLSql("q.qe", "c.cemb")}) AS min_cos,
+         |  MAX(${cosLSql("q.qe", "c.cemb")}) AS max_cos
+         |FROM quant q JOIN cent c ON q.label = c.label
+         |GROUP BY q.label, c.n_members
+         |ORDER BY q.label""".stripMargin) { (s, dir) =>
+      val quant = emb(s, dir)
+        .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qe"))
+      val cent = quant.groupBy("label")
+        .agg(count(lit(1)).as("n_members"),
+          (1 to DIM).map(i => sum(element_at(col("qe"), i)).as(s"c$i")): _*)
+        .select(col("label"), col("n_members"),
+          array((1 to DIM).map(i => expr(s"c$i div n_members")): _*).as("cemb"))
+      quant.join(broadcast(cent), "label")
+        .groupBy(col("label"), col("n_members"))
+        .agg(min(cosL(col("qe"), col("cemb"))).as("min_cos"),
+          max(cosL(col("qe"), col("cemb"))).as("max_cos"))
+        .orderBy("label")
+    }
+  }
+
   val all: Seq[Q] = Seq(annBruteForce, annThresholdPairs, annLshBuckets, annLshPairs,
-    annIvfTopk, annIvfKmeans)
+    annIvfTopk, annIvfKmeans, embClassCentroids)
 }
