@@ -18,6 +18,8 @@ object EventStreams {
   final case class EventRow(event_id: Long, userId: Long, eventType: String,
       value: Double, tsMicros: Long)
   final case class SessionOut(userId: Long, nEvents: Long, spanMicros: Long)
+  final case class FunnelOut(userId: Long, tView: Option[Long], tClick: Option[Long],
+      tBuy: Option[Long])
 
   /** Streaming source over the events parquet directory (schema must be given
     * explicitly — streaming readers don't infer). */
@@ -88,6 +90,37 @@ object EventStreams {
           }
           state.update((n, lo, hi))
           Iterator(SessionOut(userId, n, if (n > 0) hi - lo else 0L))
+      }
+  }
+
+  /** Streaming funnel attribution: per-user earliest view/click/purchase
+    * micros maintained incrementally in keyed state (3 longs per user —
+    * state bounded by the user population, not the event volume). Each
+    * micro-batch emits the user's updated stage tuple; the sink keeps the
+    * latest. Folding the final states reproduces the batch `events_funnel`
+    * counts exactly (proven in StreamingSpec) — the stream is the incremental
+    * twin of the batch conditional-MIN aggregation. */
+  def userFunnel(spark: SparkSession, events: DataFrame): Dataset[FunnelOut] = {
+    import spark.implicits._
+    val NONE = Long.MaxValue
+    val typed = events.select(
+      col("event_id"), col("user_id").as("userId"), col("event_type").as("eventType"),
+      col("value"), expr("ts DIV 1000").as("tsMicros")).as[EventRow]
+    typed.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[(Long, Long, Long)]) =>
+          var (v, c, b) = state.getOption.getOrElse((NONE, NONE, NONE))
+          rows.foreach { r =>
+            r.eventType match {
+              case "view" => v = math.min(v, r.tsMicros)
+              case "click" => c = math.min(c, r.tsMicros)
+              case "purchase" => b = math.min(b, r.tsMicros)
+              case _ => ()
+            }
+          }
+          state.update((v, c, b))
+          def opt(x: Long): Option[Long] = if (x == NONE) None else Some(x)
+          Iterator(FunnelOut(userId, opt(v), opt(c), opt(b)))
       }
   }
 

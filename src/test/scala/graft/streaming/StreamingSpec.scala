@@ -92,6 +92,33 @@ class StreamingSpec extends AnyFunSuite {
       s"screen flagged ${screened.size} pairs, batch has ${symmetric.size}")
   }
 
+  test("streaming funnel state folds to the batch funnel counts") {
+    val states = EventStreams.runToMemory(
+      spark, EventStreams.userFunnel(spark, EventStreams.source(spark, sf)),
+      "funnel_out", OutputMode.Append())
+    // keep each user's LAST emitted state (one per micro-batch per user)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("userId")
+    // the final state has the most stages set and the smallest minima
+    val nn = Seq("tView", "tClick", "tBuy")
+      .map(c => when(col(c).isNotNull, 1).otherwise(0)).reduce(_ + _)
+    val latest = states
+      .withColumn("rn", row_number().over(w.orderBy(nn.desc,
+        coalesce(col("tView"), lit(Long.MaxValue)).asc,
+        coalesce(col("tClick"), lit(Long.MaxValue)).asc,
+        coalesce(col("tBuy"), lit(Long.MaxValue)).asc)))
+      .filter(col("rn") === 1)
+    val folded = latest.agg(
+      count(when(col("tView").isNotNull, 1)).as("n_view"),
+      count(when(col("tClick") > col("tView"), 1)).as("n_view_click"),
+      count(when(col("tClick") > col("tView") && col("tBuy") > col("tClick"), 1))
+        .as("n_full")).collect().head
+    val batch = graft.operators.EventsQueries.eventsFunnel.run(spark, sf).collect().head
+    assert((folded.getLong(0), folded.getLong(1), folded.getLong(2)) ==
+      (batch.getLong(0), batch.getLong(1), batch.getLong(2)),
+      s"stream-folded funnel $folded != batch $batch")
+  }
+
   test("stream-stream interval join == batch interval join") {
     val streamed = EventStreams.runToMemory(
       spark, EventStreams.clickViewJoin(EventStreams.source(spark, sf)),
