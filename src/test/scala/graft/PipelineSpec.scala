@@ -200,6 +200,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(!p.catalog.exists("n_copy"))
   }
 
+  test("catalog save/load: tables, views, constraints survive an engine restart") {
+    val p = freshPipeline()
+    p.run("CREATE TABLE cs_store (store_id INT PRIMARY KEY, name VARCHAR(20));" +
+      "INSERT INTO cs_store VALUES (1, 'a'), (2, 'b')")
+    p.catalog.createView("cs_view",
+      "SELECT COUNT(*) AS n FROM t_region")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat").toString
+    p.catalog.saveTo(dir)
+    // simulate restart: wipe the constraint registry entry, then reload into
+    // a brand-new catalog
+    graft.plans.ConstraintRegistry.drop("cs_store")
+    val cat2 = new Catalog(spark)
+    cat2.loadFrom(dir)
+    assert(cat2.table("cs_store").orderBy("store_id").collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(cat2.table("t_region").count() == 5)
+    assert(cat2.viewNames.contains("cs_view"))
+    assert(spark.sql("SELECT * FROM cs_view").collect().head.getLong(0) == 5)
+    assert(graft.plans.ConstraintRegistry.uniqueKeys("cs_store") == Seq(Set("store_id")),
+      "PK came back from the manifest")
+    assert(cat2.parquetTables.nonEmpty, "reloaded tables are parquet-backed (meta tables work)")
+  }
+
   test("failures are per-statement, not script-aborting") {
     val p = freshPipeline()
     val rs = p.run("SELECT * FROM missing_table; SELECT COUNT(*) AS n FROM t_region")
