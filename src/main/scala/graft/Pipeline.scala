@@ -141,6 +141,30 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
             invalidatePlanCache()
             StatementResult(s, Ok, None)
         }
+      } else if (upper.startsWith("EXPLAIN ANALYZE ")) {
+        // Execute, then render the FINAL adaptive plan with per-node runtime
+        // metrics (rows, spill, shuffle bytes) — psql's EXPLAIN ANALYZE for
+        // the reference's visualize-with-cardinalities debugging flow.
+        val q = s.drop("EXPLAIN ANALYZE ".length).trim
+        val qe = spark.sql(q).queryExecution
+        qe.executedPlan.execute().count() // drive THIS plan; metrics populate on it
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+          val ms = p.metrics.toSeq.sortBy(_._1)
+            .map { case (k, m) => s"$k=${m.value}" }.mkString(", ")
+          val self = if (ms.isEmpty) Seq.empty else Seq(s"${p.nodeName}: $ms")
+          val kids = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              Seq(a.executedPlan)
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              Seq(qs.plan) // stage nodes wrap their subtree outside children
+            case _ => p.children
+          }
+          self ++ kids.flatMap(walk)
+        }
+        val lines = qe.executedPlan.toString.linesIterator.toSeq ++
+          Seq("", "== Runtime Metrics ==") ++ walk(qe.executedPlan)
+        import spark.implicits._
+        StatementResult(s, Ok, Some(lines.toDF("plan")))
       } else if (upper.startsWith("EXPLAIN ")) {
         // EXPLAIN [SIMPLE|FORMATTED|EXTENDED|COST|CODEGEN] <query> — the
         // console/debug surface of the reference (hyriseConsole `visualize`

@@ -191,6 +191,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(simple.nonEmpty)
   }
 
+  test("EXPLAIN ANALYZE executes and reports per-node runtime metrics") {
+    val p = freshPipeline()
+    val lines = p.sql("EXPLAIN ANALYZE SELECT r_name, COUNT(*) AS n FROM t_region GROUP BY r_name")
+      .collect().map(_.getString(0))
+    assert(lines.exists(_.contains("== Runtime Metrics ==")))
+    assert(lines.exists(l => l.contains("numOutputRows=") || l.contains("number of output rows")),
+      lines.mkString("\n"))
+  }
+
   test("CREATE TABLE AS / DROP TABLE") {
     val p = freshPipeline()
     p.run("CREATE TABLE n_copy AS SELECT * FROM t_nation WHERE n_regionkey = 0")
