@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LifecycleQueries {
 
-  private def pipeline(s: SparkSession, dir: String, tables: (String, String)*): Pipeline = {
+  private[operators] def pipeline(s: SparkSession, dir: String, tables: (String, String)*): Pipeline = {
     val cat = new Catalog(s)
     tables.foreach { case (src, as) => cat.register(as, Tables.df(s, dir, src)) }
     new Pipeline(cat)
