@@ -240,7 +240,53 @@ object EventsQueries {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Hourly-rate anomaly flags per event type: a bucket is anomalous when its
+    * count deviates from the trailing-24h mean by more than k standard
+    * deviations. The z-score compare is cross-multiplied into pure INTEGER
+    * arithmetic — (n·x − sum)² > k²·(n·sumsq − sum²) — so both engines
+    * decide identically (no float mean/std drift) and the whole check stays
+    * in exact math over counts. One keyed window per type, frames exclude
+    * the current bucket; scales as one shuffle on event_type. */
+  val eventsAnomaly: Q = {
+    val K = 3L // flag beyond 3 sigma
+    Q(
+      "events_anomaly",
+      s"""WITH hourly AS (
+        |  SELECT event_type, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+        |    COUNT(*) AS x
+        |  FROM events GROUP BY event_type, h
+        |), stats AS (
+        |  SELECT event_type, h, x,
+        |    COUNT(*) OVER w AS n,
+        |    COALESCE(SUM(x) OVER w, 0) AS s,
+        |    COALESCE(SUM(x * x) OVER w, 0) AS sq
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, h, x, n, s
+        |FROM stats
+        |WHERE n >= 12
+        |  AND (n * x - s) * (n * x - s) > ${K * K} * (n * sq - s * s)
+        |ORDER BY event_type, h""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+      ev(s, dir)
+        .groupBy(col("event_type"),
+          expr("floor((ts div 1000) / 3600000000)").cast("long").as("h"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", coalesce(sum("x").over(w), lit(0L)))
+        .withColumn("sq", coalesce(sum(col("x") * col("x")).over(w), lit(0L)))
+        .filter(col("n") >= 12 &&
+          (col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s")) >
+            lit(K * K) * (col("n") * col("sq") - col("s") * col("s")))
+        .select("event_type", "h", "x", "n", "s")
+        .orderBy("event_type", "h")
+    }
+  }
+
   val all: Seq[Q] = Seq(eventsByType, eventsHourly, eventsUserSeq,
     eventsAsofJoin, eventsSessionize, eventsFunnel, eventsRetention,
-    eventsTransitions)
+    eventsTransitions, eventsAnomaly)
 }
