@@ -130,5 +130,38 @@ object TpccQueries {
     rs.last.df.get
   }
 
-  val all: Seq[Q] = Seq(orderStatus, stockLevel, paymentTxn)
+  /** NewOrder (tpcc/procedures/new_order): insert an order and its lines in
+    * one atomic transaction, with the derived order key READ FROM THE TXN'S
+    * OWN STAGED WRITE (the line inserts select MAX(o_orderkey) after the
+    * order insert — read-your-writes inside BEGIN, reference:
+    * tpcc_new_order.cpp's order-id chaining). */
+  val newOrderTxn: Q = Q(
+    "tpcc_new_order_txn",
+    """CREATE OR REPLACE TEMP TABLE ord_no AS SELECT * FROM orders;
+      |CREATE OR REPLACE TEMP TABLE line_no AS SELECT CAST(0 AS BIGINT) AS l_orderkey, CAST(0 AS BIGINT) AS l_linenumber, CAST(0.0 AS DOUBLE) AS l_amount WHERE false;
+      |BEGIN;
+      |INSERT INTO ord_no SELECT MAX(o_orderkey) + 1, 42, 'N', 123.45, MAX(o_orderdate), 'NEW' FROM ord_no;
+      |INSERT INTO line_no SELECT MAX(o_orderkey), 1, 61.0 FROM ord_no;
+      |INSERT INTO line_no SELECT MAX(o_orderkey), 2, 62.45 FROM ord_no;
+      |COMMIT;
+      |SELECT o.o_custkey, o.o_orderstatus, o.o_totalprice, l.l_linenumber, l.l_amount
+      |FROM ord_no o JOIN line_no l ON l.l_orderkey = o.o_orderkey
+      |ORDER BY l.l_linenumber""".stripMargin) { (s, dir) =>
+    val p = LifecycleQueries.pipeline(s, dir, "orders" -> "ord_no_w")
+    val rs = p.run(
+      """CREATE TABLE ord_no AS SELECT * FROM ord_no_w;
+        |CREATE TABLE line_no AS SELECT CAST(0 AS BIGINT) AS l_orderkey, CAST(0 AS BIGINT) AS l_linenumber, CAST(0.0 AS DOUBLE) AS l_amount WHERE false;
+        |BEGIN;
+        |INSERT INTO ord_no SELECT MAX(o_orderkey) + 1, 42, 'N', 123.45, MAX(o_orderdate), 'NEW' FROM ord_no;
+        |INSERT INTO line_no SELECT MAX(o_orderkey), 1, 61.0 FROM ord_no;
+        |INSERT INTO line_no SELECT MAX(o_orderkey), 2, 62.45 FROM ord_no;
+        |COMMIT;
+        |SELECT o.o_custkey, o.o_orderstatus, o.o_totalprice, l.l_linenumber, l.l_amount
+        |FROM ord_no o JOIN line_no l ON l.l_orderkey = o.o_orderkey
+        |ORDER BY l.l_linenumber""".stripMargin)
+    rs.foreach(r => require(r.status == p.Ok, s"${r.sql}: ${r.status}"))
+    rs.last.df.get
+  }
+
+  val all: Seq[Q] = Seq(orderStatus, stockLevel, paymentTxn, newOrderTxn)
 }
