@@ -286,7 +286,42 @@ object EventsQueries {
     }
   }
 
+  /** Gap-filled hourly series per event type: generate every bucket between
+    * each type's first and last activity, left-join the observed counts,
+    * zero-fill the holes — the resample step before any rolling statistic
+    * (a naive rolling window over sparse buckets silently skips empty hours;
+    * events_anomaly's ROWS frame is only correct when buckets are dense).
+    * The per-type bucket explode is bounded by the observation window, and
+    * the join is keyed — linear at any scale. */
+  val eventsGapfill: Q = Q(
+    "events_gapfill",
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+      |    COUNT(*) AS x
+      |  FROM events GROUP BY event_type, h
+      |), spans AS (
+      |  SELECT event_type, MIN(h) AS h_lo, MAX(h) AS h_hi FROM hourly GROUP BY event_type
+      |), grid AS (
+      |  SELECT event_type, unnest(range(h_lo, h_hi + 1)) AS h FROM spans
+      |)
+      |SELECT g.event_type, g.h, COALESCE(hr.x, 0) AS x,
+      |  CASE WHEN hr.x IS NULL THEN 1 ELSE 0 END AS filled
+      |FROM grid g LEFT JOIN hourly hr ON hr.event_type = g.event_type AND hr.h = g.h
+      |ORDER BY g.event_type, g.h""".stripMargin) { (s, dir) =>
+    val hourly = ev(s, dir)
+      .groupBy(col("event_type"),
+        expr("floor((ts div 1000) / 3600000000)").cast("long").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val grid = hourly.groupBy("event_type")
+      .agg(min("h").as("h_lo"), max("h").as("h_hi"))
+      .select(col("event_type"), explode(sequence(col("h_lo"), col("h_hi"))).as("h"))
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("x"), lit(0L)).as("x"),
+        when(col("x").isNull, 1).otherwise(0).as("filled"))
+      .orderBy("event_type", "h")
+  }
+
   val all: Seq[Q] = Seq(eventsByType, eventsHourly, eventsUserSeq,
     eventsAsofJoin, eventsSessionize, eventsFunnel, eventsRetention,
-    eventsTransitions, eventsAnomaly)
+    eventsTransitions, eventsAnomaly, eventsGapfill)
 }
