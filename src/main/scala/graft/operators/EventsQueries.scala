@@ -321,7 +321,34 @@ object EventsQueries {
       .orderBy("event_type", "h")
   }
 
+  /** Rolling median of the hourly rate (trailing 7 buckets): the robust
+    * smoother dashboards put next to the mean — medians ignore the spike the
+    * z-score flags. Spark `percentile` ≡ DuckDB `quantile_cont` bit-for-bit
+    * (same linear interpolation on the sorted frame; proven for grouped
+    * aggregation by agg_percentile_exact, same property holds per-frame).
+    * One keyed window on event_type — scales as one shuffle. */
+  val eventsRollingMedian: Q = Q(
+    "events_rolling_median",
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+      |    COUNT(*) AS x
+      |  FROM events GROUP BY event_type, h
+      |)
+      |SELECT event_type, h, x,
+      |  quantile_cont(x, 0.5) OVER (PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med
+      |FROM hourly ORDER BY event_type, h""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("h").rowsBetween(-6, 0)
+    ev(s, dir)
+      .groupBy(col("event_type"),
+        expr("floor((ts div 1000) / 3600000000)").cast("long").as("h"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("med", expr("percentile(x, 0.5)").over(w))
+      .orderBy("event_type", "h")
+  }
+
   val all: Seq[Q] = Seq(eventsByType, eventsHourly, eventsUserSeq,
     eventsAsofJoin, eventsSessionize, eventsFunnel, eventsRetention,
-    eventsTransitions, eventsAnomaly, eventsGapfill)
+    eventsTransitions, eventsAnomaly, eventsGapfill, eventsRollingMedian)
 }
