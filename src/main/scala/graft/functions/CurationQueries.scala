@@ -686,8 +686,34 @@ object CurationQueries {
       .orderBy("shard")
   }
 
+  // ------------------------------------------------------- dedup audit report
+  // Cluster-size histogram over the connected components: how much of the
+  // corpus sits in singletons vs n-way duplicate groups — the one-page audit
+  // every dedup run ships with. Derived from the SAME clustering (Spark: the
+  // adaptive CC; oracle: the same recursive closure), so report and operator
+  // cannot disagree.
+  val dedupClusterHistogram: Q = {
+    require(dedupClusterCc.oracle.get.endsWith("ORDER BY d.doc_id"),
+      "histogram embeds the CC oracle as a CTE by stripping its ORDER BY")
+    val ccSql = dedupClusterCc.oracle.get.stripSuffix("ORDER BY d.doc_id")
+    Q(
+      "cur_dedup_cluster_hist",
+      s"""WITH cc AS ($ccSql)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         |  cluster_size * COUNT(*) AS n_docs
+         |FROM (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin) { (s, dir) =>
+      dedupClusterCc.run(s, dir)
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     repetition, qualityFilter, sampleStratified, packSequences, dedupClusterCc,
     corpusDiff, decontaminate, domainMix, oversampleEpochs, splitAssign, domainCap,
-    endToEnd, shardAssign)
+    endToEnd, shardAssign, dedupClusterHistogram)
 }
