@@ -404,6 +404,28 @@ object SimilarityQueries {
     }
   }
 
+  /** Embedding QC: per-label min/max/zero-count of the exact integer squared
+    * norm (quantized dot with itself) — catches the broken rows every
+    * embedding ingest eventually produces (all-zero vectors from failed
+    * encodes, magnitude outliers from bad normalization). Map-only + one
+    * keyed agg with order-independent MIN/MAX/COUNT — exact and linear. */
+  val embNormQc: Q = Q(
+    "emb_norm_qc",
+    s"""SELECT label, COUNT(*) AS n,
+       |  MIN(n2) AS min_norm2, MAX(n2) AS max_norm2,
+       |  COUNT(*) FILTER (WHERE n2 = 0) AS n_zero
+       |FROM (SELECT label, ${dotLSql("qe", "qe")} AS n2
+       |      FROM (SELECT label, ${quantizeSql("embedding")} AS qe FROM embeddings))
+       |GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+    emb(s, dir)
+      .select(col("label"), quantize(col("embedding")).as("qe"))
+      .select(col("label"), dotL(col("qe"), col("qe")).as("n2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), min("n2").as("min_norm2"), max("n2").as("max_norm2"),
+        count(when(col("n2") === 0, 1)).as("n_zero"))
+      .orderBy("label")
+  }
+
   val all: Seq[Q] = Seq(annBruteForce, annThresholdPairs, annLshBuckets, annLshPairs,
-    annIvfTopk, annIvfKmeans, embClassCentroids)
+    annIvfTopk, annIvfKmeans, embClassCentroids, embNormQc)
 }
