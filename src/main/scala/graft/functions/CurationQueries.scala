@@ -712,8 +712,42 @@ object CurationQueries {
     }
   }
 
+  // ------------------------------------------------------- source health report
+  // The per-source one-pager every corpus owner reads daily: volume, quality
+  // keep-rate (basis points, integer-exact), token mass, language-ID
+  // agreement. One scan + one keyed agg; every signal reuses the SAME
+  // expressions as the operators above (keepReason, tokenCount, langId), so
+  // the report can never disagree with the pipeline's decisions.
+  val sourceHealth: Q = Q(
+    "cur_source_health",
+    s"""WITH scored AS (
+       |  ${keepReasonSelectSql("documents", "source", "lang", "text")}
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  COUNT(*) FILTER (WHERE reason = 'keep') AS n_keep,
+       |  (10000 * COUNT(*) FILTER (WHERE reason = 'keep')) // COUNT(*) AS keep_bp,
+       |  SUM(n_tokens) AS tok_total,
+       |  COUNT(*) FILTER (WHERE pred = lang) AS n_lang_agree
+       |FROM (SELECT source, lang, reason, n_tokens,
+       |        ${langIdSql(tokensSql("text"))} AS pred FROM scored)
+       |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("source"), col("lang"),
+        keepReason(col("text")).as("reason"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        langId(tokens(col("text"))).as("pred"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("reason") === "keep", 1)).as("n_keep"),
+        sum("n_tokens").as("tok_total"),
+        count(when(col("pred") === col("lang"), 1)).as("n_lang_agree"))
+      .withColumn("keep_bp", expr("(10000 * n_keep) div n_docs"))
+      .select("source", "n_docs", "n_keep", "keep_bp", "tok_total", "n_lang_agree")
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     repetition, qualityFilter, sampleStratified, packSequences, dedupClusterCc,
     corpusDiff, decontaminate, domainMix, oversampleEpochs, splitAssign, domainCap,
-    endToEnd, shardAssign, dedupClusterHistogram)
+    endToEnd, shardAssign, dedupClusterHistogram, sourceHealth)
 }
