@@ -171,6 +171,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(cids.size == threads)
   }
 
+  test("delivery-style txn: read the snapshot, stage a keyed batch update, commit atomically") {
+    // TPC-C Delivery's shape: SELECT the oldest open order per group from the
+    // txn snapshot, then UPDATE exactly that key set — the read-then-write
+    // pattern SQL-level UPDATE..IN(subquery) can't express through the
+    // Column-rewrite path, done here through the Transaction API.
+    import spark.implicits._
+    val cat = new Catalog(spark)
+    cat.register("d_orders",
+      Seq((1L, "a", "O"), (2L, "a", "O"), (3L, "b", "O"), (4L, "b", "F"))
+        .toDF("o_id", "seg", "status"))
+    val t = cat.beginTxn()
+    // oldest open order per segment, read from the TXN's view of the table
+    val oldest = t.table("d_orders").filter(col("status") === "O")
+      .groupBy("seg").agg(min("o_id").as("o_id"))
+      .select("o_id").collect().map(_.getLong(0))
+    assert(oldest.toSet == Set(1L, 3L))
+    t.update("d_orders", col("o_id").isin(oldest: _*),
+      Map("status" -> lit("D")))
+    assert(t.commit().isRight)
+    val after = cat.table("d_orders").orderBy("o_id")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(after.toSeq == Seq((1L, "D"), (2L, "O"), (3L, "D"), (4L, "F")),
+      "exactly the two oldest open orders delivered, atomically")
+  }
+
   test("read-only transaction always commits; nested BEGIN rejected") {
     val p = freshPipeline()
     val rs = p.run("BEGIN; SELECT COUNT(*) AS n FROM t_region; BEGIN; COMMIT")
