@@ -36,6 +36,16 @@ final class PgServer(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int =
   private val running = new AtomicBoolean(false)
   @volatile private var socket: ServerSocket = _
 
+  // CancelRequest registry: backend pid -> (secret, cancel action). A cancel
+  // arrives on a NEW connection carrying the pid+secret from BackendKeyData;
+  // the action cancels the backend's Spark job group (interrupt-on-cancel),
+  // so the in-flight collect aborts and the session answers with an ERROR
+  // frame then recovers — postgres semantics.
+  private val pidGen = new java.util.concurrent.atomic.AtomicInteger(1)
+  private val rng = new java.security.SecureRandom()
+  private val backends =
+    scala.collection.concurrent.TrieMap.empty[Int, (Int, () => Unit)]
+
   def start(): Int = {
     socket = new ServerSocket(port)
     running.set(true)
@@ -142,7 +152,10 @@ final class PgServer(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int =
       val code = in.readInt()
       code match {
         case 80877103 | 80877104 => out.writeByte('N'); out.flush() // no SSL / no GSS
-        case 80877102 => return // CancelRequest: no async queries to cancel
+        case 80877102 => // CancelRequest: pid + secret, then close (no response)
+          val pid = in.readInt(); val secret = in.readInt()
+          backends.get(pid).filter(_._1 == secret).foreach(_._2())
+          return
         case 196608 => // protocol 3.0: key/value parameters (user/database) ignored
           val rest = new Array[Byte](len - 8); in.readFully(rest); started = true
         case other => sendError(out, s"unsupported protocol code $other"); out.flush(); return
@@ -150,10 +163,18 @@ final class PgServer(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int =
     }
 
     val pipeline = makePipeline()
+    val pid = pidGen.getAndIncrement()
+    val secret = rng.nextInt()
+    val sc = pipeline.catalog.spark.sparkContext
+    val jobGroup = s"graft-pg-$pid"
+    // every statement this connection runs executes on THIS thread — one
+    // thread-local job group covers them all; cancel interrupts running tasks
+    sc.setJobGroup(jobGroup, s"pgwire backend $pid", interruptOnCancel = true)
+    backends.put(pid, (secret, () => sc.cancelJobGroup(jobGroup)))
     msg(out, 'R')(_.writeInt(0)) // AuthenticationOk (trust)
     msg(out, 'S') { o => cstr(o, "server_version"); cstr(o, "15.0 (graft)") }
     msg(out, 'S') { o => cstr(o, "client_encoding"); cstr(o, "UTF8") }
-    msg(out, 'K') { o => o.writeInt(0); o.writeInt(0) } // BackendKeyData (cancel unsupported)
+    msg(out, 'K') { o => o.writeInt(pid); o.writeInt(secret) } // BackendKeyData
     sendReady(out, pipeline)
 
     // extended-protocol session state (reference: prepared_plan.hpp storage)
@@ -161,7 +182,7 @@ final class PgServer(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int =
     val portals = scala.collection.mutable.Map.empty[String, String]    // name -> bound SQL
     var errorUntilSync = false // after an extended-flow error, discard until Sync
 
-    while (running.get()) {
+    try while (running.get()) {
       val tpe = in.read()
       if (tpe < 0) return
       val len = in.readInt()
@@ -242,7 +263,7 @@ final class PgServer(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int =
             "(reference scope: postgres_protocol_handler.hpp simple+extended flows)")
           sendReady(out, pipeline)
       }
-    }
+    } finally backends.remove(pid)
   }
 
   // ------------------------------------------------------- extended protocol
