@@ -145,7 +145,8 @@ object MetaTables {
       "spark.sql.session.timeZone", "spark.sql.shuffle.partitions",
       "spark.sql.adaptive.enabled", "spark.sql.cbo.enabled",
       "spark.sql.cbo.joinReorder.enabled", "spark.sql.ansi.enabled",
-      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.parquet.filterPushdown")
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.parquet.filterPushdown",
+      "spark.graft.statementTimeoutMs") // server-side statement governor (PgServer)
     val rows = keys.map(k => Row(k, spark.conf.getOption(k).orNull))
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
       StructField("name", StringType), StructField("value", StringType))))

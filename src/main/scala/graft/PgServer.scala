@@ -189,11 +189,26 @@ final class PgServer(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int =
       val body = new Array[Byte](len - 4)
       in.readFully(body)
       val t = tpe.toChar
+      // statement governor: `spark.graft.statementTimeoutMs` (set via
+      // UPDATE meta_settings) arms a timer that cancels this backend's job
+      // group — a runaway statement aborts with an ERROR frame instead of
+      // holding the connection forever.
+      def governed[A](f: => A): A =
+        pipeline.catalog.spark.conf.getOption("spark.graft.statementTimeoutMs")
+          .map(_.toLong).filter(_ > 0) match {
+          case None => f
+          case Some(ms) =>
+            val timer = new java.util.Timer(true)
+            timer.schedule(new java.util.TimerTask {
+              def run(): Unit = sc.cancelJobGroup(jobGroup)
+            }, ms)
+            try f finally timer.cancel()
+        }
       if (errorUntilSync && t != 'S' && t != 'X') () // protocol error recovery
       else t match {
         case 'Q' =>
           val sql = new String(body, 0, math.max(0, body.length - 1), UTF_8)
-          runScript(pipeline, sql, out)
+          governed(runScript(pipeline, sql, out))
           sendReady(out, pipeline)
         case 'P' => // Parse: name\0 query\0 nParamTypes (oid...)
           try {
@@ -243,7 +258,8 @@ final class PgServer(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int =
             val portal = b.cstring()
             val limit = b.i32()
             val sql = portals.getOrElse(portal, sys.error(s"unknown portal '$portal'"))
-            executePortal(pipeline, sql, if (limit > 0) math.min(limit, maxRows) else maxRows, out)
+            governed(
+              executePortal(pipeline, sql, if (limit > 0) math.min(limit, maxRows) else maxRows, out))
           } catch { case e: Throwable =>
             sendError(out, String.valueOf(e.getMessage)); errorUntilSync = true
           }
