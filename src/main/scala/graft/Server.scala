@@ -58,17 +58,35 @@ final class Server(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int = 1
     if (socket != null) socket.close()
   }
 
+  private val connGen = new java.util.concurrent.atomic.AtomicInteger(1)
+
   /** One connection = one session pipeline (like one pgwire session). */
   private def serve(client: Socket): Unit = {
     val pipeline = makePipeline()
     val in = new BufferedReader(new InputStreamReader(client.getInputStream, "UTF-8"))
     val out = new PrintWriter(client.getOutputStream, false)
+    // same statement governor as PgServer: spark.graft.statementTimeoutMs
+    // (set via UPDATE meta_settings) cancels this connection's job group
+    val sc = pipeline.catalog.spark.sparkContext
+    val jobGroup = s"graft-json-${connGen.getAndIncrement()}"
+    sc.setJobGroup(jobGroup, "graft line-json backend", interruptOnCancel = true)
+    def governed[A](f: => A): A =
+      pipeline.catalog.spark.conf.getOption("spark.graft.statementTimeoutMs")
+        .map(_.toLong).filter(_ > 0) match {
+        case None => f
+        case Some(ms) =>
+          val timer = new java.util.Timer(true)
+          timer.schedule(new java.util.TimerTask {
+            def run(): Unit = sc.cancelJobGroup(jobGroup)
+          }, ms)
+          try f finally timer.cancel()
+      }
     try {
       var line = in.readLine()
       while (line != null && running.get()) {
         val stmt = line.trim
         if (stmt.nonEmpty) {
-          try {
+          try governed {
             val df = pipeline.sql(stmt)
             val rows =
               if (df.columns.isEmpty) Array.empty[String] // DML/DDL: no result set
