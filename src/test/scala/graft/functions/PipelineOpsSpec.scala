@@ -56,6 +56,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_._2).sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
+  test("integer shingle keys are collision-free on the corpus (key count == string count)") {
+    val d = graft.Tables.df(spark, sf, "documents")
+    val ws = TextFunctions.tokens(col("text"))
+    val strings = d.select(explode(TextFunctions.shingles(ws, 3)).as("s"))
+      .agg(countDistinct("s")).collect().head.getLong(0)
+    val keys = d
+      .select(ws.as("ws")).select(col("ws"), TextFunctions.tokenHashes(col("ws")).as("th"))
+      .select(explode(TextFunctions.shingleKeys(col("ws"), col("th"), 3)).as("k"))
+      .agg(countDistinct("k")).collect().head.getLong(0)
+    assert(keys == strings,
+      s"every distinct string shingle must map to a distinct 62-bit key ($keys vs $strings)")
+  }
+
   test("identical texts get identical minhash signatures") {
     import spark.implicits._
     val two = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "alpha beta gamma delta epsilon"))
