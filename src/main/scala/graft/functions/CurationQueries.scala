@@ -746,8 +746,23 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** Document-length histogram (token-count buckets of 8): the shape check
+    * against truncation artifacts and length-distribution drift between
+    * corpus versions. Integer `div` bucketing, one keyed agg — exact. */
+  val tokenLengthHist: Q = Q(
+    "cur_token_length_hist",
+    s"""SELECT (${tokenCountSql("text")} // 8) * 8 AS bucket_lo,
+       |  COUNT(*) AS n_docs, SUM(${tokenCountSql("text")}) AS n_tokens
+       |FROM documents GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(tokenCount(col("text")).cast("long").as("tok"))
+      .groupBy(expr("(tok div 8) * 8").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .orderBy("bucket_lo")
+  }
+
   val all: Seq[Q] = Seq(
     repetition, qualityFilter, sampleStratified, packSequences, dedupClusterCc,
     corpusDiff, decontaminate, domainMix, oversampleEpochs, splitAssign, domainCap,
-    endToEnd, shardAssign, dedupClusterHistogram, sourceHealth)
+    endToEnd, shardAssign, dedupClusterHistogram, sourceHealth, tokenLengthHist)
 }
