@@ -348,7 +348,26 @@ object EventsQueries {
       .orderBy("event_type", "h")
   }
 
+  /** Event-value histogram per type (width-10 buckets): the distribution
+    * check behind alerting thresholds. FLOOR before CAST (Spark truncates
+    * where DuckDB rounds on double→BIGINT — the documented cross-engine
+    * trap); integer bucketing after that is exact. One keyed agg. */
+  val eventsValueHist: Q = Q(
+    "events_value_hist",
+    """SELECT event_type,
+      |  (CAST(FLOOR(value) AS BIGINT) // 10) * 10 AS bucket_lo,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type, bucket_lo
+      |ORDER BY event_type, bucket_lo""".stripMargin) { (s, dir) =>
+    ev(s, dir)
+      .groupBy(col("event_type"),
+        expr("(CAST(FLOOR(value) AS BIGINT) div 10) * 10").as("bucket_lo"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket_lo")
+  }
+
   val all: Seq[Q] = Seq(eventsByType, eventsHourly, eventsUserSeq,
     eventsAsofJoin, eventsSessionize, eventsFunnel, eventsRetention,
-    eventsTransitions, eventsAnomaly, eventsGapfill, eventsRollingMedian)
+    eventsTransitions, eventsAnomaly, eventsGapfill, eventsRollingMedian,
+    eventsValueHist)
 }
