@@ -163,5 +163,74 @@ object TpccQueries {
     rs.last.df.get
   }
 
-  val all: Seq[Q] = Seq(orderStatus, stockLevel, paymentTxn, newOrderTxn)
+  /** Delivery (tpcc/procedures/tpcc_delivery.cpp:30-120): the batch WRITE
+    * transaction — for each of 10 districts, find the OLDEST undelivered
+    * order, mark it delivered with a carrier id, and credit the line total to
+    * its customer's balance (+1 delivery count), all in ONE atomic commit.
+    *
+    * Faithful to the reference's shape: a driver-side loop of point reads and
+    * point updates (SELECT MIN → UPDATE order → SELECT customer → SELECT
+    * line-amount → UPDATE customer), where every read after the first write
+    * must see the transaction's OWN staged state — the read-then-batch-update
+    * pattern that stresses the staged-overlay machinery hardest. Districts
+    * here are `o_custkey % 10` (the fixture has no warehouse/district axis);
+    * "undelivered" is o_orderstatus = 'O'; the NEW_ORDER delete and the ORDER
+    * carrier update collapse into one status+carrier update because the
+    * fixture folds both tables into `orders`.
+    *
+    * The DuckDB oracle runs the SAME end state as batch SQL inside a native
+    * transaction — valid because the 10 districts are disjoint (one order per
+    * district, each customer in exactly one district), so sequential-per-
+    * district and all-at-once commute. */
+  val deliveryTxn: Q = Q(
+    "tpcc_delivery_txn",
+    """CREATE OR REPLACE TEMP TABLE ord_dlv AS
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, CAST(0 AS BIGINT) AS o_carrier_id
+      |  FROM orders WHERE o_custkey < 300;
+      |CREATE OR REPLACE TEMP TABLE cust_dlv AS
+      |  SELECT c_custkey, c_acctbal, CAST(0 AS BIGINT) AS c_delivery_cnt
+      |  FROM customer WHERE c_custkey < 300;
+      |BEGIN;
+      |UPDATE ord_dlv SET o_orderstatus = 'F', o_carrier_id = 7
+      |WHERE o_orderkey IN (
+      |  SELECT MIN(o_orderkey) FROM ord_dlv WHERE o_orderstatus = 'O' GROUP BY o_custkey % 10);
+      |UPDATE cust_dlv SET c_acctbal = c_acctbal + amt.a, c_delivery_cnt = c_delivery_cnt + 1
+      |FROM (SELECT o.o_custkey AS ck,
+      |        CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS a
+      |      FROM ord_dlv o LEFT JOIN lineitem ON l_orderkey = o.o_orderkey
+      |      WHERE o.o_carrier_id = 7 GROUP BY o.o_custkey) amt
+      |WHERE c_custkey = amt.ck;
+      |COMMIT;
+      |SELECT c.c_custkey, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal, c.c_delivery_cnt,
+      |  o.o_orderkey, o.o_carrier_id
+      |FROM cust_dlv c JOIN ord_dlv o ON o.o_custkey = c.c_custkey
+      |WHERE o.o_carrier_id = 7 ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
+    val p = LifecycleQueries.pipeline(s, dir,
+      "orders" -> "ord_dlv_w", "customer" -> "cust_dlv_w", "lineitem" -> "line_dlv")
+    def ok(sql: String): DataFrame = p.sql(sql) // throws on Failed status
+    ok("""CREATE TABLE ord_dlv AS SELECT o_orderkey, o_custkey, o_orderstatus, CAST(0 AS BIGINT) AS o_carrier_id FROM ord_dlv_w WHERE o_custkey < 300""")
+    ok("""CREATE TABLE cust_dlv AS SELECT c_custkey, c_acctbal, CAST(0 AS BIGINT) AS c_delivery_cnt FROM cust_dlv_w WHERE c_custkey < 300""")
+    ok("BEGIN")
+    for (d <- 0 until 10) {
+      // oldest undelivered order of this district — reads STAGED state (prior
+      // districts' updates are already visible inside the open transaction)
+      val m = ok(s"SELECT MIN(o_orderkey) AS m FROM ord_dlv WHERE o_orderstatus = 'O' AND o_custkey % 10 = $d").collect()(0)
+      if (!m.isNullAt(0)) { // reference: `if (!min_no_o_id) continue;`
+        val oid = m.getLong(0)
+        ok(s"UPDATE ord_dlv SET o_orderstatus = 'F', o_carrier_id = 7 WHERE o_orderkey = $oid")
+        val ck = ok(s"SELECT o_custkey FROM ord_dlv WHERE o_orderkey = $oid").collect()(0).getLong(0)
+        // line total as an exact decimal string, so the literal re-parses to
+        // the identical double on both engines
+        val amt = ok(s"SELECT CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS STRING) AS a FROM line_dlv WHERE l_orderkey = $oid").collect()(0).getString(0)
+        ok(s"UPDATE cust_dlv SET c_acctbal = c_acctbal + CAST('$amt' AS DOUBLE), c_delivery_cnt = c_delivery_cnt + 1 WHERE c_custkey = $ck")
+      }
+    }
+    ok("COMMIT")
+    ok("""SELECT c.c_custkey, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal, c.c_delivery_cnt,
+         |  o.o_orderkey, o.o_carrier_id
+         |FROM cust_dlv c JOIN ord_dlv o ON o.o_custkey = c.c_custkey
+         |WHERE o.o_carrier_id = 7 ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(orderStatus, stockLevel, paymentTxn, newOrderTxn, deliveryTxn)
 }
