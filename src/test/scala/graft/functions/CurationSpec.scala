@@ -118,6 +118,25 @@ class CurationSpec extends AnyFunSuite {
       "both CC paths must produce identical min-labels")
   }
 
+  test("cc edge budget: dense small-vertex graph routes to the distributed path") {
+    import spark.implicits._
+    // Two dense cliques over few vertices: vertex count passes the driver
+    // gate but the edge count exceeds the (shrunk) budget, so the distributed
+    // propagation must be taken — and must still label both cliques by their
+    // min member. Guards the round-6 fix: the driver collect is bounded by
+    // EDGES, not just vertices.
+    val vs1 = (0L until 40L)
+    val vs2 = (100L until 140L)
+    val clique = (vs: Seq[Long]) =>
+      for (a <- vs; b <- vs if a != b) yield (a, b)
+    val edges = (clique(vs1) ++ clique(vs2)).toDF("src", "dst")
+    val nEdges = edges.count()
+    val labels = CurationQueries.ccLabels(spark, edges, maxDriverEdges = nEdges / 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    vs1.foreach(v => assert(labels(v) == 0L, s"clique-1 vertex $v mislabeled"))
+    vs2.foreach(v => assert(labels(v) == 100L, s"clique-2 vertex $v mislabeled"))
+  }
+
   test("repetition fractions are in [0,1] and distinct_ratio positive") {
     val rows = CurationQueries.repetition.run(spark, sf).collect()
     assert(rows.nonEmpty)
