@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: opaque `binary` payloads + typed metadata +
   * batched feature extraction — the schema/partitioning shape a 100 TB
-  * image/audio corpus needs. The container has no image/audio codecs, so the
-  * DECODE STEP IS A DETERMINISTIC STUB (clearly marked below); everything
-  * around it — binary columns, metadata struct, batch iteration, feature
-  * schema — is real and tested.
+  * image/audio corpus needs. Two codec tiers:
+  *   - [[PngCodec]] — a REAL PNG encoder/decoder (JDK `javax.imageio`, no
+  *     external deps), exercised on real bytes by `multimodal_decode_png`
+  *     and oracle-gated via closed-form pixel facts;
+  *   - [[StubCodec]]/[[featureStub]] — the deterministic stand-in for codecs
+  *     the container genuinely lacks (JPEG-XL, ffmpeg audio/video), keeping
+  *     the surrounding plumbing — binary columns, metadata struct, batch
+  *     iteration, feature schema — fully exercisable and oracle-exact.
   *
   * No reference counterpart (hyrise's five types have no BINARY,
   * reference: src/lib/all_type_variant.hpp:34-39) — this is training-data-
@@ -79,6 +83,90 @@ object Multimodal {
       val codec = new StubCodec(dims) // per-partition, like a native codec handle
       it.map(r => Row.fromSeq(r.toSeq :+ codec.features(r.getAs[Array[Byte]](payloadIdx))))
     }(enc)
+  }
+
+  /** === REAL codec: JDK ImageIO PNG ===
+    * The container ships no external media libraries, but the JDK itself
+    * carries PNG/JPEG codecs in `javax.imageio`. One instance per PARTITION
+    * (the buffer is reused across rows; `ImageIO` cache is disabled so no
+    * scratch files hit disk inside tasks) — the exact allocation shape a
+    * native libjpeg/ffmpeg binding drops into. */
+  private[functions] final class PngCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+    ImageIO.setUseCache(false)
+    private val buf = new ByteArrayOutputStream(1 << 12)
+
+    /** Render a w×h image uniformly filled with (r,g,b); return REAL PNG bytes. */
+    def encode(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      buf.reset()
+      ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+
+    /** Decode REAL PNG bytes → (width, height, sumR, sumG, sumB). */
+    def decode(png: Array[Byte]): (Int, Int, Long, Long, Long) = {
+      val img = ImageIO.read(new ByteArrayInputStream(png))
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (img.getWidth, img.getHeight, sr, sg, sb)
+    }
+  }
+
+  /** Real-bytes decode, oracle-gated: per document a deterministic RGB image
+    * is rendered and PNG-ENCODED inside the partition, then immediately
+    * PNG-DECODED by the same per-partition codec, and the DECODED pixel
+    * facts (intrinsic dims + exact per-channel means — uniform fill and a
+    * lossless codec make the integer means exact) flow out as columns. The
+    * DuckDB oracle computes the same facts in closed form from doc_id, so
+    * any codec disagreement (stride, channel order, truncation) fails the
+    * exact-hash gate. Map-only, one codec per task — scales like any decode
+    * pass over a 100 TB media corpus. */
+  val multimodalDecodePng: Q = Q(
+    "multimodal_decode_png",
+    """SELECT doc_id,
+      |  CAST(doc_id % 13 + 1 AS INT) AS img_w,
+      |  CAST(doc_id % 7 + 1 AS INT) AS img_h,
+      |  CAST(doc_id * 37 % 256 AS INT) AS mean_r,
+      |  CAST(doc_id * 59 % 256 AS INT) AS mean_g,
+      |  CAST(doc_id * 83 % 256 AS INT) AS mean_b,
+      |  CAST((doc_id % 13 + 1) * (doc_id % 7 + 1) AS BIGINT) AS n_px
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("img_w", IntegerType),
+      StructField("img_h", IntegerType), StructField("mean_r", IntegerType),
+      StructField("mean_g", IntegerType), StructField("mean_b", IntegerType),
+      StructField("n_px", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    Tables.df(s, dir, "documents").select("doc_id")
+      .mapPartitions { it =>
+        val codec = new PngCodec // one per partition, like a native handle
+        it.map { r =>
+          val id = r.getLong(0)
+          val (w, h) = ((id % 13 + 1).toInt, (id % 7 + 1).toInt)
+          val png = codec.encode(w, h,
+            (id * 37 % 256).toInt, (id * 59 % 256).toInt, (id * 83 % 256).toInt)
+          val (dw, dh, sr, sg, sb) = codec.decode(png)
+          val n = dw.toLong * dh
+          Row(id, dw, dh, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt, n)
+        }
+      }(enc).orderBy("doc_id")
   }
 
   /** === STUB decode of intrinsic dimensions === deterministic (w, h) from the
@@ -181,5 +269,6 @@ object Multimodal {
     }
   }
 
-  val all: Seq[Q] = Seq(multimodalFeatures, multimodalResize, multimodalFrameSample)
+  val all: Seq[Q] =
+    Seq(multimodalFeatures, multimodalResize, multimodalFrameSample, multimodalDecodePng)
 }

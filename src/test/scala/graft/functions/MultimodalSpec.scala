@@ -21,6 +21,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaPartitions.count() === 100)
   }
 
+  test("PngCodec round-trips REAL PNG bytes with per-pixel fidelity") {
+    val codec = new Multimodal.PngCodec
+    // 3x2 uniform fill: encoded bytes must be a genuine PNG container
+    val png = codec.encode(3, 2, 10, 200, 33)
+    assert(png.length > 8)
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte &&
+      png(2) === 'N'.toByte && png(3) === 'G'.toByte,
+      "encoder must emit a real PNG signature")
+    val (w, h, sr, sg, sb) = codec.decode(png)
+    assert((w, h) === ((3, 2)))
+    assert((sr, sg, sb) === ((10L * 6, 200L * 6, 33L * 6)),
+      "lossless codec must round-trip exact channel sums")
+    // non-uniform image: distinct pixels survive the round trip positionally
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x0000ff)
+    val buf = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val (_, _, r2, g2, b2) = codec.decode(buf.toByteArray)
+    assert((r2, g2, b2) === ((255L, 0L, 255L)))
+  }
+
+  test("multimodal_decode_png: decoded pixel facts match closed form") {
+    val df = Multimodal.multimodalDecodePng.run(spark, SparkTestBase.sf)
+    // every output value below came out of a real ImageIO decode; compare
+    // against the closed-form arithmetic the DuckDB oracle uses
+    val bad = df.filter(
+      col("img_w") =!= (col("doc_id") % 13 + 1).cast("int") ||
+      col("img_h") =!= (col("doc_id") % 7 + 1).cast("int") ||
+      col("mean_r") =!= (col("doc_id") * 37 % 256).cast("int") ||
+      col("mean_g") =!= (col("doc_id") * 59 % 256).cast("int") ||
+      col("mean_b") =!= (col("doc_id") * 83 % 256).cast("int") ||
+      col("n_px") =!= (col("img_w") * col("img_h")).cast("long")).count()
+    assert(bad === 0)
+    assert(df.count() === Tables.df(spark, SparkTestBase.sf, "documents").count())
+  }
+
   test("frame sampling stays within bounds and starts at frame 0") {
     val df = Multimodal.multimodalFrameSample.run(spark, SparkTestBase.sf)
     val bad = df.filter(col("frame_no") >= col("n_frames") || col("sample_idx") >= 8).count()
