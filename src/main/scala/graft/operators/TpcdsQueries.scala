@@ -375,8 +375,139 @@ object TpcdsQueries {
         count(when(col("a").isNull && col("b").isNotNull, 1)).as("only_1998"))
   }
 
+  // --------------------------------------------------------------- Q14 shape
+  // (tpcds query14: cross_items = items sold in ALL channels via INTERSECT,
+  //  then per-channel ROLLUP sales gated by an average-sales threshold).
+  // Channels → the three l_returnflag populations; threshold division-free:
+  //  group_sum · n_rows > total · 950  ⇔  group_sum > 950 · (total / n).
+  // Integer quantities (FLOOR → BIGINT, exact in both engines) keep every
+  // comparison overflow- and ulp-free.
+  val q14CrossChannel: Q = Q(
+    "tpcds_q14_cross_channel",
+    """WITH li AS (
+      |  SELECT l_returnflag AS channel, l_partkey,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS qty
+      |  FROM lineitem),
+      |ci AS (
+      |  SELECT l_partkey FROM li WHERE channel = 'A'
+      |  INTERSECT SELECT l_partkey FROM li WHERE channel = 'N'
+      |  INTERSECT SELECT l_partkey FROM li WHERE channel = 'R'),
+      |tot AS (SELECT SUM(qty) AS t, COUNT(*) AS n FROM li)
+      |SELECT channel, p_brand, CAST(SUM(qty) AS BIGINT) AS volume,
+      |  COUNT(*) AS n_rows
+      |FROM li JOIN part ON l_partkey = p_partkey
+      |WHERE l_partkey IN (SELECT l_partkey FROM ci)
+      |GROUP BY ROLLUP(channel, p_brand)
+      |HAVING SUM(qty) * (SELECT n FROM tot) > (SELECT t FROM tot) * 950
+      |ORDER BY channel NULLS FIRST, p_brand NULLS FIRST""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem").select(
+      col("l_returnflag").as("channel"), col("l_partkey"),
+      floor(col("l_quantity")).cast("long").as("qty"))
+    def items(f: String): DataFrame =
+      li.filter(col("channel") === f).select("l_partkey").distinct()
+    // the Q14 signature: channel membership via INTERSECT (set semantics),
+    // then a LEFT SEMI keeps the fact stream lean before the rollup
+    val cross = items("A").intersect(items("N")).intersect(items("R"))
+    val tot = li.agg(sum(col("qty")).as("t"), count(lit(1)).as("n"))
+    li.join(cross, Seq("l_partkey"), "left_semi")
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .rollup(col("channel"), col("p_brand"))
+      .agg(sum(col("qty")).as("volume"), count(lit(1)).as("n_rows"))
+      .toDF("channel", "p_brand", "volume", "n_rows")
+      .crossJoin(broadcast(tot)) // 1-row totals, never a real cartesian
+      .filter(col("volume") * col("n") > col("t") * 950)
+      .select("channel", "p_brand", "volume", "n_rows")
+      .orderBy(col("channel").asc_nulls_first, col("p_brand").asc_nulls_first)
+  }
+
+  // --------------------------------------------------------------- Q23 shape
+  // (tpcds query23: frequent_ss_items × best_ss_customer CTE cascade — items
+  //  sold on many distinct dates AND customers near the max spend, both
+  //  semi-join filters on the final fact scan). Thresholds are SF-invariant:
+  //  lines-per-part and the cq/max ratio don't move with scale factor.
+  //  Division-free best-customer gate: 2·cq > max  ⇔  cq > max/2.
+  val q23FrequentBest: Q = Q(
+    "tpcds_q23_frequent_best",
+    """WITH lo AS (
+      |  SELECT l_partkey, o_custkey, o_orderdate,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |freq AS (
+      |  SELECT l_partkey FROM (
+      |    SELECT l_partkey, COUNT(DISTINCT o_orderdate) AS d FROM lo
+      |    WHERE year(o_orderdate) = 1997 GROUP BY l_partkey)
+      |  WHERE d >= 4),
+      |cust AS (SELECT o_custkey, SUM(qty) AS cq FROM lo GROUP BY o_custkey),
+      |best AS (
+      |  SELECT o_custkey FROM cust WHERE 2 * cq > (SELECT MAX(cq) FROM cust))
+      |SELECT CAST(SUM(price) AS DOUBLE) AS revenue, COUNT(*) AS n_sales
+      |FROM lo
+      |WHERE year(o_orderdate) = 1998 AND month(o_orderdate) <= 3
+      |  AND l_partkey IN (SELECT l_partkey FROM freq)
+      |  AND o_custkey IN (SELECT o_custkey FROM best)""".stripMargin) { (s, dir) =>
+    val lo = lineorder(s, dir).select(
+      col("l_partkey"), col("o_custkey"), col("o_orderdate"),
+      floor(col("l_quantity")).cast("long").as("qty"),
+      dec(col("l_extendedprice")).as("price"))
+    val freq = lo.filter(year(col("o_orderdate")) === 1997)
+      .groupBy("l_partkey").agg(countDistinct(col("o_orderdate")).as("d"))
+      .filter(col("d") >= 4).select("l_partkey")
+    val cust = lo.groupBy("o_custkey").agg(sum(col("qty")).as("cq"))
+    val best = cust
+      .crossJoin(broadcast(cust.agg(max(col("cq")).as("m"))))
+      .filter(col("cq") * 2 > col("m")).select("o_custkey")
+    lo.filter(year(col("o_orderdate")) === 1998 && month(col("o_orderdate")) <= 3)
+      .join(freq, Seq("l_partkey"), "left_semi")
+      .join(best, Seq("o_custkey"), "left_semi")
+      .agg(asDouble(sum(col("price"))).as("revenue"), count(lit(1)).as("n_sales"))
+  }
+
+  // --------------------------------------------------------------- Q72 shape
+  // (tpcds query72: the 3-fact inventory join — catalog_sales ⋈ inventory on
+  //  (item, following week) with an inventory-shortfall residual, dims
+  //  broadcast). Facts here: lineitem ⋈ orders on orderkey (shuffle 1), the
+  //  events-derived inventory keyed by (surrogate part, day bucket)
+  //  (events shuffle once to aggregate, the joined fact shuffles once on the
+  //  composite key), part broadcast for the brand rollout. Day buckets are
+  //  calendar-free on the events side (epoch-day % 30) because the fixture's
+  //  nanosecond timestamps are read as raw longs; the orders side uses
+  //  day-of-month — both engines compute both deterministically.
+  val q72InventoryLag: Q = Q(
+    "tpcds_q72_inventory_lag",
+    """WITH inv AS (
+      |  SELECT user_id AS i_key,
+      |    CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) % 30 + 1 AS i_day,
+      |    COUNT(*) AS inv_qty
+      |  FROM events GROUP BY 1, 2)
+      |SELECT p_brand, day(o_orderdate) % 30 + 1 AS sale_day, COUNT(*) AS n_short
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN inv ON i_key = l_partkey % 150 AND i_day = day(o_orderdate) % 30 + 1
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE inv_qty * 8 < CAST(FLOOR(l_quantity) AS BIGINT)
+      |GROUP BY p_brand, sale_day
+      |ORDER BY p_brand, sale_day""".stripMargin) { (s, dir) =>
+    val inv = t(s, dir, "events")
+      .groupBy(col("user_id").as("i_key"),
+        (expr("(ts DIV 1000) DIV 86400000000") % 30 + 1).as("i_day"))
+      .agg(count(lit(1)).as("inv_qty"))
+    lineorder(s, dir)
+      .withColumn("sale_day", dayofmonth(col("o_orderdate")) % 30 + 1)
+      .join(inv, col("i_key") === col("l_partkey") % 150 &&
+        col("i_day") === col("sale_day"))
+      .filter(col("inv_qty") * 8 < floor(col("l_quantity")).cast("long"))
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand", "sale_day")
+      .agg(count(lit(1)).as("n_short"))
+      .orderBy("p_brand", "sale_day")
+  }
+
   val all: Seq[Q] = Seq(
     q1ReturnsAboveAvg, q2YoyMonthly, q5RollupChannels, q38IntersectCustomers,
     q47MavgOutliers, q67TopkRollup, q10ExistsConjunction, q88TimeBands,
-    q51CumulativeCompare, q97OverlapCounts)
+    q51CumulativeCompare, q97OverlapCounts, q14CrossChannel, q23FrequentBest,
+    q72InventoryLag)
 }

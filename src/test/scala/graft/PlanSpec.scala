@@ -277,4 +277,31 @@ class PlanSpec extends AnyFunSuite {
         s"window must be partitioned by brand, not global: $w")
     }
   }
+
+  test("tpcds q14: INTERSECT membership is a semi-join chain, no cartesian") {
+    val p = planOf("tpcds_q14_cross_channel")
+    assert(p.contains("LeftSemi"), s"cross_items must gate the fact via semi join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row totals may nested-loop (broadcast), never a cartesian:\n$p")
+  }
+
+  test("tpcds q23: both CTE filters reach the fact as semi joins") {
+    val p = planOf("tpcds_q23_frequent_best")
+    assert(p.linesIterator.count(_.contains("LeftSemi")) >= 2,
+      s"frequent-items AND best-customers must both semi-join the fact:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the cascade:\n$p")
+  }
+
+  test("tpcds q72: three facts each shuffle once; part dim broadcasts") {
+    val df = SparkEntry.queries("tpcds_q72_inventory_lag")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fact-fact joins must stay equi joins:\n$p")
+    // the 3-fact skeleton: lineitem⋈orders on orderkey, the result ⋈ inv on
+    // the composite key, inv aggregated from events — each a keyed exchange,
+    // and nothing more (no extra wide shuffles snuck in before the final agg)
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange hashpartitioning"))
+    assert(exchanges <= 6, s"expected bounded keyed exchanges, got $exchanges:\n$p")
+  }
 }
