@@ -124,5 +124,91 @@ object JobQueries {
       .orderBy("p_brand")
   }
 
-  val all: Seq[Q] = Seq(chain7, selfAliasStar, bushy)
+  /** JOB 20a-class redundant-edge triangle: two slices of the SAME fact and
+    * their parent joined pairwise on one key — the join graph is a cycle
+    * whose third edge is transitively redundant (a=o ∧ b=o ⇒ a=b), exactly
+    * the complete_cast/cast_info/title triangle of JOB 20a
+    * (third_party/join-order-benchmark/20a.sql). The oracle/StatsSpec SQL
+    * declares the worst order (fact slice ⋈ fact slice first); the DataFrame
+    * path takes the stats-optimal spine (filtered slice ⋈ orders, then the
+    * second slice) — StatsSpec proves CBO turns the former into the latter. */
+  val cycleSameKey: Q = Q(
+    "job_cycle_same_key",
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |  CAST(SUM(CAST(a.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+       |FROM lineitem a
+       |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |JOIN orders ON a.l_orderkey = o_orderkey AND b.l_orderkey = o_orderkey
+       |WHERE a.l_linenumber = 1 AND b.l_returnflag = 'R' AND b.l_linestatus = 'F'
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val a = t(s, dir, "lineitem").filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey").as("ka"), col("l_extendedprice").as("price_a"))
+    val b = t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" && col("l_linestatus") === "F")
+      .select(col("l_orderkey").as("kb"))
+    b.join(t(s, dir, "orders"), col("kb") === col("o_orderkey"))
+      .join(a, col("ka") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("price_a")))).as("rev"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Snowflake whose last declared edge closes TWO cycles at once: the
+    * customer branch (orders→customer→nation→region) and the supplier branch
+    * (lineitem→supplier) are declared first, connected by the weak
+    * same-nation edge, and only the FINAL join (lineitem⋈orders on orderkey
+    * AND custkey) ties the branches into one cyclic component — JOB's
+    * closure-edge-last declaration style. The DataFrame path runs the fact
+    * spine first instead; StatsSpec asserts CBO refuses the declared
+    * customer⋈supplier blowup as the innermost join. */
+  val cycleNationClosure: Q = Q(
+    "job_cycle_nation_closure",
+    s"""SELECT r_name, n_name AS cust_nation, COUNT(*) AS n
+       |FROM region
+       |JOIN nation ON n_regionkey = r_regionkey
+       |JOIN customer ON c_nationkey = n_nationkey
+       |JOIN supplier ON s_nationkey = c_nationkey
+       |JOIN lineitem ON l_suppkey = s_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |WHERE r_name = 'EUROPE' AND o_orderpriority = '1-URGENT'
+       |GROUP BY r_name, cust_nation ORDER BY r_name, cust_nation""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("s_nationkey") === col("c_nationkey") &&
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name").as("cust_nation"))
+      .agg(count(lit(1)).as("n"))
+      .toDF("r_name", "cust_nation", "n")
+      .orderBy("r_name", "cust_nation")
+  }
+
+  /** θ-residual on an equi join: customer⋈supplier per nation with a
+    * non-equi account-balance residual — JOB's correlated-predicate stressor
+    * (role equality + note comparison). The plan contract: the NATION key is
+    * the hash-join key and the θ-predicate stays a residual — this must
+    * never degenerate to a nested-loop over the full cross space. */
+  val thetaResidual: Q = Q(
+    "job_theta_residual",
+    s"""SELECT n_name, COUNT(*) AS n_pairs
+       |FROM supplier
+       |JOIN customer ON c_nationkey = s_nationkey AND c_acctbal > s_acctbal
+       |JOIN nation ON n_nationkey = s_nationkey
+       |WHERE s_acctbal > 0
+       |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+    t(s, dir, "supplier").filter(col("s_acctbal") > 0)
+      .join(t(s, dir, "customer"),
+        col("c_nationkey") === col("s_nationkey") && col("c_acctbal") > col("s_acctbal"))
+      .join(broadcast(t(s, dir, "nation")), col("n_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("n_name")
+  }
+
+  val all: Seq[Q] = Seq(
+    chain7, selfAliasStar, bushy, cycleSameKey, cycleNationClosure, thetaResidual)
 }

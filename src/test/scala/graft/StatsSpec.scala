@@ -42,4 +42,68 @@ class StatsSpec extends AnyFunSuite {
         s"stats-driven reorder must join orders⋈customer first:\n$optimized")
     }
   }
+
+  import org.apache.spark.sql.catalyst.plans.logical.Join
+
+  /** Tables referenced by the leaf side of each innermost join (joins with no
+    * Join descendants) of the optimized plan of `sql`. */
+  private def innermostJoins(sql: String): Seq[Join] = {
+    val optimized = spark.sql(sql).queryExecution.optimizedPlan
+    val joins = optimized.collect { case j: Join => j }
+    joins.filter(j => j.children.forall(c => c.collect { case x: Join => x }.isEmpty))
+  }
+
+  test("JOB cycle 20a-class: CBO must not start from the fact-fact slice pair") {
+    setup()
+    // declared order pairs the two lineitem slices first; with exact stats the
+    // reorderer must instead start from the filtered slice ⋈ orders
+    val inner = innermostJoins(
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM lineitem a
+        |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |JOIN orders ON a.l_orderkey = o_orderkey AND b.l_orderkey = o_orderkey
+        |WHERE a.l_linenumber = 1 AND b.l_returnflag = 'R' AND b.l_linestatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin)
+    assert(inner.nonEmpty)
+    inner.foreach { j =>
+      val s = j.toString
+      assert(s.contains("orders"),
+        s"innermost join must route through orders, not lineitem⋈lineitem:\n$j")
+    }
+  }
+
+  test("JOB nation-closure cycle: CBO refuses the customer⋈supplier blowup first") {
+    setup()
+    val inner = innermostJoins(
+      """SELECT n_name, COUNT(*) AS n
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN supplier ON s_nationkey = c_nationkey
+        |JOIN lineitem ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |WHERE r_name = 'EUROPE' AND o_orderpriority = '1-URGENT'
+        |GROUP BY n_name""".stripMargin)
+    assert(inner.nonEmpty)
+    inner.foreach { j =>
+      val s = j.toString
+      assert(!(s.contains("customer") && s.contains("supplier")),
+        s"the weak same-nation edge must not be the innermost join:\n$j")
+    }
+  }
+
+  test("JOB theta residual: equi key drives the join, predicate stays residual") {
+    setup()
+    val df = spark.sql(
+      """SELECT n_name, COUNT(*) AS n_pairs
+        |FROM supplier
+        |JOIN customer ON c_nationkey = s_nationkey AND c_acctbal > s_acctbal
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE s_acctbal > 0
+        |GROUP BY n_name""".stripMargin)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"),
+      s"theta residual must ride the nationkey hash join:\n$physical")
+  }
 }
