@@ -136,10 +136,26 @@ final class Catalog(val spark: SparkSession) {
       .filter(f => f.isDirectory && f.getName.endsWith(".parquet"))
       .map(_.getName.stripSuffix(".parquet")).sorted
       .foreach(n => registerParquet(n, s"$dir/tables/$n.parquet"))
-    if (new java.io.File(s"$dir/views").exists)
-      spark.read.schema("name STRING, sql STRING").json(s"$dir/views")
+    if (new java.io.File(s"$dir/views").exists) {
+      // Views may reference other views and createView eagerly executes the
+      // SQL, but the manifest carries no creation order — restore with a
+      // retry-until-fixpoint pass so dependent views resolve regardless of
+      // name order; only an error that persists once no progress is possible
+      // is real, and it surfaces on the final replay.
+      var pending = spark.read.schema("name STRING, sql STRING").json(s"$dir/views")
         .collect().sortBy(_.getString(0))
-        .foreach(r => createView(r.getString(0), r.getString(1)))
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      var progress = true
+      while (pending.nonEmpty && progress) {
+        val failed = pending.filter { case (n, viewSql) =>
+          try { createView(n, viewSql); false }
+          catch { case scala.util.control.NonFatal(_) => true }
+        }
+        progress = failed.size < pending.size
+        pending = failed
+      }
+      pending.headOption.foreach { case (n, viewSql) => createView(n, viewSql) }
+    }
     if (new java.io.File(s"$dir/constraints").exists)
       spark.read
         .schema("tbl STRING, kind STRING, cols STRING, ref_table STRING, ref_cols STRING")

@@ -72,14 +72,23 @@ object Layout {
     val r = df.agg(
       min(col(ca)).cast("long"), max(col(ca)).cast("long"),
       min(col(cb)).cast("long"), max(col(cb)).cast("long")).head()
-    val z = interleave16(
-      norm16(col(ca), r.getLong(0), r.getLong(1)),
-      norm16(col(cb), r.getLong(2), r.getLong(3)))
-    df.withColumn("__z", z)
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input or an all-NULL cluster column: no range to interleave —
+      // degrade to a plain write instead of NPEing on the null aggregate
+      df.write.mode("overwrite").parquet(path)
+    } else {
+      // NULL keys coalesce to the column minimum: they cluster
+      // deterministically at the low corner instead of interleaving NULL
+      // z-values into arbitrary files
+      val z = interleave16(
+        norm16(coalesce(col(ca), lit(r.getLong(0))), r.getLong(0), r.getLong(1)),
+        norm16(coalesce(col(cb), lit(r.getLong(2))), r.getLong(2), r.getLong(3)))
+      df.withColumn("__z", z)
+        .repartitionByRange(files, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(path)
+    }
   }
 
   /** Compact a directory of small part files into `targetFiles` — the

@@ -42,6 +42,10 @@ final class PgServer(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int =
   // so the in-flight collect aborts and the session answers with an ERROR
   // frame then recovers — postgres semantics.
   private val pidGen = new java.util.concurrent.atomic.AtomicInteger(1)
+  // one shared daemon scheduler for the statement governor — a Timer per
+  // governed statement would create/destroy a full thread on the hot path
+  private val governor = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+    (r: Runnable) => { val t = new Thread(r, "graft-pg-governor"); t.setDaemon(true); t })
   private val rng = new java.security.SecureRandom()
   private val backends =
     scala.collection.concurrent.TrieMap.empty[Int, (Int, () => Unit)]
@@ -198,11 +202,10 @@ final class PgServer(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int =
           .map(_.toLong).filter(_ > 0) match {
           case None => f
           case Some(ms) =>
-            val timer = new java.util.Timer(true)
-            timer.schedule(new java.util.TimerTask {
+            val task = governor.schedule(new Runnable {
               def run(): Unit = sc.cancelJobGroup(jobGroup)
-            }, ms)
-            try f finally timer.cancel()
+            }, ms, java.util.concurrent.TimeUnit.MILLISECONDS)
+            try f finally task.cancel(false)
         }
       if (errorUntilSync && t != 'S' && t != 'X') () // protocol error recovery
       else t match {

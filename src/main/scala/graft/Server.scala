@@ -59,6 +59,9 @@ final class Server(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int = 1
   }
 
   private val connGen = new java.util.concurrent.atomic.AtomicInteger(1)
+  // shared daemon scheduler for the statement governor (no Timer-per-statement)
+  private val governor = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+    (r: Runnable) => { val t = new Thread(r, "graft-json-governor"); t.setDaemon(true); t })
 
   /** One connection = one session pipeline (like one pgwire session). */
   private def serve(client: Socket): Unit = {
@@ -75,11 +78,10 @@ final class Server(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int = 1
         .map(_.toLong).filter(_ > 0) match {
         case None => f
         case Some(ms) =>
-          val timer = new java.util.Timer(true)
-          timer.schedule(new java.util.TimerTask {
+          val task = governor.schedule(new Runnable {
             def run(): Unit = sc.cancelJobGroup(jobGroup)
-          }, ms)
-          try f finally timer.cancel()
+          }, ms, java.util.concurrent.TimeUnit.MILLISECONDS)
+          try f finally task.cancel(false)
       }
     try {
       var line = in.readLine()

@@ -47,8 +47,10 @@ object IoQueries {
     "io_jsonl_roundtrip",
     "SELECT * FROM documents ORDER BY doc_id") { (s, dir) =>
     val d = Tables.df(s, dir, "documents")
-    val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/docs"
-    d.write.json(out)
+    // fixed per-JVM scratch path, overwritten each run — repeated verify/
+    // bench invocations must not accrete temp directories (ADVICE r5)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_scratch/docs"
+    d.write.mode("overwrite").json(out)
     s.read.schema(d.schema).json(out).orderBy("doc_id")
   }
 

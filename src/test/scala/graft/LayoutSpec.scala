@@ -116,6 +116,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(zdir).count() === li.count())
   }
 
+  test("z-order degrades gracefully on empty input and clusters NULL keys") {
+    import spark.implicits._
+    // empty input: no range to interleave — must write a valid (empty)
+    // parquet dataset instead of NPEing on the null min/max aggregate
+    val empty = java.nio.file.Files.createTempDirectory("graft_zempty").toString
+    Layout.writeZOrdered(
+      Seq.empty[(Long, Long)].toDF("a", "b"), empty, "a", "b", files = 2)
+    assert(spark.read.parquet(empty).count() === 0)
+    // NULL keys: coalesced to the column min, so all rows land and the NULL
+    // rows cluster deterministically rather than scattering
+    val withNulls = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (2L, null), (null, 30L), (4L, 40L)).toDF("a", "b")
+    val zdir = java.nio.file.Files.createTempDirectory("graft_znull").toString
+    Layout.writeZOrdered(withNulls, zdir, "a", "b", files = 2)
+    assert(spark.read.parquet(zdir).count() === 4)
+  }
+
   test("token shards: directories balanced to budget, rows conserved, deterministic") {
     val docs = Tables.df(spark, sf, "documents")
     val out = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/docs"

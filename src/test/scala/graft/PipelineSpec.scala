@@ -240,17 +240,25 @@ class PipelineSpec extends AnyFunSuite {
       "INSERT INTO cs_store VALUES (1, 'a'), (2, 'b')")
     p.catalog.createView("cs_view",
       "SELECT COUNT(*) AS n FROM t_region")
+    // dependent view whose name sorts BEFORE its base: the alphabetical
+    // restore order is wrong for it, so only the fixpoint pass brings it back
+    p.catalog.createView("aa_dependent", "SELECT n + 1 AS n1 FROM cs_view")
     val dir = java.nio.file.Files.createTempDirectory("graft-cat").toString
     p.catalog.saveTo(dir)
-    // simulate restart: wipe the constraint registry entry, then reload into
-    // a brand-new catalog
+    // simulate restart: wipe the constraint registry entry AND the session
+    // temp views (else the pre-save definitions mask the restore order),
+    // then reload into a brand-new catalog
     graft.plans.ConstraintRegistry.drop("cs_store")
+    spark.catalog.dropTempView("cs_view")
+    spark.catalog.dropTempView("aa_dependent")
     val cat2 = new Catalog(spark)
     cat2.loadFrom(dir)
     assert(cat2.table("cs_store").orderBy("store_id").collect().map(_.getInt(0)).toSeq == Seq(1, 2))
     assert(cat2.table("t_region").count() == 5)
     assert(cat2.viewNames.contains("cs_view"))
     assert(spark.sql("SELECT * FROM cs_view").collect().head.getLong(0) == 5)
+    assert(cat2.viewNames.contains("aa_dependent"), "dependent view restored via fixpoint")
+    assert(spark.sql("SELECT * FROM aa_dependent").collect().head.getLong(0) == 6)
     assert(graft.plans.ConstraintRegistry.uniqueKeys("cs_store") == Seq(Set("store_id")),
       "PK came back from the manifest")
     assert(cat2.parquetTables.nonEmpty, "reloaded tables are parquet-backed (meta tables work)")
