@@ -195,8 +195,44 @@ object WindowQueries {
       .orderBy("c_mktsegment", "quartile", "c_custkey")
   }
 
+  /** GROUPS frame, EXECUTED — beyond both engines. The reference parses
+    * `GROUPS BETWEEN …` but cannot execute any window (lqp_translator.cpp:523),
+    * and neither Spark nor (this) DuckDB implements GROUPS mode natively.
+    * SQL:2011 GROUPS frames count in units of PEER GROUPS (rows tied on the
+    * ORDER BY key), and dense_rank assigns consecutive integers per peer
+    * group — so `GROUPS BETWEEN n PRECEDING AND m FOLLOWING` is exactly
+    * `RANGE BETWEEN n PRECEDING AND m FOLLOWING` over the dense_rank value.
+    * The rewrite is proven against hand-computed GROUPS semantics in
+    * AdvancedSpec; both engines run the same rewrite for the exact-hash gate.
+    * Two keyed windows, one shuffle on the partition key — scales. */
+  val windowGroupsFrame: Q = Q(
+    "window_groups_frame",
+    """WITH base AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      |  FROM lineitem WHERE l_partkey < 50),
+      |ranked AS (
+      |  SELECT *, DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY qty) AS g
+      |  FROM base)
+      |SELECT l_orderkey, l_linenumber, l_returnflag, qty,
+      |  CAST(SUM(price) OVER (PARTITION BY l_returnflag ORDER BY g
+      |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS grp_sum
+      |FROM ranked ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    val base = t(s, dir, "lineitem").filter(col("l_partkey") < 50)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        floor(col("l_quantity")).cast("long").as("qty"),
+        dec(col("l_extendedprice")).as("price"))
+    val peers = Window.partitionBy("l_returnflag").orderBy("qty")
+    val groups = Window.partitionBy("l_returnflag").orderBy("g").rangeBetween(-1, 1)
+    base.withColumn("g", dense_rank().over(peers))
+      .withColumn("grp_sum", sum("price").over(groups).cast("double"))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "qty", "grp_sum")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val all: Seq[Q] = Seq(
     windowRank, windowRowNumber, windowPercentRank,
     windowRunningSum, windowRangeFrame, windowLagLead, windowGlobalRank,
-    windowNtileValue)
+    windowNtileValue, windowGroupsFrame)
 }

@@ -11,6 +11,24 @@ class AdvancedSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val sf = SparkTestBase.sf
 
+  test("GROUPS frame rewrite matches hand-computed SQL:2011 GROUPS semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one partition, peer groups on v: {1,1}, {2}, {5}. GROUPS BETWEEN
+    // 1 PRECEDING AND 1 FOLLOWING sums the current, previous and next PEER
+    // GROUP (not rows): v=1 -> groups{1,2}=60; v=2 -> all=100; v=5 -> {2,3}=70
+    val df = Seq((1L, 1, 10.0), (2L, 1, 20.0), (3L, 2, 30.0), (4L, 5, 40.0))
+      .toDF("id", "v", "x")
+    val peers = Window.orderBy("v")
+    val groups = Window.orderBy("g").rangeBetween(-1, 1)
+    val got = df.withColumn("g", dense_rank().over(peers))
+      .withColumn("s", sum("x").over(groups))
+      .orderBy("id").select("id", "s")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 60.0, 2L -> 60.0, 3L -> 100.0, 4L -> 70.0),
+      "dense_rank+RANGE must reproduce GROUPS frame semantics exactly")
+  }
+
   test("approx sketches stay within error bounds of the exact answers") {
     val approx = AdvancedQueries.aggApproxSketches.run(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
