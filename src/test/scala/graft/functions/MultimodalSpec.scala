@@ -43,6 +43,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert((r2, g2, b2) === ((255L, 0L, 255L)))
   }
 
+  test("JPEG decodes through the same codec path: dims exact, means near-exact") {
+    // the JDK's second real codec: lossy, so channel means carry codec
+    // tolerance, but intrinsic dims are exact and the decode path is the
+    // same ImageIO machinery multimodal_decode_png proves losslessly
+    val codec = new Multimodal.PngCodec
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(8, 6, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, 0x508090)
+    val buf = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, "jpg", buf)
+    val jpeg = buf.toByteArray
+    assert((jpeg(0) & 0xff) === 0xff && (jpeg(1) & 0xff) === 0xd8,
+      "encoder must emit a real JPEG SOI marker")
+    val (w, h, sr, sg, sb) = codec.decode(jpeg)
+    assert((w, h) === ((8, 6)))
+    val n = 48.0
+    assert(math.abs(sr / n - 0x50) <= 3 && math.abs(sg / n - 0x80) <= 3 &&
+      math.abs(sb / n - 0x90) <= 3,
+      s"flat-field JPEG means must be within codec tolerance: ${(sr / n, sg / n, sb / n)}")
+  }
+
   test("multimodal_decode_png: decoded pixel facts match closed form") {
     val df = Multimodal.multimodalDecodePng.run(spark, SparkTestBase.sf)
     // every output value below came out of a real ImageIO decode; compare
