@@ -505,9 +505,94 @@ object TpcdsQueries {
       .orderBy("p_brand", "sale_day")
   }
 
+  // --------------------------------------------------------------- Q34 shape
+  // (tpcds query34: ticket-size band — orders whose per-ticket item count
+  //  falls in a narrow band, re-joined to the customer dimension). The
+  //  dependent-aggregate band filter runs BEFORE the dim joins, so only the
+  //  banded slice of orders ever reaches the join — the iceberg-then-enrich
+  //  pattern.
+  val q34TicketBand: Q = Q(
+    "tpcds_q34_ticket_band",
+    """SELECT c_custkey, c_name, o_orderkey, cnt
+      |FROM (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem
+      |      GROUP BY l_orderkey HAVING COUNT(*) BETWEEN 6 AND 7) t
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY c_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val banded = t(s, dir, "lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").between(6, 7))
+    banded
+      .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "cnt")
+      .orderBy("c_custkey", "o_orderkey")
+  }
+
+  // --------------------------------------------------------------- Q64 shape
+  // (tpcds query64: the same item observed across two consecutive years with
+  //  a margin condition between the periods — per-(item, year) aggregate
+  //  self-joined on the item with a year-lag equi condition and a
+  //  division-free cross-period comparison 2·rev2 > 3·rev1.)
+  val q64ResaleMargin: Q = Q(
+    "tpcds_q64_resale_margin",
+    s"""WITH iy AS (
+       |  SELECT l_partkey, year(o_orderdate) AS y,
+       |    SUM($netRevSql) AS rev, COUNT(*) AS n
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY l_partkey, year(o_orderdate))
+       |SELECT a.l_partkey AS partkey, a.y AS y1,
+       |  CAST(a.rev AS DOUBLE) AS rev1, CAST(b.rev AS DOUBLE) AS rev2,
+       |  a.n AS n1, b.n AS n2
+       |FROM iy a JOIN iy b ON a.l_partkey = b.l_partkey AND b.y = a.y + 1
+       |WHERE 2 * b.rev > 3 * a.rev
+       |ORDER BY partkey, y1""".stripMargin) { (s, dir) =>
+    val iy = lineorder(s, dir)
+      .groupBy(col("l_partkey"), year(col("o_orderdate")).as("y"))
+      .agg(sum(netRev).as("rev"), count(lit(1)).as("n"))
+    val a = iy.select(col("l_partkey").as("partkey"), col("y").as("y1"),
+      col("rev").as("rev_a"), col("n").as("n1"))
+    val b = iy.select(col("l_partkey").as("pk_b"), col("y").as("y2"),
+      col("rev").as("rev_b"), col("n").as("n2"))
+    a.join(b, col("pk_b") === col("partkey") && col("y2") === col("y1") + 1)
+      .filter(col("rev_b") * 2 > col("rev_a") * 3)
+      .select(col("partkey"), col("y1"),
+        asDouble(col("rev_a")).as("rev1"), asDouble(col("rev_b")).as("rev2"),
+        col("n1"), col("n2"))
+      .orderBy("partkey", "y1")
+  }
+
+  // --------------------------------------------------------------- Q95 shape
+  // (tpcds query95: correlated EXISTS against the SAME fact — web orders
+  //  shipped from more than one warehouse and never returned. Here: orders
+  //  with lines from ≥2 distinct suppliers and no 'R' line.) Both membership
+  //  probes are keyed joins on l_orderkey (semi + anti); no per-row subquery
+  //  execution survives the plan.
+  val q95MultiSupplier: Q = Q(
+    "tpcds_q95_multi_supplier",
+    """SELECT COUNT(*) AS n_orders FROM (
+      |  SELECT DISTINCT a.l_orderkey
+      |  FROM lineitem a
+      |  WHERE EXISTS (SELECT 1 FROM lineitem b
+      |                WHERE b.l_orderkey = a.l_orderkey
+      |                  AND b.l_suppkey <> a.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM lineitem r
+      |                    WHERE r.l_orderkey = a.l_orderkey
+      |                      AND r.l_returnflag = 'R'))""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    val a = li.select(col("l_orderkey").as("ka"), col("l_suppkey").as("sa"))
+    val b = li.select(col("l_orderkey").as("kb"), col("l_suppkey").as("sb"))
+    val returns = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("kr"))
+    a.join(b, col("kb") === col("ka") && col("sb") =!= col("sa"), "left_semi")
+      .join(returns, col("kr") === col("ka"), "left_anti")
+      .select(col("ka")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
   val all: Seq[Q] = Seq(
     q1ReturnsAboveAvg, q2YoyMonthly, q5RollupChannels, q38IntersectCustomers,
     q47MavgOutliers, q67TopkRollup, q10ExistsConjunction, q88TimeBands,
     q51CumulativeCompare, q97OverlapCounts, q14CrossChannel, q23FrequentBest,
-    q72InventoryLag)
+    q72InventoryLag, q34TicketBand, q64ResaleMargin, q95MultiSupplier)
 }
