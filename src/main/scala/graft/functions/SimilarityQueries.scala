@@ -426,6 +426,87 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
+  // ---------------------------------------------------------------- PQ / ADC
+  // Product quantization (Jégou et al. 2011, "Product Quantization for
+  // Nearest Neighbor Search") — THE standard 100 TB embedding-search
+  // compression: split each vector into M subspaces, quantize each sub-vector
+  // to a tiny per-subspace codebook (here M=4 × 16 dims, K=8 codes → 64
+  // floats compress to 4 code bytes, 64×), then answer queries with
+  // ASYMMETRIC distance (full-precision query sub-vector vs the code's
+  // reconstruction) summed across subspaces. Exactness: the same 1e-6
+  // integer quantization as the k-means path makes every sub-distance an i64
+  // sum ((~2e6)²×16 ≈ 6·10¹³ per subspace — inside i64), so encode and ADC
+  // are bit-identical in both engines. Codebooks are training-free
+  // deterministic (sub-vectors of the first K corpus vectors — the
+  // ann_ivf_kmeans Lloyd machinery is the documented upgrade path).
+  // Scale plan: codebooks BROADCAST (M×K tiny rows), encoding is one
+  // broadcast join + per-(vector, subspace) argmin — map-side; ADC joins
+  // codes back to the broadcast codebook and sums M rows per (query,
+  // candidate) pair — one keyed agg. No all-pairs float work anywhere.
+  private val PQ_M = 4         // subspaces
+  private val PQ_SUB = DIM / PQ_M
+  private val PQ_K = 8         // codes per subspace
+
+  private def l2L(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+  private def l2LSql(a: String, b: String): String =
+    s"CAST(list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, ${PQ_SUB + 1})]) AS BIGINT)"
+
+  val embPqAdc: Q = Q(
+    "emb_pq_adc_topk",
+    s"""WITH quant AS (
+       |  SELECT vec_id, ${quantizeSql("embedding")} AS qe FROM embeddings
+       |), subs AS (
+       |  SELECT vec_id, m.m AS m, qe[(m.m * $PQ_SUB + 1):((m.m + 1) * $PQ_SUB)] AS sq
+       |  FROM quant, (SELECT unnest(range(0, $PQ_M)) AS m) m
+       |), cb AS (
+       |  SELECT m, vec_id AS cent_id, sq AS cq FROM subs WHERE vec_id < $PQ_K
+       |), enc AS (
+       |  SELECT vec_id, m, cent_id AS code FROM (
+       |    SELECT s.vec_id, s.m, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${l2LSql("s.sq", "c.cq")}, c.cent_id) AS rk
+       |    FROM subs s JOIN cb c ON c.m = s.m) WHERE rk = 1
+       |), adc AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |    SUM(${l2LSql("q.sq", "c.cq")}) AS dist
+       |  FROM subs q
+       |  JOIN enc e ON e.vec_id <> q.vec_id AND e.m = q.m
+       |  JOIN cb c ON c.m = e.m AND c.cent_id = e.code
+       |  WHERE q.vec_id < $NQUERY
+       |  GROUP BY q.vec_id, e.vec_id)
+       |SELECT q_id, n_id, dist, rk FROM (
+       |  SELECT q_id, n_id, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rk
+       |  FROM adc) WHERE rk <= $TOPK
+       |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+    val quant = emb(s, dir).select(col("vec_id"), quantize(col("embedding")).as("qe"))
+    val subs = quant
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PQ_M - 1))).as("m"), col("qe"))
+      .select(col("vec_id"), col("m"),
+        slice(col("qe"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("sq"))
+    val cb = broadcast(subs.filter(col("vec_id") < PQ_K)
+      .select(col("m").as("cm"), col("vec_id").as("cent_id"), col("sq").as("cq")))
+    val wEnc = Window.partitionBy("vec_id", "m")
+      .orderBy(l2L(col("sq"), col("cq")), col("cent_id"))
+    val enc = subs.join(cb, col("cm") === col("m"))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("cent_id").as("code"))
+    val q = subs.filter(col("vec_id") < NQUERY)
+      .select(col("vec_id").as("q_id"), col("m").as("qm"), col("sq"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("dist"), col("n_id"))
+    q.join(enc.withColumnRenamed("vec_id", "n_id"),
+        col("qm") === col("m") && col("n_id") =!= col("q_id"))
+      .join(cb, col("cm") === col("m") && col("cent_id") === col("code"))
+      .groupBy("q_id", "n_id")
+      .agg(sum(l2L(col("sq"), col("cq"))).as("dist"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= TOPK)
+      .select("q_id", "n_id", "dist", "rk")
+      .orderBy("q_id", "rk")
+  }
+
   val all: Seq[Q] = Seq(annBruteForce, annThresholdPairs, annLshBuckets, annLshPairs,
-    annIvfTopk, annIvfKmeans, embClassCentroids, embNormQc)
+    annIvfTopk, annIvfKmeans, embClassCentroids, embNormQc, embPqAdc)
 }

@@ -278,6 +278,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ/ADC: codebooks broadcast; encode and ADC stay equi joins") {
+    val p = planOf("emb_pq_adc_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the M×K codebook must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"PQ must never cross-join the corpus:\n$p")
+  }
+
   test("tpcds q14: INTERSECT membership is a semi-join chain, no cartesian") {
     val p = planOf("tpcds_q14_cross_channel")
     assert(p.contains("LeftSemi"), s"cross_items must gate the fact via semi join:\n$p")
