@@ -507,6 +507,113 @@ object SimilarityQueries {
       .orderBy("q_id", "rk")
   }
 
+  // ------------------------------------------------------------------ IVF+PQ
+  // The full FAISS-style IVFPQ index (Jégou 2011 §IV): a coarse quantizer
+  // routes each vector to one of NLIST cells, PQ encodes the RESIDUAL
+  // (vector − cell centroid), and a query probes its NPROBE nearest cells,
+  // scoring candidates by ADC on the query's per-cell residual. This is the
+  // memory-budget design for 100 TB embedding search: the corpus lives as
+  // (cell id + M code bytes) per vector; only centroids and codebooks (tiny,
+  // broadcast) are float-scale state. All arithmetic inherits the 1e-6
+  // integer quantization: residuals are i64 element-wise differences, every
+  // distance an i64 sum — bit-identical across engines and aggregation
+  // orders. Shape: two broadcast argmins (assign, encode) + one keyed ADC
+  // aggregate — no all-pairs work, no float accumulation.
+  private val IVFPQ_NPROBE = 2
+
+  private def l2FullSql(a: String, b: String): String =
+    s"CAST(list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, ${DIM + 1})]) AS BIGINT)"
+  private def l2Full(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  val annIvfPq: Q = Q(
+    "ann_ivfpq_topk",
+    s"""WITH quant AS (
+       |  SELECT vec_id, ${quantizeSql("embedding")} AS qe FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cell_id, qe AS cemb FROM quant WHERE vec_id < $IVF_NLIST
+       |), asg AS (
+       |  SELECT q.vec_id, c.cell_id, c.cemb,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${l2FullSql("q.qe", "c.cemb")}, c.cell_id) AS crk
+       |  FROM quant q CROSS JOIN cents c
+       |), assigned AS (
+       |  SELECT a.vec_id, a.cell_id,
+       |    [q.qe[i] - a.cemb[i] for i in range(1, ${DIM + 1})] AS r
+       |  FROM asg a JOIN quant q ON q.vec_id = a.vec_id WHERE a.crk = 1
+       |), rsubs AS (
+       |  SELECT vec_id, cell_id, m.m AS m,
+       |    r[(m.m * $PQ_SUB + 1):((m.m + 1) * $PQ_SUB)] AS sq
+       |  FROM assigned, (SELECT unnest(range(0, $PQ_M)) AS m) m
+       |), cb AS (
+       |  SELECT m, vec_id AS cent_id, sq AS cq FROM rsubs WHERE vec_id < $PQ_K
+       |), enc AS (
+       |  SELECT vec_id, cell_id, m, cent_id AS code FROM (
+       |    SELECT s.vec_id, s.cell_id, s.m, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${l2LSql("s.sq", "c.cq")}, c.cent_id) AS rk
+       |    FROM rsubs s JOIN cb c ON c.m = s.m) WHERE rk = 1
+       |), qprobe AS (
+       |  SELECT a.vec_id AS q_id, a.cell_id,
+       |    [q.qe[i] - a.cemb[i] for i in range(1, ${DIM + 1})] AS qr
+       |  FROM asg a JOIN quant q ON q.vec_id = a.vec_id
+       |  WHERE a.crk <= $IVFPQ_NPROBE AND a.vec_id < $NQUERY
+       |), qsubs AS (
+       |  SELECT q_id, cell_id, m.m AS m,
+       |    qr[(m.m * $PQ_SUB + 1):((m.m + 1) * $PQ_SUB)] AS sq
+       |  FROM qprobe, (SELECT unnest(range(0, $PQ_M)) AS m) m
+       |), adc AS (
+       |  SELECT q.q_id, e.vec_id AS n_id, SUM(${l2LSql("q.sq", "c.cq")}) AS dist
+       |  FROM qsubs q
+       |  JOIN enc e ON e.cell_id = q.cell_id AND e.m = q.m AND e.vec_id <> q.q_id
+       |  JOIN cb c ON c.m = e.m AND c.cent_id = e.code
+       |  GROUP BY q.q_id, e.vec_id)
+       |SELECT q_id, n_id, dist, rk FROM (
+       |  SELECT q_id, n_id, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rk
+       |  FROM adc) WHERE rk <= $TOPK
+       |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+    val quant = emb(s, dir).select(col("vec_id"), quantize(col("embedding")).as("qe"))
+    val cents = broadcast(quant.filter(col("vec_id") < IVF_NLIST)
+      .select(col("vec_id").as("cell_id"), col("qe").as("cemb")))
+    val wCell = Window.partitionBy("vec_id")
+      .orderBy(l2Full(col("qe"), col("cemb")), col("cell_id"))
+    val asg = quant.crossJoin(cents).withColumn("crk", row_number().over(wCell))
+    val resid = zip_with(col("qe"), col("cemb"), (x, y) => x - y)
+    val assigned = asg.filter(col("crk") === 1)
+      .select(col("vec_id"), col("cell_id"), resid.as("r"))
+    val rsubs = assigned
+      .select(col("vec_id"), col("cell_id"),
+        explode(sequence(lit(0), lit(PQ_M - 1))).as("m"), col("r"))
+      .select(col("vec_id"), col("cell_id"), col("m"),
+        slice(col("r"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("sq"))
+    val cb = broadcast(rsubs.filter(col("vec_id") < PQ_K)
+      .select(col("m").as("cm"), col("vec_id").as("cent_id"), col("sq").as("cq")))
+    val wEnc = Window.partitionBy("vec_id", "m")
+      .orderBy(l2L(col("sq"), col("cq")), col("cent_id"))
+    val enc = rsubs.join(cb, col("cm") === col("m"))
+      .withColumn("rk", row_number().over(wEnc)).filter(col("rk") === 1)
+      .select(col("vec_id").as("n_id"), col("cell_id").as("ncell"),
+        col("m"), col("cent_id").as("code"))
+    val qsubs = asg.filter(col("crk") <= IVFPQ_NPROBE && col("vec_id") < NQUERY)
+      .select(col("vec_id").as("q_id"), col("cell_id").as("qcell"), resid.as("qr"))
+      .select(col("q_id"), col("qcell"),
+        explode(sequence(lit(0), lit(PQ_M - 1))).as("qm"), col("qr"))
+      .select(col("q_id"), col("qcell"), col("qm"),
+        slice(col("qr"), col("qm") * PQ_SUB + 1, lit(PQ_SUB)).as("qsq"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("dist"), col("n_id"))
+    qsubs
+      .join(enc, col("ncell") === col("qcell") && col("m") === col("qm") &&
+        col("n_id") =!= col("q_id"))
+      .join(cb, col("cm") === col("m") && col("cent_id") === col("code"))
+      .groupBy("q_id", "n_id")
+      .agg(sum(l2L(col("qsq"), col("cq"))).as("dist"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= TOPK)
+      .select("q_id", "n_id", "dist", "rk")
+      .orderBy("q_id", "rk")
+  }
+
   val all: Seq[Q] = Seq(annBruteForce, annThresholdPairs, annLshBuckets, annLshPairs,
-    annIvfTopk, annIvfKmeans, embClassCentroids, embNormQc, embPqAdc)
+    annIvfTopk, annIvfKmeans, embClassCentroids, embNormQc, embPqAdc, annIvfPq)
 }

@@ -279,11 +279,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("PQ/ADC: codebooks broadcast; encode and ADC stay equi joins") {
-    val p = planOf("emb_pq_adc_topk")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
-      s"the M×K codebook must broadcast:\n$p")
-    assert(!p.contains("CartesianProduct"),
-      s"PQ must never cross-join the corpus:\n$p")
+    for (q <- Seq("emb_pq_adc_topk", "ann_ivfpq_topk")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$q: the M×K codebook (and IVF centroids) must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: PQ must never cross-join the corpus:\n$p")
+    }
   }
 
   test("tpcds q14: INTERSECT membership is a semi-join chain, no cartesian") {

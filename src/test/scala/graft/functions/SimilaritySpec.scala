@@ -22,22 +22,25 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"sign-LSH recall at sf0.001: $recallNum/$recallDen")
   }
 
-  test("PQ/ADC: complete top-k per query with strictly ranked integer distances") {
+  test("PQ/ADC and IVFPQ: complete top-k per query, strictly ranked integer distances") {
     import org.apache.spark.sql.functions._
-    val df = SimilarityQueries.embPqAdc.run(spark, sf)
-    val rows = df.collect()
-    assert(rows.nonEmpty)
-    // every query returns a full dense rank 1..k with non-decreasing ADC
-    // distances (ties broken by n_id, so ordering is total and deterministic)
-    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
-      val byRk = rs.sortBy(_.getInt(3))
-      assert(byRk.map(_.getInt(3)).toSeq === (1 to byRk.length), s"dense ranks for q$qid")
-      val dists = byRk.map(_.getLong(2)).toSeq
-      assert(dists === dists.sorted, s"ADC distances must be rank-ordered for q$qid")
-      assert(dists.forall(_ >= 0L), "squared integer distances are non-negative")
+    for (q <- Seq(SimilarityQueries.embPqAdc, SimilarityQueries.annIvfPq)) {
+      val df = q.run(spark, sf)
+      val rows = df.collect()
+      assert(rows.nonEmpty, s"${q.name} returned no rows")
+      // every query returns a dense rank 1..k with non-decreasing ADC
+      // distances (ties broken by n_id, so ordering is total + deterministic)
+      rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+        val byRk = rs.sortBy(_.getInt(3))
+        assert(byRk.map(_.getInt(3)).toSeq === (1 to byRk.length),
+          s"${q.name}: dense ranks for q$qid")
+        val dists = byRk.map(_.getLong(2)).toSeq
+        assert(dists === dists.sorted, s"${q.name}: distances rank-ordered for q$qid")
+        assert(dists.forall(_ >= 0L), "squared integer distances are non-negative")
+      }
+      // self must never appear as its own neighbor
+      assert(df.filter(col("q_id") === col("n_id")).count() === 0)
     }
-    // self must never appear as its own neighbor
-    assert(df.filter(col("q_id") === col("n_id")).count() === 0)
   }
 
   test("simhash pigeonhole pairs equal the quadratic formulation") {
