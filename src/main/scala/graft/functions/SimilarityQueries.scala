@@ -614,6 +614,79 @@ object SimilarityQueries {
       .orderBy("q_id", "rk")
   }
 
+  // ---------------------------------------------------------- scalar int8
+  // Scalar quantization (the FAISS SQ8 / "int8 embedding" path): each of the
+  // 64 dims gets a per-dimension [min, max] range over the corpus; values are
+  // encoded to an 8-bit level index code = (v − min)·255 ∕ span and
+  // reconstructed as min + code·span ∕ 255. A 64-float vector becomes 64
+  // bytes (4× smaller than float32) with ONE code table of 2×64 longs —
+  // the lightest-weight compression tier below PQ/IVFPQ. Queries score
+  // asymmetrically: exact query values against reconstructed corpus values
+  // (Jégou 2011 §III's ADC argument applies unchanged).
+  // Scale plan: the min/max pass is a posexplode + 64-group keyed agg whose
+  // map-side partials reduce each partition to ≤64 rows before the shuffle;
+  // the 1-row range table broadcasts; encode/reconstruct are map-only
+  // zip_with projections; scoring is a broadcast(query)×corpus scan + one
+  // top-k window per query. No all-pairs float work, no wide shuffle.
+  // Everything runs on the shared 1e-6 integer quantization grid, and both
+  // the encode and reconstruct divisions are non-negative integer floor
+  // divisions (`div` / `//`) — bit-identical across engines.
+  private val SQ_LEVELS = 255
+
+  val embSq8: Q = Q(
+    "emb_sq8_topk",
+    s"""WITH quant AS (
+       |  SELECT vec_id, ${quantizeSql("embedding")} AS qe FROM embeddings
+       |), dims AS (
+       |  SELECT m.d AS d, MIN(qe[m.d]) AS mn, MAX(qe[m.d]) AS mx
+       |  FROM quant, (SELECT unnest(range(1, ${DIM + 1})) AS d) m GROUP BY m.d
+       |), rng AS (
+       |  SELECT list(mn ORDER BY d) AS mn, list(mx - mn ORDER BY d) AS sp FROM dims
+       |), enc AS (
+       |  SELECT vec_id,
+       |    [mn[i] + ((((qe[i] - mn[i]) * $SQ_LEVELS) // greatest(sp[i], 1)) * sp[i]) // $SQ_LEVELS
+       |     for i in range(1, ${DIM + 1})] AS recon
+       |  FROM quant CROSS JOIN rng
+       |), scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, ${l2FullSql("q.qe", "c.recon")} AS dist
+       |  FROM quant q JOIN enc c ON q.vec_id < $NQUERY AND c.vec_id <> q.vec_id
+       |)
+       |SELECT q_id, n_id, dist, rk FROM (
+       |  SELECT q_id, n_id, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rk
+       |  FROM scored) WHERE rk <= $TOPK
+       |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+    val quant = emb(s, dir).select(col("vec_id"), quantize(col("embedding")).as("qe"))
+    val rng = quant
+      .select(posexplode(col("qe")).as(Seq("p", "v")))
+      .groupBy("p").agg(min("v").as("mn"), max("v").as("mx"))
+      .agg(sort_array(collect_list(struct(col("p"), col("mn")))).as("mns"),
+        sort_array(collect_list(struct(col("p"), col("mx")))).as("mxs"))
+      .select(expr("transform(mns, x -> x.mn)").as("mn"),
+        expr("transform(arrays_zip(mns, mxs), x -> x.mxs.mx - x.mns.mn)").as("sp"))
+    // each zip_with lives in its own projection level: nested higher-order
+    // lambdas re-evaluate their input expression per element
+    val enc = quant.crossJoin(broadcast(rng))
+      .select(col("vec_id"),
+        expr(s"zip_with(qe, mn, (v, m) -> (v - m) * $SQ_LEVELS)").as("num"),
+        col("mn"), col("sp"))
+      .select(col("vec_id"),
+        expr("zip_with(num, sp, (n, s) -> n div greatest(s, 1L))").as("code"),
+        col("mn"), col("sp"))
+      .select(col("vec_id"),
+        expr(s"zip_with(code, sp, (c, s) -> (c * s) div ${SQ_LEVELS}L)").as("off"),
+        col("mn"))
+      .select(col("vec_id").as("n_id"),
+        expr("zip_with(off, mn, (o, m) -> m + o)").as("recon"))
+    val q = quant.filter(col("vec_id") < NQUERY).select(col("vec_id").as("q_id"), col("qe"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("dist"), col("n_id"))
+    broadcast(q).join(enc, col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), l2Full(col("qe"), col("recon")).as("dist"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= TOPK)
+      .orderBy("q_id", "rk")
+  }
+
   val all: Seq[Q] = Seq(annBruteForce, annThresholdPairs, annLshBuckets, annLshPairs,
-    annIvfTopk, annIvfKmeans, embClassCentroids, embNormQc, embPqAdc, annIvfPq)
+    annIvfTopk, annIvfKmeans, embClassCentroids, embNormQc, embPqAdc, annIvfPq, embSq8)
 }

@@ -24,7 +24,8 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("PQ/ADC and IVFPQ: complete top-k per query, strictly ranked integer distances") {
     import org.apache.spark.sql.functions._
-    for (q <- Seq(SimilarityQueries.embPqAdc, SimilarityQueries.annIvfPq)) {
+    for (q <- Seq(SimilarityQueries.embPqAdc, SimilarityQueries.annIvfPq,
+        SimilarityQueries.embSq8)) {
       val df = q.run(spark, sf)
       val rows = df.collect()
       assert(rows.nonEmpty, s"${q.name} returned no rows")
@@ -41,6 +42,32 @@ class SimilaritySpec extends AnyFunSuite {
       // self must never appear as its own neighbor
       assert(df.filter(col("q_id") === col("n_id")).count() === 0)
     }
+  }
+
+  test("SQ8 top-k recall vs exact integer L2 on the quantized grid") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // exact asymmetric ground truth: full-precision quantized values on both
+    // sides (what SQ8 approximates through its 255-level reconstruction)
+    val quant = graft.Tables.dfSpread(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000 + lit(0.5)).cast("long")).as("qe"))
+    val q = quant.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("qe").as("qq"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("n_id"))
+    val exact = broadcast(q)
+      .join(quant.select(col("vec_id").as("n_id"), col("qe")), col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        aggregate(zip_with(col("qq"), col("qe"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("dist"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+    val sq8 = SimilarityQueries.embSq8.run(spark, sf)
+    val hits = sq8.join(exact, Seq("q_id", "n_id"), "left_semi").count()
+    val total = exact.count()
+    assert(total === 30, "10 queries x top-3")
+    // 255 levels per dim reconstructs finely; the top-3 sets should mostly agree
+    assert(hits >= total / 2, s"SQ8 recall collapsed: $hits/$total")
+    info(s"SQ8 top-3 recall at sf0.001: $hits/$total")
   }
 
   test("simhash pigeonhole pairs equal the quadratic formulation") {
