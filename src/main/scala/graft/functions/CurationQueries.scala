@@ -772,8 +772,63 @@ object CurationQueries {
       .orderBy("bucket_lo")
   }
 
+  // ------------------------------------------------------ temperature sampling
+  // Temperature-based source rebalancing (the multilingual/multi-domain mix
+  // rule of mBERT/XLM-R, arXiv:1911.02116 §3.1): sources are sampled with
+  // probability ∝ p^α instead of their natural share p, which up-weights
+  // small sources. α = 1/2 realizes per-source keep rates ∝ tok^(α−1) =
+  // 1/√tok, normalized so the SMALLEST source keeps 100%:
+  //   keep_bp(s) = min(10000, ⌊10000·√(min_tok ∕ tok_s)⌋).
+  // IEEE-754 guarantees sqrt is correctly rounded (unlike pow/ln — see
+  // textDfScore), so this is the one fractional temperature whose rate table
+  // hash-matches bit-for-bit across engines; other α values would land on
+  // non-portable pow(). Doc selection reuses the deterministic hash-threshold
+  // rule (no rand()), so the sample is reproducible run-to-run.
+  // Scale plan: one tiny keyed agg (per-source totals) + a 1-row min
+  // broadcast; the doc pass is map-only against the broadcast rate table with
+  // a map-side-combinable final agg — the cur_domain_mix shape exactly.
+
+  val temperatureSample: Q = Q(
+    "cur_temperature_sample",
+    s"""WITH tok AS (
+       |  SELECT source, doc_id, ${tokenCountSql("text")} AS tok FROM documents
+       |), totals AS (
+       |  SELECT source, SUM(tok) AS src_tok FROM tok GROUP BY source
+       |), floor_tok AS (
+       |  SELECT MIN(src_tok) AS min_tok FROM totals
+       |), rates AS (
+       |  SELECT source, src_tok,
+       |    LEAST(10000, CAST(floor(10000 * sqrt(CAST(min_tok AS DOUBLE) / src_tok)) AS BIGINT)) AS keep_bp
+       |  FROM totals CROSS JOIN floor_tok
+       |)
+       |SELECT r.source, CAST(r.src_tok AS BIGINT) AS src_tok, r.keep_bp,
+       |  COUNT(*) FILTER (
+       |    WHERE ${hash64Sql("CAST(t.doc_id AS VARCHAR)", "temp")} % 10000 < r.keep_bp) AS kept_docs,
+       |  COALESCE(SUM(t.tok) FILTER (
+       |    WHERE ${hash64Sql("CAST(t.doc_id AS VARCHAR)", "temp")} % 10000 < r.keep_bp), 0) AS kept_tok
+       |FROM tok t JOIN rates r ON t.source = r.source
+       |GROUP BY r.source, r.src_tok, r.keep_bp
+       |ORDER BY r.source""".stripMargin) { (s, dir) =>
+    val tok = docs(s, dir)
+      .select(col("source"), col("doc_id"), tokenCount(col("text")).as("tok"))
+    val totals = tok.groupBy("source").agg(sum("tok").as("src_tok"))
+    val floorTok = totals.agg(min("src_tok").as("min_tok"))
+    val rates = totals.crossJoin(broadcast(floorTok))
+      .select(col("source"), col("src_tok"),
+        least(lit(10000L),
+          floor(lit(10000d) * sqrt(col("min_tok").cast("double") / col("src_tok")))
+            .cast("long")).as("keep_bp"))
+    val keep = hash64(col("doc_id").cast("string"), "temp") % 10000 < col("keep_bp")
+    tok.join(broadcast(rates), "source")
+      .groupBy(col("source"), col("src_tok"), col("keep_bp"))
+      .agg(count(when(keep, 1)).as("kept_docs"),
+        coalesce(sum(when(keep, col("tok"))), lit(0L)).as("kept_tok"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     repetition, qualityFilter, sampleStratified, packSequences, dedupClusterCc,
     corpusDiff, decontaminate, domainMix, oversampleEpochs, splitAssign, domainCap,
-    endToEnd, shardAssign, dedupClusterHistogram, sourceHealth, tokenLengthHist)
+    endToEnd, shardAssign, dedupClusterHistogram, sourceHealth, tokenLengthHist,
+    temperatureSample)
 }
