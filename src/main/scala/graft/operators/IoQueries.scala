@@ -54,5 +54,29 @@ object IoQueries {
     s.read.schema(d.schema).json(out).orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(tblRoundtrip, csvRoundtrip, binRoundtrip, jsonlRoundtrip)
+  /** Columnar ORC round-trip over `lineitem` — the second first-class columnar
+    * format next to parquet (Spark ships the ORC reader/writer natively; a
+    * warehouse migrating between Hive/ORC and parquet estates needs both).
+    * Distributed end-to-end like the JSONL path: executor-parallel part files,
+    * predicate-pushdown-capable on read-back. The projection+filter after the
+    * round-trip keeps the oracle cheap while still exercising every column
+    * type through the encode/decode (decimal-free fixture: longs, doubles,
+    * strings, dates). */
+  val orcRoundtrip: Q = Q(
+    "io_orc_roundtrip",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+      |FROM lineitem WHERE l_orderkey % 100 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    val li = Tables.df(s, dir, "lineitem")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_scratch/lineitem"
+    li.write.mode("overwrite").orc(out)
+    import org.apache.spark.sql.functions.col
+    s.read.schema(li.schema).orc(out)
+      .filter(col("l_orderkey") % 100 === 0)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val all: Seq[Q] = Seq(tblRoundtrip, csvRoundtrip, binRoundtrip, jsonlRoundtrip,
+    orcRoundtrip)
 }
