@@ -590,9 +590,157 @@ object TpcdsQueries {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  // --------------------------------------------------------------- Q11 shape
+  // (tpcds query11: customers whose year-over-year growth in one channel
+  //  outpaces their growth in another — the year_total CTE self-joined FOUR
+  //  times on customer). Channels → the 'N'/'A' returnflag populations, years
+  //  1997→1998. TPC-DS's four self-scans collapse to ONE fact pass with four
+  //  FILTERed aggregates (the Q88 treatment — at 100 TB one scan, not four),
+  //  and the growth comparison w98/w97 > s98/s97 is cleared of division by
+  //  cross-multiplying exact DECIMAL sums (positive-denominator guards keep
+  //  the inequality direction): w98·s97 > s98·w97.
+  val q11YoyGrowth: Q = Q(
+    "tpcds_q11_yoy_growth",
+    s"""SELECT cust, c_name,
+       |  CAST(s97 AS DOUBLE) AS s97, CAST(s98 AS DOUBLE) AS s98,
+       |  CAST(w97 AS DOUBLE) AS w97, CAST(w98 AS DOUBLE) AS w98
+       |FROM (
+       |  SELECT o_custkey AS cust, c_name,
+       |    COALESCE(SUM($netRevSql) FILTER (WHERE l_returnflag = 'N' AND year(o_orderdate) = 1997), 0) AS s97,
+       |    COALESCE(SUM($netRevSql) FILTER (WHERE l_returnflag = 'N' AND year(o_orderdate) = 1998), 0) AS s98,
+       |    COALESCE(SUM($netRevSql) FILTER (WHERE l_returnflag = 'A' AND year(o_orderdate) = 1997), 0) AS w97,
+       |    COALESCE(SUM($netRevSql) FILTER (WHERE l_returnflag = 'A' AND year(o_orderdate) = 1998), 0) AS w98
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  WHERE year(o_orderdate) IN (1997, 1998)
+       |  GROUP BY o_custkey, c_name)
+       |WHERE s97 > 0 AND w97 > 0 AND w98 * s97 > s98 * w97
+       |ORDER BY cust""".stripMargin) { (s, dir) =>
+    def chanYear(flag: String, y: Int): org.apache.spark.sql.Column =
+      coalesce(sum(when(col("l_returnflag") === flag &&
+        year(col("o_orderdate")) === y, netRev)), lit(0).cast("decimal(18,2)"))
+    lineorder(s, dir)
+      .filter(year(col("o_orderdate")).isin(1997, 1998))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey").as("cust"), col("c_name"))
+      .agg(chanYear("N", 1997).as("s97"), chanYear("N", 1998).as("s98"),
+        chanYear("A", 1997).as("w97"), chanYear("A", 1998).as("w98"))
+      .filter(col("s97") > 0 && col("w97") > 0 &&
+        col("w98") * col("s97") > col("s98") * col("w97"))
+      .select(col("cust"), col("c_name"), asDouble(col("s97")).as("s97"),
+        asDouble(col("s98")).as("s98"), asDouble(col("w97")).as("w97"),
+        asDouble(col("w98")).as("w98"))
+      .orderBy("cust")
+  }
+
+  // --------------------------------------------------------------- Q49 shape
+  // (tpcds query49: per-channel "worst return ratio" items, DUAL-ranked by
+  //  quantity ratio and currency ratio, keeping items in the top tier of
+  //  EITHER ranking, channels unioned). Channels → the 'O'/'F' linestatus
+  //  populations; returns → 'R'-flagged rows inside each channel. The ratio
+  //  is one IEEE divide of two exact BIGINTs (deterministic in both engines);
+  //  ranks are ROW_NUMBERs with item tie-breaks so the top-10 cut is total.
+  //  Scale: one fact pass, FILTERed aggs per (channel, item); the rank
+  //  windows run on the ITEM table (≪ fact), partitioned by channel.
+  val q49ReturnRatios: Q = Q(
+    "tpcds_q49_return_ratios",
+    s"""WITH per_item AS (
+       |  SELECT l_linestatus AS channel, l_partkey AS item,
+       |    COALESCE(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) FILTER (WHERE l_returnflag = 'R'), 0) AS ret_qty,
+       |    SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sold_qty,
+       |    COALESCE(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) FILTER (WHERE l_returnflag = 'R'), 0) AS ret_cents,
+       |    SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sold_cents
+       |  FROM lineitem GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT channel, item, ret_qty, sold_qty,
+       |    ROW_NUMBER() OVER (PARTITION BY channel
+       |      ORDER BY CAST(ret_qty AS DOUBLE) / sold_qty DESC, item) AS qty_rank,
+       |    ROW_NUMBER() OVER (PARTITION BY channel
+       |      ORDER BY CAST(ret_cents AS DOUBLE) / sold_cents DESC, item) AS amt_rank
+       |  FROM per_item WHERE ret_qty > 0
+       |)
+       |SELECT channel, item, ret_qty, sold_qty, qty_rank, amt_rank
+       |FROM ranked WHERE qty_rank <= 10 OR amt_rank <= 10
+       |ORDER BY channel, qty_rank, item""".stripMargin) { (s, dir) =>
+    val qty = floor(col("l_quantity")).cast("long")
+    val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val perItem = t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus").as("channel"), col("l_partkey").as("item"))
+      .agg(coalesce(sum(when(col("l_returnflag") === "R", qty)), lit(0L)).as("ret_qty"),
+        sum(qty).as("sold_qty"),
+        coalesce(sum(when(col("l_returnflag") === "R", cents)), lit(0L)).as("ret_cents"),
+        sum(cents).as("sold_cents"))
+      .filter(col("ret_qty") > 0)
+    val wQty = Window.partitionBy("channel")
+      .orderBy((col("ret_qty").cast("double") / col("sold_qty")).desc, col("item"))
+    val wAmt = Window.partitionBy("channel")
+      .orderBy((col("ret_cents").cast("double") / col("sold_cents")).desc, col("item"))
+    perItem
+      .withColumn("qty_rank", row_number().over(wQty).cast("long"))
+      .withColumn("amt_rank", row_number().over(wAmt).cast("long"))
+      .filter(col("qty_rank") <= 10 || col("amt_rank") <= 10)
+      .select("channel", "item", "ret_qty", "sold_qty", "qty_rank", "amt_rank")
+      .orderBy("channel", "qty_rank", "item")
+  }
+
+  // --------------------------------------------------------------- Q93 shape
+  // (tpcds query93: actual sales net of returns — the fact LEFT JOINed to the
+  //  returns side, un-matched rows keeping their full amount, matched rows
+  //  refunding the returned share; top customers by adjusted total). Returns
+  //  side → the 'R'-flagged lineitems refunding HALF their amount (cents // 2
+  //  keeps the odd cent with the seller). All arithmetic in integer cents
+  //  (the 1e-2 grid version of the similarity path's 1e-6 quantization), so
+  //  sums are order-independent and hash-exact.
+  //  Scale: the returns side derives from the same scan (filter, no second
+  //  read); the LEFT self-join keys on (orderkey, linenumber) — the fact's
+  //  natural key, one shuffle — and the customer agg reuses the orders join.
+  val q93ReturnsAdjusted: Q = Q(
+    "tpcds_q93_returns_adjusted",
+    s"""WITH sale AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM lineitem
+       |), ret AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) // 2 AS refund_cents
+       |  FROM lineitem WHERE l_returnflag = 'R'
+       |), adjusted AS (
+       |  SELECT s.l_orderkey, s.cents - COALESCE(r.refund_cents, 0) AS act_cents
+       |  FROM sale s LEFT JOIN ret r
+       |    ON s.l_orderkey = r.l_orderkey AND s.l_linenumber = r.l_linenumber
+       |)
+       |SELECT cust, act_cents, rk FROM (
+       |  SELECT cust, act_cents,
+       |    ROW_NUMBER() OVER (ORDER BY act_cents DESC, cust) AS rk
+       |  FROM (
+       |    SELECT o_custkey AS cust, SUM(a.act_cents) AS act_cents
+       |    FROM adjusted a JOIN orders ON a.l_orderkey = o_orderkey
+       |    GROUP BY o_custkey))
+       |WHERE rk <= 20 ORDER BY rk""".stripMargin) { (s, dir) =>
+    val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val li = t(s, dir, "lineitem")
+    val sale = li.select(col("l_orderkey"), col("l_linenumber"), cents.as("cents"))
+    val ret = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("r_orderkey"), col("l_linenumber").as("r_linenumber"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint) div 2").as("refund_cents"))
+    val wTop = Window.orderBy(col("act_cents").desc, col("cust"))
+    sale.join(ret, col("l_orderkey") === col("r_orderkey") &&
+        col("l_linenumber") === col("r_linenumber"), "left")
+      .select(col("l_orderkey"),
+        (col("cents") - coalesce(col("refund_cents"), lit(0L))).as("act_cents"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(sum("act_cents").as("act_cents"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 20)
+      .select("cust", "act_cents", "rk")
+      .orderBy("rk")
+  }
+
   val all: Seq[Q] = Seq(
     q1ReturnsAboveAvg, q2YoyMonthly, q5RollupChannels, q38IntersectCustomers,
     q47MavgOutliers, q67TopkRollup, q10ExistsConjunction, q88TimeBands,
     q51CumulativeCompare, q97OverlapCounts, q14CrossChannel, q23FrequentBest,
-    q72InventoryLag, q34TicketBand, q64ResaleMargin, q95MultiSupplier)
+    q72InventoryLag, q34TicketBand, q64ResaleMargin, q95MultiSupplier,
+    q11YoyGrowth, q49ReturnRatios, q93ReturnsAdjusted)
 }

@@ -302,6 +302,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian in the cascade:\n$p")
   }
 
+  test("tpcds q11/q49: one fact pass each — no self-join blowup, no cartesian") {
+    for (q <- Seq("tpcds_q11_yoy_growth", "tpcds_q49_return_ratios")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: FILTERed aggregates replace TPC-DS's channel self-scans:\n$p")
+      // the single-scan rewrite: exactly one lineitem scan feeds the aggregates
+      val scans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("lineitem"))
+      assert(scans <= 1, s"$q: the channel split must NOT rescan the fact ($scans scans):\n$p")
+    }
+  }
+
+  test("tpcds q93: returns side joins the fact on its natural key, no cartesian") {
+    val p = planOf("tpcds_q93_returns_adjusted")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"left join on (orderkey, linenumber) must stay an equi join:\n$p")
+  }
+
   test("tpcds q72: three facts each shuffle once; part dim broadcasts") {
     val df = SparkEntry.queries("tpcds_q72_inventory_lag")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
