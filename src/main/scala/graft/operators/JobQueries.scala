@@ -209,6 +209,98 @@ object JobQueries {
       .orderBy("n_name")
   }
 
+  /** The widest join graph in the suite — 9 relations, with the geography
+    * snowflake instantiated TWICE under different roles (customer's
+    * nation→region and supplier's nation→region), JOB's 29-class "many
+    * aliased dimension branches" stressor. Both region filters and the part
+    * filter are selective; a sane plan broadcasts every dim branch and
+    * shuffles the fact spine exactly once. Declared order is again
+    * worst-possible (facts first, closure edges last). */
+  val star9Way: Q = Q(
+    "job_star_9way",
+    s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation, COUNT(*) AS n,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+       |WHERE cr.r_name = 'AMERICA' AND sr.r_name = 'ASIA' AND p_type = 'PROMO'
+       |GROUP BY cust_nation, supp_nation
+       |ORDER BY cust_nation, supp_nation""".stripMargin) { (s, dir) =>
+    val cn = t(s, dir, "nation").select(col("n_nationkey").as("cn_key"),
+      col("n_name").as("cust_nation"), col("n_regionkey").as("cn_reg"))
+    val sn = t(s, dir, "nation").select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"), col("n_regionkey").as("sn_reg"))
+    val cr = t(s, dir, "region").filter(col("r_name") === "AMERICA")
+      .select(col("r_regionkey").as("cr_key"))
+    val sr = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      .select(col("r_regionkey").as("sr_key"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "part").filter(col("p_type") === "PROMO"),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(cr), col("cn_reg") === col("cr_key"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(sr), col("sn_reg") === col("sr_key"))
+      .groupBy("cust_nation", "supp_nation")
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("l_quantity")))).as("qty"))
+      .orderBy("cust_nation", "supp_nation")
+  }
+
+  /** Disjunctive dimension predicate — `p_type = … OR p_size ≥ …` spans two
+    * columns, so per-column histograms cannot estimate it independently
+    * (JOB's selectivity-of-OR problem). The contract: the disjunction still
+    * reaches the part SCAN as one pushed filter (never a post-join residual),
+    * and the shrunken dim still broadcasts. */
+  val disjunctiveDim: Q = Q(
+    "job_disjunctive_dim",
+    s"""SELECT p_type, COUNT(*) AS n,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE p_type = 'PROMO' OR p_size >= 45
+       |GROUP BY p_type ORDER BY p_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part").filter(col("p_type") === "PROMO" || col("p_size") >= 45),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("l_extendedprice")))).as("rev"))
+      .orderBy("p_type")
+  }
+
+  /** Correlated cross-table predicates — in TPC-H semantics `o_orderstatus =
+    * 'F'` and `l_linestatus = 'F'` are strongly correlated, so an
+    * independence-assuming estimator squares the selectivity and
+    * under-provisions the join (JOB's core finding: correlation, not graph
+    * size, breaks planners). Correctness cannot depend on the estimate; AQE's
+    * runtime statistics re-plan the join when the static guess is off —
+    * exactly the reference's motivation for runtime re-optimization. */
+  val correlatedPred: Q = Q(
+    "job_correlated_pred",
+    s"""SELECT month(o_orderdate) AS m, COUNT(*) AS n,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderstatus = 'F' AND l_linestatus = 'F' AND year(o_orderdate) = 1997
+       |GROUP BY m ORDER BY m""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem").filter(col("l_linestatus") === "F")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && year(col("o_orderdate")) === 1997),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("l_quantity")))).as("qty"))
+      .orderBy("m")
+  }
+
   val all: Seq[Q] = Seq(
-    chain7, selfAliasStar, bushy, cycleSameKey, cycleNationClosure, thetaResidual)
+    chain7, selfAliasStar, bushy, cycleSameKey, cycleNationClosure, thetaResidual,
+    star9Way, disjunctiveDim, correlatedPred)
 }

@@ -302,6 +302,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian in the cascade:\n$p")
   }
 
+  test("job star9way: every dim branch broadcasts, one fact-spine shuffle, no cartesian") {
+    val p = planOf("job_star_9way")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"9-relation graph must stay all-equi:\n$p")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 4, s"both aliased nation/region branches + part must broadcast (got $bhj):\n$p")
+  }
+
+  test("job disjunctive dim: the OR predicate is pushed into the part scan") {
+    val p = formatted("job_disjunctive_dim")
+    assert(p.contains("PushedFilters") &&
+      p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("Or(")),
+      s"p_type OR p_size must reach the scan as one pushed disjunction:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("job correlated pred: correlated filters sit on their scans; equi join only") {
+    val p = planOf("job_correlated_pred")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlation must not degrade the join:\n$p")
+  }
+
   test("tpcds q11/q49: one fact pass each — no self-join blowup, no cartesian") {
     for (q <- Seq("tpcds_q11_yoy_growth", "tpcds_q49_return_ratios")) {
       val p = planOf(q)
