@@ -826,9 +826,79 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  // ------------------------------------------------------------- rule funnel
+  // Gopher-style rule cascade with marginal-drop accounting (Rae 2021
+  // arXiv:2112.11446 Table A1: each doc is dropped by its FIRST failing rule,
+  // and the report shows per-rule in/drop/out counts — the funnel view every
+  // cleaning pipeline publishes). Rules are integer-exact (ratios cleared of
+  // division): min/max token count, average word length ≤ 5.0 via
+  // lensum·2 ≤ nt·10, top-token share ≤ 20% via topcnt·5 ≤ nt.
+  // Scale plan: the per-doc stats are one map-only pass plus the repetition
+  // rule's two map-side-combinable keyed aggs ((doc,token) → doc); the
+  // funnel itself aggregates to 4 rule rows — the cumulative window runs on
+  // the RULE table, never the corpus.
+
+  val ruleFunnel: Q = Q(
+    "cur_rule_funnel",
+    s"""WITH m AS (
+       |  SELECT doc_id, ${tokenCountSql("text")} AS nt,
+       |    ${tokenLenSumSql(tokensSql("text"))} AS lensum
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS w FROM documents
+       |), tcnt AS (
+       |  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2
+       |), top AS (
+       |  SELECT doc_id, MAX(c) AS topcnt FROM tcnt GROUP BY 1
+       |), ff AS (
+       |  SELECT CASE WHEN m.nt < 20 THEN 1 WHEN m.nt > 90 THEN 2
+       |    WHEN m.lensum * 2 > m.nt * 10 THEN 3
+       |    WHEN top.topcnt * 5 > m.nt THEN 4 ELSE 0 END AS stage
+       |  FROM m JOIN top ON m.doc_id = top.doc_id
+       |), drops AS (
+       |  SELECT r.stage, r.rule, COALESCE(d.cnt, 0) AS n_drop
+       |  FROM (VALUES (1, 'min_tokens'), (2, 'max_tokens'),
+       |               (3, 'avg_word_len'), (4, 'repetition')) AS r(stage, rule)
+       |  LEFT JOIN (SELECT stage, COUNT(*) AS cnt FROM ff WHERE stage > 0
+       |             GROUP BY stage) d ON r.stage = d.stage
+       |)
+       |SELECT stage, rule, n_total - cum_before AS n_in, n_drop,
+       |  n_total - cum_before - n_drop AS n_out
+       |FROM (
+       |  SELECT stage, rule, n_drop,
+       |    COALESCE(SUM(n_drop) OVER (ORDER BY stage
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM drops) CROSS JOIN (SELECT COUNT(*) AS n_total FROM documents)
+       |ORDER BY stage""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    val m = d.select(col("doc_id"), tokenCount(col("text")).as("nt"),
+      tokenLenSum(tokens(col("text"))).as("lensum"))
+    val top = d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("topcnt"))
+    val stage = when(col("nt") < 20, 1).when(col("nt") > 90, 2)
+      .when(col("lensum") * 2 > col("nt") * 10, 3)
+      .when(col("topcnt") * 5 > col("nt"), 4).otherwise(0)
+    val ff = m.join(top, "doc_id").select(stage.as("stage"))
+    val rules = s.createDataFrame(Seq(
+      (1, "min_tokens"), (2, "max_tokens"), (3, "avg_word_len"), (4, "repetition")))
+      .toDF("stage", "rule")
+    val counted = ff.filter(col("stage") > 0).groupBy("stage").agg(count(lit(1)).as("cnt"))
+    val total = d.agg(count(lit(1)).as("n_total"))
+    val wCum = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, -1)
+    broadcast(rules).join(counted, Seq("stage"), "left")
+      .select(col("stage"), col("rule"), coalesce(col("cnt"), lit(0L)).as("n_drop"))
+      .withColumn("cum_before", coalesce(sum("n_drop").over(wCum), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("stage"), col("rule"),
+        (col("n_total") - col("cum_before")).as("n_in"), col("n_drop"),
+        (col("n_total") - col("cum_before") - col("n_drop")).as("n_out"))
+      .orderBy("stage")
+  }
+
   val all: Seq[Q] = Seq(
     repetition, qualityFilter, sampleStratified, packSequences, dedupClusterCc,
     corpusDiff, decontaminate, domainMix, oversampleEpochs, splitAssign, domainCap,
     endToEnd, shardAssign, dedupClusterHistogram, sourceHealth, tokenLengthHist,
-    temperatureSample)
+    temperatureSample, ruleFunnel)
 }
