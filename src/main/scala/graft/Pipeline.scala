@@ -141,6 +141,23 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
             invalidatePlanCache()
             StatementResult(s, Ok, None)
         }
+      } else if (upper.startsWith("VISUALIZE ")) {
+        // VISUALIZE [LOGICAL] <query> — graphviz DOT of the plan, the
+        // reference's `hyriseConsole visualize` (src/bin/console/console.cpp
+        // + src/lib/visualization/{lqp,pqp}_visualizer.cpp). LOGICAL renders
+        // the analyzed Catalyst plan (the LQP view); default renders the
+        // physical SparkPlan (the PQP view). One row per DOT line.
+        val rest = s.drop("VISUALIZE ".length).trim
+        val (logical, q) =
+          if (rest.toUpperCase.startsWith("LOGICAL "))
+            (true, rest.drop("LOGICAL ".length).trim)
+          else (false, rest)
+        val df = spark.sql(q)
+        val dot =
+          if (logical) graft.plans.PlanViz.dotLogical(df, q)
+          else graft.plans.PlanViz.dotPhysical(df, q)
+        import spark.implicits._
+        StatementResult(s, Ok, Some(dot.linesIterator.toSeq.toDF("dot")))
       } else if (upper.startsWith("EXPLAIN ANALYZE ")) {
         // Execute, then render the FINAL adaptive plan with per-node runtime
         // metrics (rows, spill, shuffle bytes) — psql's EXPLAIN ANALYZE for

@@ -171,6 +171,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(cids.size == threads)
   }
 
+  test("VISUALIZE renders physical and logical plans as well-formed DOT") {
+    val p = freshPipeline()
+    val sql = "SELECT r_name, COUNT(*) AS n FROM t_nation " +
+      "JOIN t_region ON n_regionkey = r_regionkey GROUP BY r_name"
+    val phys = p.sql(s"VISUALIZE $sql").collect().map(_.getString(0))
+    assert(phys.head.startsWith("digraph"), "DOT header")
+    assert(phys.exists(_.contains("HashAggregate")), "physical operator boxes")
+    val boxes = phys.count(_.trim.matches("n\\d+ \\[label=.*"))
+    val edges = phys.count(_.contains("->"))
+    assert(boxes >= 3 && edges == boxes - 1, s"tree: $boxes boxes, $edges edges")
+    val log = p.sql(s"VISUALIZE LOGICAL $sql").collect().map(_.getString(0))
+    assert(log.exists(_.contains("Aggregate")) && log.exists(_.contains("Join")),
+      "logical (LQP) view shows Catalyst nodes")
+  }
+
   test("delivery-style txn: read the snapshot, stage a keyed batch update, commit atomically") {
     // TPC-C Delivery's shape: SELECT the oldest open order per group from the
     // txn snapshot, then UPDATE exactly that key set — the read-then-write
