@@ -737,10 +737,144 @@ object TpcdsQueries {
       .orderBy("rk")
   }
 
+  // --------------------------------------------------------------- Q31 shape
+  // (tpcds query31: counties whose WEB sales share grows faster than their
+  //  STORE share across consecutive quarters — two channels × two periods
+  //  per geography, the growth-ratio comparison done on the GEOGRAPHY axis
+  //  rather than Q11's customer axis). Geography → nation; channels → the
+  //  'N'/'A' returnflag populations; periods → 1997 H1/H2. Same one-pass
+  //  FILTERed-agg collapse and division-free cross-multiply as Q11:
+  //  w2·w1⁻¹ > s2·s1⁻¹  ⇔  w2·s1 > s2·w1 (all four sums positive-guarded).
+  val q31ShareShift: Q = Q(
+    "tpcds_q31_share_shift",
+    s"""SELECT n_name,
+       |  CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+       |  CAST(w1 AS DOUBLE) AS w1, CAST(w2 AS DOUBLE) AS w2
+       |FROM (
+       |  SELECT n_name,
+       |    COALESCE(SUM($netRevSql) FILTER (WHERE l_returnflag = 'N' AND month(o_orderdate) <= 6), 0) AS s1,
+       |    COALESCE(SUM($netRevSql) FILTER (WHERE l_returnflag = 'N' AND month(o_orderdate) > 6), 0) AS s2,
+       |    COALESCE(SUM($netRevSql) FILTER (WHERE l_returnflag = 'A' AND month(o_orderdate) <= 6), 0) AS w1,
+       |    COALESCE(SUM($netRevSql) FILTER (WHERE l_returnflag = 'A' AND month(o_orderdate) > 6), 0) AS w2
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE year(o_orderdate) = 1997
+       |  GROUP BY n_name)
+       |WHERE s1 > 0 AND w1 > 0 AND w2 * s1 > s2 * w1
+       |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    def half(flag: String, firstHalf: Boolean): org.apache.spark.sql.Column = {
+      val m = if (firstHalf) month(col("o_orderdate")) <= 6 else month(col("o_orderdate")) > 6
+      coalesce(sum(when(col("l_returnflag") === flag && m, netRev)),
+        lit(0).cast("decimal(18,2)"))
+    }
+    lineorder(s, dir)
+      .filter(year(col("o_orderdate")) === 1997)
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(half("N", firstHalf = true).as("s1"), half("N", firstHalf = false).as("s2"),
+        half("A", firstHalf = true).as("w1"), half("A", firstHalf = false).as("w2"))
+      .filter(col("s1") > 0 && col("w1") > 0 &&
+        col("w2") * col("s1") > col("s2") * col("w1"))
+      .select(col("n_name"), asDouble(col("s1")).as("s1"), asDouble(col("s2")).as("s2"),
+        asDouble(col("w1")).as("w1"), asDouble(col("w2")).as("w2"))
+      .orderBy("n_name")
+  }
+
+  // --------------------------------------------------------------- Q54 shape
+  // (tpcds query54: build a COHORT of customers who bought a target category
+  //  in a target month, then histogram their revenue in the FOLLOWING window
+  //  into fixed-width bands — cohort semi join + banded segmentation).
+  // Cohort → customers with a PROMO-part purchase in 1997-01; window → the
+  //  next three months; band → 5000-cent-wide integer buckets (integer cents
+  //  make the band edge exact in both engines).
+  // Scale: cohort is a semi join (never a row-multiplying join); the window
+  //  pass is one fact scan + keyed agg; the histogram aggregates per-customer
+  //  rows (≪ fact).
+  val q54CohortSegments: Q = Q(
+    "tpcds_q54_cohort_segments",
+    s"""WITH cohort AS (
+       |  SELECT DISTINCT o_custkey FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN part ON l_partkey = p_partkey
+       |  WHERE p_type = 'PROMO' AND year(o_orderdate) = 1997 AND month(o_orderdate) = 1
+       |), spend AS (
+       |  SELECT o_custkey AS cust,
+       |    SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE year(o_orderdate) = 1997 AND month(o_orderdate) BETWEEN 2 AND 4
+       |    AND o_custkey IN (SELECT o_custkey FROM cohort)
+       |  GROUP BY o_custkey)
+       |SELECT cents // 500000 AS segment, COUNT(*) AS n_cust
+       |FROM spend GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val coh = lineorder(s, dir)
+      .join(t(s, dir, "part").filter(col("p_type") === "PROMO"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(year(col("o_orderdate")) === 1997 && month(col("o_orderdate")) === 1)
+      .select(col("o_custkey")).distinct()
+    lineorder(s, dir)
+      .filter(year(col("o_orderdate")) === 1997 &&
+        month(col("o_orderdate")).between(2, 4))
+      .join(coh, Seq("o_custkey"), "left_semi")
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(sum(cents).as("cents"))
+      .select(expr("cents div 500000").as("segment"))
+      .groupBy("segment").agg(count(lit(1)).as("n_cust"))
+      .orderBy("segment")
+  }
+
+  // --------------------------------------------------------------- Q78 shape
+  // (tpcds query78: per-customer-year channel sales with RETURNED line items
+  //  EXCLUDED via the left-join-null idiom on the returns side, then the
+  //  cross-channel ratio for customers active in both — Q11's growth compare
+  //  but with an ANTI join feeding the aggregates). Returned rows → the 'R'
+  //  population anti-joined on the fact's natural key; channels → 'O'/'F'
+  //  linestatus. The ratio ships as exact integer cents ×100 // (integer
+  //  division), so the output needs no float discipline at all.
+  val q78ChannelRatio: Q = Q(
+    "tpcds_q78_channel_ratio",
+    s"""WITH keep AS (
+       |  SELECT l_orderkey, l_linenumber, l_linestatus,
+       |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM lineitem a WHERE NOT EXISTS (
+       |    SELECT 1 FROM lineitem r WHERE r.l_returnflag = 'R'
+       |      AND r.l_orderkey = a.l_orderkey AND r.l_linenumber = a.l_linenumber)
+       |), per_cust AS (
+       |  SELECT o_custkey AS cust,
+       |    COALESCE(SUM(cents) FILTER (WHERE l_linestatus = 'O'), 0) AS open_cents,
+       |    COALESCE(SUM(cents) FILTER (WHERE l_linestatus = 'F'), 0) AS full_cents
+       |  FROM keep JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY o_custkey)
+       |SELECT cust, open_cents, full_cents,
+       |  (open_cents * 100) // full_cents AS ratio_pct
+       |FROM per_cust WHERE open_cents > 0 AND full_cents > 0
+       |ORDER BY ratio_pct DESC, cust LIMIT 25""".stripMargin) { (s, dir) =>
+    val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val li = t(s, dir, "lineitem")
+    val returned = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("r_ok"), col("l_linenumber").as("r_ln"))
+    val keep = li.join(returned,
+        col("l_orderkey") === col("r_ok") && col("l_linenumber") === col("r_ln"),
+        "left_anti")
+      .select(col("l_orderkey"), col("l_linestatus"), cents.as("cents"))
+    keep.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(coalesce(sum(when(col("l_linestatus") === "O", col("cents"))), lit(0L)).as("open_cents"),
+        coalesce(sum(when(col("l_linestatus") === "F", col("cents"))), lit(0L)).as("full_cents"))
+      .filter(col("open_cents") > 0 && col("full_cents") > 0)
+      .select(col("cust"), col("open_cents"), col("full_cents"),
+        expr("(open_cents * 100) div full_cents").as("ratio_pct"))
+      .orderBy(col("ratio_pct").desc, col("cust"))
+      .limit(25)
+  }
+
   val all: Seq[Q] = Seq(
     q1ReturnsAboveAvg, q2YoyMonthly, q5RollupChannels, q38IntersectCustomers,
     q47MavgOutliers, q67TopkRollup, q10ExistsConjunction, q88TimeBands,
     q51CumulativeCompare, q97OverlapCounts, q14CrossChannel, q23FrequentBest,
     q72InventoryLag, q34TicketBand, q64ResaleMargin, q95MultiSupplier,
-    q11YoyGrowth, q49ReturnRatios, q93ReturnsAdjusted)
+    q11YoyGrowth, q49ReturnRatios, q93ReturnsAdjusted,
+    q31ShareShift, q54CohortSegments, q78ChannelRatio)
 }

@@ -342,6 +342,15 @@ class PlanSpec extends AnyFunSuite {
       s"left join on (orderkey, linenumber) must stay an equi join:\n$p")
   }
 
+  test("tpcds q54/q78: cohort gate is a semi join, returns exclusion an anti join") {
+    val p54 = planOf("tpcds_q54_cohort_segments")
+    assert(p54.contains("LeftSemi"), s"cohort must gate the window scan via semi join:\n$p54")
+    assert(!p54.contains("CartesianProduct"), s"no cartesian:\n$p54")
+    val p78 = planOf("tpcds_q78_channel_ratio")
+    assert(p78.contains("LeftAnti"), s"returned rows must be excluded via anti join:\n$p78")
+    assert(!p78.contains("CartesianProduct"), s"no cartesian:\n$p78")
+  }
+
   test("tpcds q72: three facts each shuffle once; part dim broadcasts") {
     val df = SparkEntry.queries("tpcds_q72_inventory_lag")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
