@@ -896,9 +896,78 @@ object CurationQueries {
       .orderBy("stage")
   }
 
+  // ---------------------------------------------------------------- PageRank
+  // PageRank (Page 1999) over the content-similarity candidate graph — the
+  // link-quality signal web-corpus curation ranks pages by (the same graph
+  // the dedup family buckets; here coarse 64-way content buckets stand in for
+  // hyperlinks, with bucket-mates mutually linked). THREE fixed power
+  // iterations in pure integer micro-units: contribution = pr div deg,
+  // pr' = 150000 + (850·Σ contrib) div 1000 — damping 0.85 as the exact
+  // rational 850/1000, every intermediate an i64, so the ranking is
+  // bit-identical in both engines and independent of aggregation order.
+  // Scale plan: the graph lives on EDGES (bucket equi-join, never all-pairs
+  // across buckets; bucket count scales ∝ corpus to bound bucket size), each
+  // iteration is ONE keyed shuffle over edges + a left join back to nodes —
+  // the ccLabels iteration shape, with localCheckpoint the documented
+  // upgrade once iteration counts grow.
+  private val PR_ITERS = 3
+  private val PR_BUCKETS = 64
+
+  val pageRank: Q = {
+    val bktSql = s"${hash64Sql("text", "pr")} % $PR_BUCKETS"
+    def itSql(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT n.doc_id, 150000 + (850 * COALESCE(s.c, 0)) // 1000 AS pr
+         |  FROM b n LEFT JOIN (
+         |    SELECT e.dst, SUM(p.pr // dg.d) AS c
+         |    FROM e JOIN $prev p ON p.doc_id = e.src JOIN deg dg ON dg.src = e.src
+         |    GROUP BY e.dst) s ON s.dst = n.doc_id)""".stripMargin
+    Q(
+      "cur_pagerank",
+      s"""WITH b AS (
+         |  SELECT doc_id, $bktSql AS bkt FROM documents
+         |), e AS (
+         |  SELECT a.doc_id AS src, c.doc_id AS dst
+         |  FROM b a JOIN b c ON a.bkt = c.bkt AND a.doc_id <> c.doc_id
+         |), deg AS (
+         |  SELECT src, COUNT(*) AS d FROM e GROUP BY src
+         |), it0 AS (
+         |  SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM b
+         |), ${itSql("it0", "it1")},
+         |${itSql("it1", "it2")},
+         |${itSql("it2", "it3")}
+         |SELECT doc_id, pr, rk FROM (
+         |  SELECT doc_id, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, doc_id) AS rk
+         |  FROM it3) WHERE rk <= 20 ORDER BY rk""".stripMargin) { (s, dir) =>
+      val b = docs(s, dir)
+        .select(col("doc_id"), (hash64(col("text"), "pr") % PR_BUCKETS).as("bkt"))
+      val e = b.select(col("doc_id").as("src"), col("bkt"))
+        .join(b.select(col("doc_id").as("dst"), col("bkt").as("bkt2")),
+          col("bkt") === col("bkt2") && col("src") =!= col("dst"))
+        .select("src", "dst")
+      val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+      var pr = b.select(col("doc_id"), lit(1000000L).as("pr"))
+      for (_ <- 1 to PR_ITERS) {
+        val contrib = e
+          .join(pr.withColumnRenamed("doc_id", "src"), "src")
+          .join(deg, "src")
+          .select(col("dst"), expr("pr div d").as("c"))
+          .groupBy("dst").agg(sum("c").as("c"))
+        pr = b.select(col("doc_id"))
+          .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (lit(150000L) + expr("(850 * coalesce(c, 0L)) div 1000")).as("pr"))
+      }
+      val w = Window.orderBy(col("pr").desc, col("doc_id"))
+      pr.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .orderBy("rk")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     repetition, qualityFilter, sampleStratified, packSequences, dedupClusterCc,
     corpusDiff, decontaminate, domainMix, oversampleEpochs, splitAssign, domainCap,
     endToEnd, shardAssign, dedupClusterHistogram, sourceHealth, tokenLengthHist,
-    temperatureSample, ruleFunnel)
+    temperatureSample, ruleFunnel, pageRank)
 }
