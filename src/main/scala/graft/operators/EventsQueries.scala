@@ -366,8 +366,45 @@ object EventsQueries {
       .orderBy("event_type", "bucket_lo")
   }
 
+  /** Sequence-pattern matching — the MATCH_RECOGNIZE / CEP shape (SQL:2016
+    * row pattern recognition; Flink CEP's core operator; the reference has no
+    * counterpart — parse-surface ends at window functions). Each user's
+    * ordered event-type sequence becomes a compact letter string and the
+    * patterns are regexes over it: `s[^e]*p` = signup converting to purchase
+    * with NO intervening error, `ee` = an error streak. Java regex and
+    * DuckDB's RE2 agree on this alternation-free character-class subset
+    * (both unanchored), and the sequence order is the established
+    * (µs, event_id) total order, so the strings — and the matches — are
+    * bit-identical.
+    * Scale: one keyed shuffle to assemble per-user sequences; the regex pass
+    * is map-only. Per-user sequence length is bounded by per-user activity —
+    * at 100 TB sessionize first (events_sessionize_gap) so sequences are
+    * per-session, or use the aggregate-only funnel (events_funnel) when
+    * order constraints collapse to first-timestamp comparisons. */
+  val eventsPatternMatch: Q = Q(
+    "events_pattern_match",
+    """WITH seq AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id) AS s
+      |  FROM events WHERE user_id < 50 GROUP BY user_id)
+      |SELECT user_id, CAST(length(s) AS BIGINT) AS seq_len,
+      |  CAST(CASE WHEN regexp_matches(s, 's[^e]*p') THEN 1 ELSE 0 END AS BIGINT) AS conv_no_error,
+      |  CAST(CASE WHEN regexp_matches(s, 'ee') THEN 1 ELSE 0 END AS BIGINT) AS double_error
+      |FROM seq ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val evs = ev(s, dir).filter(col("user_id") < 50)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(
+        expr("ts DIV 1000").as("t"), col("event_id").as("i"),
+        substring(col("event_type"), 1, 1).as("ch")))).as("evs"))
+      .select(col("user_id"), expr("concat_ws('', transform(evs, x -> x.ch))").as("s"))
+    evs.select(col("user_id"), length(col("s")).cast("long").as("seq_len"),
+        when(col("s").rlike("s[^e]*p"), 1L).otherwise(0L).as("conv_no_error"),
+        when(col("s").rlike("ee"), 1L).otherwise(0L).as("double_error"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(eventsByType, eventsHourly, eventsUserSeq,
     eventsAsofJoin, eventsSessionize, eventsFunnel, eventsRetention,
     eventsTransitions, eventsAnomaly, eventsGapfill, eventsRollingMedian,
-    eventsValueHist)
+    eventsValueHist, eventsPatternMatch)
 }
