@@ -124,6 +124,51 @@ object EventStreams {
       }
   }
 
+  /** Streaming CEP — the incremental counterpart of the batch
+    * events_pattern_match (MATCH_RECOGNIZE / Flink-CEP shape). Per-user keyed
+    * state buffers events and re-evaluates the pattern DFAs over the
+    * event-time-ordered sequence on every micro-batch, so late/out-of-order
+    * arrivals land in their correct position — the same buffer-then-order
+    * contract Flink CEP implements under watermarks. Patterns (DFA form of
+    * the batch regexes, provably equivalent on this alphabet):
+    *   conv_no_error = `s[^e]*p`: 's' arms, 'e' kills the arm, 'p' while
+    *     armed matches (re-armable — any later 's' starts a fresh attempt);
+    *   double_error  = `ee`: two adjacent errors in event-time order.
+    * Both flags are MONOTONE (false→true as events accrue), so Append-mode
+    * per-batch emissions fold with max() and the final emission equals the
+    * batch answer. State is capped at [[PatternBufferCap]] buffered events
+    * per user (far above the fixture's per-user activity); the production
+    * path sessionizes upstream or adds an event-time timeout so the buffer
+    * stays bounded at 100 TB/day ingest. */
+  final case class PatternOut(userId: Long, convNoError: Long, doubleError: Long)
+  private val PatternBufferCap = 4096
+
+  def patternFlags(spark: SparkSession, events: DataFrame): Dataset[PatternOut] = {
+    import spark.implicits._
+    val typed = events.select(
+      col("event_id"), col("user_id").as("userId"), col("event_type").as("eventType"),
+      col("value"), expr("ts DIV 1000").as("tsMicros")).as[EventRow]
+    typed.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[Vector[(Long, Long, String)]]) =>
+          val merged = (state.getOption.getOrElse(Vector.empty) ++
+            rows.map(r => (r.tsMicros, r.event_id, r.eventType.take(1))))
+            .sortBy(t => (t._1, t._2)).take(PatternBufferCap)
+          state.update(merged)
+          var armed = false; var conv = false; var prevE = false; var dbl = false
+          merged.foreach { case (_, _, ch) =>
+            ch match {
+              case "s" => armed = true
+              case "e" => if (prevE) dbl = true; armed = false
+              case "p" => if (armed) conv = true
+              case _ => ()
+            }
+            prevE = ch == "e"
+          }
+          Iterator(PatternOut(userId, if (conv) 1L else 0L, if (dbl) 1L else 0L))
+      }
+  }
+
   /** Stream-stream interval join: each click joined to the same user's views
     * from the preceding 10 minutes. Both sides carry watermarks and the join
     * condition bounds event time in BOTH directions, so the state store can

@@ -119,6 +119,24 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-folded funnel $folded != batch $batch")
   }
 
+  test("streaming CEP pattern flags fold to the batch events_pattern_match") {
+    val out = EventStreams.runToMemory(
+      spark, EventStreams.patternFlags(spark, EventStreams.source(spark, sf)),
+      "pattern_out", OutputMode.Append())
+    // flags are monotone across micro-batches: max() recovers the final state
+    val folded = out.groupBy("userId")
+      .agg(max("convNoError").as("conv"), max("doubleError").as("dbl"))
+      .filter(col("userId") < 50)
+    val batch = graft.operators.EventsQueries.eventsPatternMatch.run(spark, sf)
+      .select(col("user_id").as("userId"), col("conv_no_error").as("b_conv"),
+        col("double_error").as("b_dbl"))
+    val joined = folded.join(batch, "userId")
+    assert(joined.count() === batch.count(), "every batch user emitted by the stream")
+    val mismatches = joined
+      .filter(col("conv") =!= col("b_conv") || col("dbl") =!= col("b_dbl")).count()
+    assert(mismatches === 0, "stream DFA == batch regex on every user")
+  }
+
   test("stream-stream interval join == batch interval join") {
     val streamed = EventStreams.runToMemory(
       spark, EventStreams.clickViewJoin(EventStreams.source(spark, sf)),
