@@ -269,6 +269,93 @@ object Multimodal {
     }
   }
 
+  /** Per-partition WAV codec — REAL RIFF/WAVE encode + decode through the
+    * JDK's `javax.sound.sampled` (zero external deps, like [[PngCodec]]'s
+    * ImageIO). 16-bit signed little-endian mono PCM. */
+  private[functions] final class WavCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    private val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    private val buf = new ByteArrayOutputStream(1 << 12)
+
+    /** Pack samples as PCM and container-encode to REAL WAV bytes. */
+    def encode(samples: Array[Int]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      buf.reset()
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+
+    /** Decode REAL WAV bytes → (sampleRateHz, nSamples, sum, min, max). */
+    def decode(wav: Array[Byte]): (Int, Long, Long, Int, Int) = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+      val f = ais.getFormat
+      require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+        s"unexpected decoded format: $f")
+      val pcm = ais.readAllBytes()
+      val n = pcm.length / 2
+      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      var i = 0
+      while (i < n) {
+        val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)) // hi byte carries sign
+        sum += s; if (s < mn) mn = s; if (s > mx) mx = s
+        i += 1
+      }
+      (f.getSampleRate.toInt, n.toLong, sum, mn, mx)
+    }
+  }
+
+  /** Real-bytes AUDIO decode, oracle-gated — the WAV twin of
+    * [[multimodalDecodePng]]: a deterministic 16-bit PCM signal is
+    * WAV-ENCODED inside the partition (RIFF header, fmt chunk, PCM payload —
+    * real container bytes), immediately WAV-DECODED by the same
+    * per-partition codec, and the DECODED waveform facts (sample rate,
+    * length, exact amplitude sum/min/max) flow out as columns. The DuckDB
+    * oracle computes the same facts in closed form from doc_id, so any codec
+    * disagreement (endianness, header offsets, sign extension) fails the
+    * exact-hash gate. Map-only, one codec handle per task — the decode pass
+    * shape of a 100 TB audio corpus. */
+  val multimodalDecodeWav: Q = Q(
+    "multimodal_decode_wav",
+    """SELECT doc_id,
+      |  CAST(8000 AS INT) AS sr,
+      |  CAST(doc_id % 50 + 10 AS BIGINT) AS n_samples,
+      |  CAST(list_sum([ (doc_id * 31 + k * 17) % 2001 - 1000
+      |                  for k in range(0, doc_id % 50 + 10) ]) AS BIGINT) AS sum_amp,
+      |  CAST(list_min([ (doc_id * 31 + k * 17) % 2001 - 1000
+      |                  for k in range(0, doc_id % 50 + 10) ]) AS INT) AS min_amp,
+      |  CAST(list_max([ (doc_id * 31 + k * 17) % 2001 - 1000
+      |                  for k in range(0, doc_id % 50 + 10) ]) AS INT) AS max_amp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("sr", IntegerType),
+      StructField("n_samples", LongType), StructField("sum_amp", LongType),
+      StructField("min_amp", IntegerType), StructField("max_amp", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    Tables.df(s, dir, "documents").select("doc_id")
+      .mapPartitions { it =>
+        val codec = new WavCodec // one per partition, like a native handle
+        it.map { r =>
+          val id = r.getLong(0)
+          val n = (id % 50 + 10).toInt
+          val samples = Array.tabulate(n)(k => ((id * 31 + k * 17) % 2001).toInt - 1000)
+          val wav = codec.encode(samples)
+          val (sr, dn, sum, mn, mx) = codec.decode(wav)
+          Row(id, sr, dn, sum, mn, mx)
+        }
+      }(enc).orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
-    Seq(multimodalFeatures, multimodalResize, multimodalFrameSample, multimodalDecodePng)
+    Seq(multimodalFeatures, multimodalResize, multimodalFrameSample, multimodalDecodePng,
+      multimodalDecodeWav)
 }

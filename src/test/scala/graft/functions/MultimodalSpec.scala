@@ -43,6 +43,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert((r2, g2, b2) === ((255L, 0L, 255L)))
   }
 
+  test("WavCodec round-trips REAL RIFF/WAVE bytes with exact PCM fidelity") {
+    val codec = new Multimodal.WavCodec
+    val samples = Array(-1000, 0, 32767, -32768, 17)
+    val wav = codec.encode(samples)
+    assert(wav.length > 44, "WAV = 44-byte header + PCM payload")
+    assert(new String(wav.slice(0, 4), "US-ASCII") === "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") === "WAVE",
+      "encoder must emit a real RIFF/WAVE container")
+    val (sr, n, sum, mn, mx) = codec.decode(wav)
+    assert(sr === 8000 && n === samples.length.toLong)
+    assert(sum === samples.map(_.toLong).sum, "lossless PCM: exact sum survives")
+    assert((mn, mx) === ((-32768, 32767)), "full signed 16-bit range round-trips")
+  }
+
   test("JPEG decodes through the same codec path: dims exact, means near-exact") {
     // the JDK's second real codec: lossy, so channel means carry codec
     // tolerance, but intrinsic dims are exact and the decode path is the
