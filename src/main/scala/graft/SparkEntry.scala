@@ -31,6 +31,7 @@ object SparkEntry {
       functions.DedupQueries.all ++
       functions.SimilarityQueries.all ++
       functions.CurationQueries.all ++
+      functions.RetrievalQueries.all ++
       functions.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

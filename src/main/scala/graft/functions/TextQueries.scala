@@ -263,56 +263,68 @@ object TextQueries {
   private val BM25_TERMS = Seq("vector", "hash", "stream", "merge", "filter")
   private val BM25_K = 10
 
-  val textBm25: Q = {
+  /** The BM25 scoring CTE chain (corpus stats → postings → tf → df → per-doc
+    * score_u), shared verbatim between [[textBm25]] and the hybrid-retrieval
+    * fusion ([[RetrievalQueries]]) so the two surfaces cannot drift. */
+  private[functions] val bm25CtesSql: String = {
     val termsSqlList = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+    s"""corpus AS (
+       |  SELECT COUNT(*) AS n_docs, SUM(${tokenCountSql("text")}) AS s_tok FROM documents
+       |), tok AS (
+       |  SELECT doc_id, ${tokenCountSql("text")} AS dl,
+       |    unnest(${tokensSql("text")}) AS w
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, MIN(dl) AS dl, w, COUNT(*) AS tf FROM tok
+       |  WHERE w IN ($termsSqlList) GROUP BY doc_id, w
+       |), df AS (
+       |  SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+       |), scored AS (
+       |  SELECT t.doc_id, MIN(t.dl) AS dl, COUNT(*) AS n_terms,
+       |    SUM(((1000000 * (2 * c.n_docs - 2 * df.df + 1)) // (2 * df.df + 1))
+       |        * ((1000000 * 22 * c.s_tok * t.tf)
+       |           // (10 * c.s_tok * t.tf + 3 * c.s_tok + 9 * t.dl * c.n_docs))
+       |        // 1000000) AS score_u
+       |  FROM tf t JOIN df ON t.w = df.w CROSS JOIN corpus c
+       |  GROUP BY t.doc_id
+       |)""".stripMargin
+  }
+
+  /** DataFrame twin of [[bm25CtesSql]]'s `scored`: (doc_id, dl, n_terms,
+    * score_u) for the fixed query term set. */
+  private[functions] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.agg(count(lit(1)).as("n_docs"), sum(tokenCount(col("text"))).as("s_tok"))
+    val tok = d.select(col("doc_id"), tokenCount(col("text")).as("dl"),
+      explode(tokens(col("text"))).as("w"))
+    val tf = tok.filter(col("w").isin(BM25_TERMS: _*))
+      .groupBy("doc_id", "w").agg(min("dl").as("dl"), count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val term = expr(
+      """((1000000 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1))
+        | * ((1000000 * 22 * s_tok * tf)
+        |    div (10 * s_tok * tf + 3 * s_tok + 9 * dl * n_docs))
+        | div 1000000""".stripMargin)
+    tf.join(broadcast(df), "w").crossJoin(broadcast(corpus))
+      .groupBy("doc_id")
+      .agg(min("dl").as("dl"), count(lit(1)).as("n_terms"), sum(term).as("score_u"))
+  }
+
+  val textBm25: Q = {
     Q(
       "text_bm25_topk",
-      s"""WITH corpus AS (
-         |  SELECT COUNT(*) AS n_docs, SUM(${tokenCountSql("text")}) AS s_tok FROM documents
-         |), tok AS (
-         |  SELECT doc_id, ${tokenCountSql("text")} AS dl,
-         |    unnest(${tokensSql("text")}) AS w
-         |  FROM documents
-         |), tf AS (
-         |  SELECT doc_id, MIN(dl) AS dl, w, COUNT(*) AS tf FROM tok
-         |  WHERE w IN ($termsSqlList) GROUP BY doc_id, w
-         |), df AS (
-         |  SELECT w, COUNT(*) AS df FROM tf GROUP BY w
-         |), scored AS (
-         |  SELECT t.doc_id, MIN(t.dl) AS dl, COUNT(*) AS n_terms,
-         |    SUM(((1000000 * (2 * c.n_docs - 2 * df.df + 1)) // (2 * df.df + 1))
-         |        * ((1000000 * 22 * c.s_tok * t.tf)
-         |           // (10 * c.s_tok * t.tf + 3 * c.s_tok + 9 * t.dl * c.n_docs))
-         |        // 1000000) AS score_u
-         |  FROM tf t JOIN df ON t.w = df.w CROSS JOIN corpus c
-         |  GROUP BY t.doc_id
-         |)
+      s"""WITH $bm25CtesSql
          |SELECT doc_id, dl, n_terms, score_u, rk FROM (
          |  SELECT doc_id, dl, n_terms, score_u,
          |    ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS rk
          |  FROM scored) WHERE rk <= $BM25_K
          |ORDER BY rk""".stripMargin) { (s, dir) =>
-      val d = docs(s, dir)
-      val corpus = d.agg(count(lit(1)).as("n_docs"), sum(tokenCount(col("text"))).as("s_tok"))
-      val tok = d.select(col("doc_id"), tokenCount(col("text")).as("dl"),
-        explode(tokens(col("text"))).as("w"))
-      val tf = tok.filter(col("w").isin(BM25_TERMS: _*))
-        .groupBy("doc_id", "w").agg(min("dl").as("dl"), count(lit(1)).as("tf"))
-      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      val term = expr(
-        """((1000000 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1))
-          | * ((1000000 * 22 * s_tok * tf)
-          |    div (10 * s_tok * tf + 3 * s_tok + 9 * dl * n_docs))
-          | div 1000000""".stripMargin)
       val wTop = org.apache.spark.sql.expressions.Window
         .orderBy(col("score_u").desc, col("doc_id"))
-      val scored = tf.join(broadcast(df), "w").crossJoin(broadcast(corpus))
-        .groupBy("doc_id")
-        .agg(min("dl").as("dl"), count(lit(1)).as("n_terms"), sum(term).as("score_u"))
       // top-k over per-doc scores: the global window runs on ≤N scored docs,
       // and BM25_K ≪ N makes a TakeOrdered plan equally valid; row_number
       // keeps rank dense + deterministic for the oracle
-      scored.withColumn("rk", row_number().over(wTop).cast("long"))
+      bm25Scored(s, dir).withColumn("rk", row_number().over(wTop).cast("long"))
         .filter(col("rk") <= BM25_K)
         .orderBy("rk")
     }
