@@ -941,10 +941,14 @@ object CurationQueries {
          |  FROM it3) WHERE rk <= 20 ORDER BY rk""".stripMargin) { (s, dir) =>
       val b = docs(s, dir)
         .select(col("doc_id"), (hash64(col("text"), "pr") % PR_BUCKETS).as("bkt"))
+      // materialize the edge table once — every unrolled iteration reads it,
+      // and without the cut each re-derives the bucket join from the corpus
+      // (the ccLabels localCheckpoint treatment; 3 iterations → 1 edge scan)
       val e = b.select(col("doc_id").as("src"), col("bkt"))
         .join(b.select(col("doc_id").as("dst"), col("bkt").as("bkt2")),
           col("bkt") === col("bkt2") && col("src") =!= col("dst"))
         .select("src", "dst")
+        .localCheckpoint()
       val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
       var pr = b.select(col("doc_id"), lit(1000000L).as("pr"))
       for (_ <- 1 to PR_ITERS) {
