@@ -38,6 +38,29 @@ final class Catalog(val spark: SparkSession) {
   private val commitCid = new java.util.concurrent.atomic.AtomicLong(0L)
   private val lastCommit = TrieMap.empty[String, Long]
 
+  // ------------------------------------------------------------ time travel
+  // Per-table binding history (commit CID → binding, None = dropped) — the
+  // natural extension of immutable-binding MVCC: every commit's DataFrame is
+  // a complete consistent version, so retaining the last [[HistoryDepth]]
+  // bindings gives AS-OF reads for free (the reference's MVCC keeps old row
+  // versions until cleanup for the same reason; Delta/Iceberg call this time
+  // travel). Bounded retention: plans, not data, are retained — each entry
+  // is a lazy DataFrame over shared immutable inputs.
+  private val HistoryDepth = 32
+  private val history = TrieMap.empty[String, Vector[(Long, Option[DataFrame])]]
+  private def recordHistory(name: String, cid: Long): Unit =
+    history.put(name,
+      (history.getOrElse(name, Vector.empty) :+ (cid -> tables.get(name)))
+        .takeRight(HistoryDepth))
+
+  /** The current commit clock — pair with [[tableAsOf]] for repeatable reads. */
+  def commitId: Long = commitCid.get
+
+  /** The binding `name` had at commit `cid` (latest commit ≤ cid): Some(df)
+    * if it existed, None if it was dropped or not yet created. */
+  def tableAsOf(name: String, cid: Long): Option[DataFrame] =
+    history.get(name).flatMap(_.filter(_._1 <= cid).lastOption).flatMap(_._2)
+
   private def logEvent(level: String, msg: String): Unit = eventLog.synchronized {
     eventLog += ((eventLog.size + 1, level, msg))
   }
@@ -65,8 +88,8 @@ final class Catalog(val spark: SparkSession) {
       else {
         val cid = commitCid.incrementAndGet()
         writes.foreach {
-          case (n, Some(df)) => publish(n, df); lastCommit.put(n, cid)
-          case (n, None) => removeBinding(n); lastCommit.put(n, cid)
+          case (n, Some(df)) => publish(n, df); lastCommit.put(n, cid); recordHistory(n, cid)
+          case (n, None) => removeBinding(n); lastCommit.put(n, cid); recordHistory(n, cid)
         }
         logEvent("INFO", s"txn commit cid=$cid tables=${writes.map(_._1).mkString(",")}")
         Right(cid)
@@ -74,7 +97,9 @@ final class Catalog(val spark: SparkSession) {
     }
 
   private def recordCommit(name: String): Unit = txnLock.synchronized {
-    lastCommit.put(name, commitCid.incrementAndGet())
+    val cid = commitCid.incrementAndGet()
+    lastCommit.put(name, cid)
+    recordHistory(name, cid)
   }
 
   private def publish(name: String, df: DataFrame): Unit = {

@@ -141,6 +141,29 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
             invalidatePlanCache()
             StatementResult(s, Ok, None)
         }
+      } else if (upper.startsWith("ASOF ")) {
+        // ASOF <cid> <select> — time-travel read: the query sees every
+        // catalog table at commit <cid> (Catalog.tableAsOf; the commit clock
+        // is Catalog.commitId). Temp views are swapped to the historical
+        // bindings for ANALYSIS only — spark.sql resolves views eagerly, so
+        // the returned plan stays pinned to the as-of versions after the
+        // finally-block restores the current bindings.
+        val rest = s.drop("ASOF ".length).trim
+        val Array(cidStr, q) = rest.split("\\s+", 2)
+        val cid = cidStr.toLong
+        val names = catalog.tableNames
+        val saved = names.map(n => n -> catalog.table(n))
+        try {
+          names.foreach { n =>
+            catalog.tableAsOf(n, cid) match {
+              case Some(df) => df.createOrReplaceTempView(n)
+              case None => spark.catalog.dropTempView(n) // didn't exist at cid
+            }
+          }
+          StatementResult(s, Ok, Some(spark.sql(q)))
+        } finally {
+          saved.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+        }
       } else if (upper.startsWith("VISUALIZE ")) {
         // VISUALIZE [LOGICAL] <query> — graphviz DOT of the plan, the
         // reference's `hyriseConsole visualize` (src/bin/console/console.cpp

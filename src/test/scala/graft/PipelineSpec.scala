@@ -171,6 +171,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(cids.size == threads)
   }
 
+  test("ASOF time travel: historical commits stay readable after DML and txns") {
+    val p = freshPipeline()
+    val cid0 = p.catalog.commitId
+    p.run("UPDATE t_region SET r_name = 'V1' WHERE r_regionkey = 0")
+    val cid1 = p.catalog.commitId
+    p.run("BEGIN;\nUPDATE t_region SET r_name = 'V2' WHERE r_regionkey = 0;\nCOMMIT")
+    def nameAt(cid: Long): String =
+      p.sql(s"ASOF $cid SELECT r_name FROM t_region WHERE r_regionkey = 0")
+        .collect().head.getString(0)
+    assert(nameAt(cid0) === "AFRICA", "pre-DML commit sees the original binding")
+    assert(nameAt(cid1) === "V1", "between the statement and the transaction")
+    assert(nameAt(p.catalog.commitId) === "V2", "head commit == current read")
+    // current reads are untouched by the temporary view swap
+    assert(p.sql("SELECT r_name FROM t_region WHERE r_regionkey = 0")
+      .collect().head.getString(0) === "V2")
+    // a table created later is invisible at an earlier commit
+    p.run("CREATE TABLE late_t AS SELECT 1 AS x")
+    assert(p.sql(s"ASOF ${p.catalog.commitId} SELECT COUNT(*) AS n FROM late_t")
+      .collect().head.getLong(0) === 1L)
+    intercept[Exception] { p.sql(s"ASOF $cid0 SELECT COUNT(*) FROM late_t").collect() }
+  }
+
   test("VISUALIZE renders physical and logical plans as well-formed DOT") {
     val p = freshPipeline()
     val sql = "SELECT r_name, COUNT(*) AS n FROM t_nation " +
