@@ -360,6 +360,22 @@ final class Catalog(val spark: SparkSession) {
   def metaSystemUtilization: DataFrame = MetaTables.systemUtilization(spark)
   def metaPlugins: DataFrame = MetaTables.plugins(spark)
 
+  /** `meta_commits` — the retained binding history behind [[tableAsOf]]:
+    * one row per (table, commit), dropped = the commit removed the binding.
+    * No reference counterpart (its MVCC versions are row-internal); this is
+    * the observability face of the ASOF time-travel surface. */
+  def metaCommits: DataFrame = {
+    val rows = for {
+      (n, hs) <- history.toSeq.sortBy(_._1)
+      (cid, b) <- hs
+    } yield Row(n, cid, b.isEmpty)
+    spark.createDataFrame(java.util.Arrays.asList(rows.sortBy(r => (r.getString(0), r.getLong(1))): _*),
+      StructType(Seq(
+        StructField("table_name", StringType, nullable = false),
+        StructField("commit_id", LongType, nullable = false),
+        StructField("dropped", org.apache.spark.sql.types.BooleanType, nullable = false))))
+  }
+
   /** `meta_log` — catalog event log (reference: meta_log_table.cpp). */
   def metaLog: DataFrame = {
     val rows = eventLog.synchronized(eventLog.toSeq).map { case (i, lvl, m) => Row(i, lvl, m) }

@@ -79,6 +79,7 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
     "meta_system_utilization" -> (() => catalog.metaSystemUtilization),
     "meta_plugins" -> (() => catalog.metaPlugins),
     "meta_constraints" -> (() => catalog.metaConstraints),
+    "meta_commits" -> (() => catalog.metaCommits),
     "meta_log" -> (() => catalog.metaLog),
     "meta_exec" -> (() => metaExec))
 

@@ -191,6 +191,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.sql(s"ASOF ${p.catalog.commitId} SELECT COUNT(*) AS n FROM late_t")
       .collect().head.getLong(0) === 1L)
     intercept[Exception] { p.sql(s"ASOF $cid0 SELECT COUNT(*) FROM late_t").collect() }
+    // meta_commits exposes the retained history: region has >= 3 commits
+    val commits = p.sql("SELECT COUNT(*) AS n FROM meta_commits WHERE table_name = 't_region'")
+      .collect().head.getLong(0)
+    assert(commits >= 3, s"register + UPDATE + txn commit all recorded (got $commits)")
   }
 
   test("VISUALIZE renders physical and logical plans as well-formed DOT") {
