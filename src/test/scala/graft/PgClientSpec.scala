@@ -61,6 +61,24 @@ class PgClientSpec extends AnyFunSuite {
     }
   }
 
+  test("psql: VISUALIZE and ASOF ride the wire like any statement") {
+    assume(psqlBin.isDefined, "container has no psql binary")
+    withServer { port =>
+      val (c1, viz, e1) = psql(port, "-c", "VISUALIZE SELECT COUNT(*) FROM pgc_nation")
+      assert(c1 === 0, s"psql exited $c1: $e1")
+      assert(viz.contains("digraph"), s"DOT over the wire: $viz")
+      val (c2, out, e2) = psql(port, "-c",
+        "UPDATE pgc_region SET r_name = 'ZED' WHERE r_regionkey = 0", "-c",
+        "ASOF 2 SELECT r_name FROM pgc_region WHERE r_regionkey = 0", "-c",
+        "SELECT r_name FROM pgc_region WHERE r_regionkey = 0")
+      assert(c2 === 0, s"psql exited $c2: $e2")
+      val rows = out.linesIterator.filter(_.nonEmpty).toSeq
+      // register(pgc_nation)=cid1, register(pgc_region)=cid2 → ASOF 2 is pre-UPDATE
+      assert(rows.contains("AFRICA") && rows.contains("ZED"),
+        s"time-travel read (AFRICA) and head read (ZED) both served: $out")
+    }
+  }
+
   test("psql: error statement reports ERROR and the session recovers") {
     assume(psqlBin.isDefined, "container has no psql binary")
     withServer { port =>
