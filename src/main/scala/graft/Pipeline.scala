@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 import scala.collection.mutable
 
 /** SQL pipeline façade: multi-statement execution with per-statement status, an
@@ -283,6 +284,39 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
             })
           }
         }
+        invalidatePlanCache()
+        StatementResult(s, Ok, None)
+      } else if (upper.startsWith("ALTER TABLE ")) {
+        // ALTER TABLE t ADD COLUMN c <type> [DEFAULT <lit>]
+        //             | DROP COLUMN c
+        //             | RENAME COLUMN a TO b
+        // Schema evolution as pure binding rewrites (beyond the reference —
+        // hyrise has no ALTER TABLE; on immutable DataFrames each form is a
+        // one-projection rewrite, auto-commit like the other DDL verbs).
+        require(!inTransaction, "ALTER TABLE is auto-commit DDL; not allowed inside BEGIN")
+        val rest = s.drop("ALTER TABLE ".length).trim
+        val Array(name, action) = rest.split("\\s+", 2)
+        val u = action.toUpperCase
+        val t = catalog.table(name)
+        if (u.startsWith("ADD COLUMN ")) {
+          val spec = action.drop("ADD COLUMN ".length).trim
+          val defIdx = spec.toUpperCase.indexOf(" DEFAULT ")
+          val (colDef, dflt) =
+            if (defIdx > 0) (spec.take(defIdx).trim, spec.drop(defIdx + 9).trim)
+            else (spec, "NULL")
+          val Array(cname, ctype) = colDef.split("\\s+", 2)
+          catalog.register(name, t.withColumn(cname, expr(s"CAST($dflt AS $ctype)")))
+        } else if (u.startsWith("DROP COLUMN ")) {
+          val cname = action.drop("DROP COLUMN ".length).trim
+          require(t.columns.contains(cname), s"no such column: $cname")
+          catalog.register(name, t.drop(cname))
+        } else if (u.startsWith("RENAME COLUMN ")) {
+          val parts = action.drop("RENAME COLUMN ".length).trim.split("\\s+")
+          require(parts.length == 3 && parts(1).equalsIgnoreCase("TO"),
+            "RENAME COLUMN <a> TO <b>")
+          require(t.columns.contains(parts(0)), s"no such column: ${parts(0)}")
+          catalog.register(name, t.withColumnRenamed(parts(0), parts(2)))
+        } else sys.error(s"unsupported ALTER TABLE action: $action")
         invalidatePlanCache()
         StatementResult(s, Ok, None)
       } else if (upper.startsWith("DROP TABLE ")) {

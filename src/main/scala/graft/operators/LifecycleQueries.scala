@@ -171,6 +171,31 @@ object LifecycleQueries {
     rs.last.df.get
   }
 
+  /** Schema evolution (beyond the reference — hyrise has no ALTER TABLE):
+    * ADD COLUMN with a default, RENAME COLUMN, DROP COLUMN, all as pure
+    * binding rewrites through the Pipeline's ALTER verb; DuckDB runs its
+    * NATIVE ALTER TABLE on the same script, so the end-state schemas and
+    * values must agree exactly. */
+  val dmlAlterTable: Q = Q(
+    "dml_alter_table",
+    """CREATE OR REPLACE TEMP TABLE alt_nation AS SELECT * FROM nation;
+      |ALTER TABLE alt_nation ADD COLUMN flag INTEGER DEFAULT 7;
+      |ALTER TABLE alt_nation RENAME COLUMN n_name TO nation_name;
+      |ALTER TABLE alt_nation DROP COLUMN n_regionkey;
+      |SELECT n_nationkey, nation_name, CAST(flag AS BIGINT) AS flag
+      |FROM alt_nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    val p = pipeline(s, dir, "nation" -> "nation_alt_w")
+    val rs = p.run(
+      """CREATE TABLE alt_nation AS SELECT * FROM nation_alt_w;
+        |ALTER TABLE alt_nation ADD COLUMN flag INT DEFAULT 7;
+        |ALTER TABLE alt_nation RENAME COLUMN n_name TO nation_name;
+        |ALTER TABLE alt_nation DROP COLUMN n_regionkey;
+        |SELECT n_nationkey, nation_name, CAST(flag AS BIGINT) AS flag
+        |FROM alt_nation ORDER BY n_nationkey""".stripMargin)
+    rs.foreach(r => require(r.status == p.Ok, s"${r.sql}: ${r.status}"))
+    rs.last.df.get
+  }
+
   val all: Seq[Q] = Seq(dmlInsert, dmlDelete, dmlUpdate, dmlSnapshot, viewPrepared,
-    metaTables, dmlMerge, txnRollbackCommit)
+    metaTables, dmlMerge, txnRollbackCommit, dmlAlterTable)
 }
