@@ -286,6 +286,44 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
         }
         invalidatePlanCache()
         StatementResult(s, Ok, None)
+      } else if (upper.startsWith("COPY ")) {
+        // COPY <table> FROM '<file>' | COPY <table> TO '<file>' — the
+        // reference's SQL import/export surface (reference:
+        // src/lib/logical_query_plan/import_node.hpp / export_node.hpp,
+        // operators/import.hpp / export.hpp; format chosen by extension like
+        // its ImportType). .csv/.tbl/.bin use the fixture codecs; .parquet/
+        // .orc/.json are the distributed Spark writers.
+        require(!inTransaction, "COPY is auto-commit; not allowed inside BEGIN")
+        val m = "(?is)COPY\\s+(\\S+)\\s+(FROM|TO)\\s+'([^']+)'".r
+          .findFirstMatchIn(s)
+          .getOrElse(sys.error("COPY <table> FROM|TO '<file>'"))
+        val (name, dirn, path) = (m.group(1), m.group(2).toUpperCase, m.group(3))
+        val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+        if (dirn == "FROM") {
+          val df = ext match {
+            case "csv" => graft.sources.CsvMeta.read(spark, path)
+            case "tbl" => graft.sources.TblReader.read(spark, path)
+            case "bin" => graft.sources.BinFormat.read(spark, path)
+            case "parquet" => spark.read.parquet(path)
+            case "orc" => spark.read.orc(path)
+            case "json" | "jsonl" => spark.read.json(path)
+            case other => sys.error(s"COPY FROM: unsupported format .$other")
+          }
+          catalog.register(name, df)
+        } else {
+          val df = catalog.table(name)
+          ext match {
+            case "csv" => graft.sources.CsvMeta.write(df, path)
+            case "tbl" => graft.sources.TblReader.write(df, path)
+            case "bin" => graft.sources.BinFormat.write(df, path)
+            case "parquet" => df.write.mode("overwrite").parquet(path)
+            case "orc" => df.write.mode("overwrite").orc(path)
+            case "json" | "jsonl" => df.write.mode("overwrite").json(path)
+            case other => sys.error(s"COPY TO: unsupported format .$other")
+          }
+        }
+        invalidatePlanCache()
+        StatementResult(s, Ok, None)
       } else if (upper.startsWith("ALTER TABLE ")) {
         // ALTER TABLE t ADD COLUMN c <type> [DEFAULT <lit>]
         //             | DROP COLUMN c

@@ -197,6 +197,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(commits >= 3, s"register + UPDATE + txn commit all recorded (got $commits)")
   }
 
+  test("COPY TO/FROM round-trips .tbl and .parquet through the SQL surface") {
+    val p = freshPipeline()
+    val tbl = java.nio.file.Files.createTempFile("graft_copy", ".tbl").toString
+    val pq = java.nio.file.Files.createTempDirectory("graft_copy_pq").toString + "/n.parquet"
+    p.sql(s"COPY t_nation TO '$tbl'")
+    p.sql(s"COPY nation_from_tbl FROM '$tbl'")
+    assert(p.sql("SELECT COUNT(*) AS n FROM nation_from_tbl").collect().head.getLong(0) === 25L)
+    p.sql(s"COPY t_nation TO '$pq'")
+    p.sql(s"COPY nation_from_pq FROM '$pq'")
+    val diff = p.catalog.table("nation_from_pq")
+      .join(p.catalog.table("t_nation"), Seq("n_nationkey", "n_name", "n_regionkey"), "left_anti")
+    assert(diff.count() === 0, "parquet COPY round-trip is lossless")
+  }
+
   test("VISUALIZE renders physical and logical plans as well-formed DOT") {
     val p = freshPipeline()
     val sql = "SELECT r_name, COUNT(*) AS n FROM t_nation " +
