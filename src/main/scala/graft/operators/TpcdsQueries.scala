@@ -870,11 +870,89 @@ object TpcdsQueries {
       .limit(25)
   }
 
+  // --------------------------------------------------------------- Q39 shape
+  // (tpcds query39: inventory items whose demand is VOLATILE — coefficient of
+  //  variation stdev/mean > 1 — in two CONSECUTIVE months, self-joined on the
+  //  month+1 edge). Inventory → per-(part, month-of-1997) lineitem
+  //  quantities. The CoV test is cleared of both the division and the sqrt:
+  //    stdev/mean > 1  ⇔  var > mean²  ⇔  n·(n·Σx² − S²) > (n−1)·S²
+  //  (sample variance, n ≥ 2, all terms non-negative integers — FLOOR'd
+  //  quantities keep every product an exact i64).
+  val q39InventoryCov: Q = Q(
+    "tpcds_q39_inventory_cov",
+    s"""WITH inv AS (
+       |  SELECT l_partkey AS part, month(o_orderdate) AS m, COUNT(*) AS n,
+       |    SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS s,
+       |    SUM(CAST(FLOOR(l_quantity) AS BIGINT) * CAST(FLOOR(l_quantity) AS BIGINT)) AS s2
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE year(o_orderdate) = 1997 GROUP BY 1, 2
+       |), vol AS (
+       |  SELECT part, m, n, s FROM inv
+       |  WHERE n >= 2 AND s > 0 AND n * (n * s2 - s * s) > (n - 1) * s * s
+       |)
+       |SELECT a.part AS part, a.m AS m1, a.n AS n1, b.n AS n2
+       |FROM vol a JOIN vol b ON a.part = b.part AND b.m = a.m + 1
+       |ORDER BY part, m1""".stripMargin) { (s, dir) =>
+    val q = floor(col("l_quantity")).cast("long")
+    val inv = lineorder(s, dir)
+      .filter(year(col("o_orderdate")) === 1997)
+      .groupBy(col("l_partkey").as("part"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), sum(q).as("s"), sum(q * q).as("s2"))
+    val vol = inv.filter(col("n") >= 2 && col("s") > 0 &&
+        col("n") * (col("n") * col("s2") - col("s") * col("s")) >
+          (col("n") - 1) * col("s") * col("s"))
+      .select("part", "m", "n")
+    val b = vol.select(col("part").as("b_part"), col("m").as("b_m"), col("n").as("n2"))
+    vol.join(b, col("part") === col("b_part") && col("b_m") === col("m") + 1)
+      .select(col("part"), col("m").as("m1"), col("n").as("n1"), col("n2"))
+      .orderBy("part", "m1")
+  }
+
+  // --------------------------------------------------------------- Q17 shape
+  // (tpcds query17: per-item quantity statistics gate which fact rows count —
+  //  rows within k·σ of their group mean, the robust-trim join: aggregate the
+  //  group stats, join them BACK to the fact, filter per row). The σ-bound is
+  //  division- and sqrt-free:
+  //    (x − μ)² ≤ 9σ²  ⇔  (x·n − S)²·(n−1) ≤ 9·n·(n·Σx² − S²).
+  //  Scale: one keyed agg over the fact + one broadcast-size join back on the
+  //  same key (stats table ≪ fact) + a map-only row filter — no window, no
+  //  second shuffle of the fact.
+  val q17QuantityBounds: Q = Q(
+    "tpcds_q17_quantity_bounds",
+    s"""WITH stats AS (
+       |  SELECT l_partkey AS part, COUNT(*) AS n,
+       |    SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS s,
+       |    SUM(CAST(FLOOR(l_quantity) AS BIGINT) * CAST(FLOOR(l_quantity) AS BIGINT)) AS s2
+       |  FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 5
+       |)
+       |SELECT st.part, st.n AS n_total,
+       |  COUNT(*) FILTER (WHERE
+       |    (CAST(FLOOR(l_quantity) AS BIGINT) * st.n - st.s)
+       |      * (CAST(FLOOR(l_quantity) AS BIGINT) * st.n - st.s) * (st.n - 1)
+       |    <= 9 * st.n * (st.n * st.s2 - st.s * st.s)) AS n_kept
+       |FROM lineitem l JOIN stats st ON l.l_partkey = st.part
+       |GROUP BY st.part, st.n
+       |ORDER BY st.part""".stripMargin) { (s, dir) =>
+    val q = floor(col("l_quantity")).cast("long")
+    val li = t(s, dir, "lineitem")
+    val stats = li.groupBy(col("l_partkey").as("part"))
+      .agg(count(lit(1)).as("n"), sum(q).as("s"), sum(q * q).as("s2"))
+      .filter(col("n") >= 5)
+    val dev = q * col("n") - col("s")
+    val kept = dev * dev * (col("n") - 1) <=
+      lit(9L) * col("n") * (col("n") * col("s2") - col("s") * col("s"))
+    li.join(stats, col("l_partkey") === col("part"))
+      .groupBy(col("part"), col("n").as("n_total"))
+      .agg(count(when(kept, 1)).as("n_kept"))
+      .orderBy("part")
+  }
+
   val all: Seq[Q] = Seq(
     q1ReturnsAboveAvg, q2YoyMonthly, q5RollupChannels, q38IntersectCustomers,
     q47MavgOutliers, q67TopkRollup, q10ExistsConjunction, q88TimeBands,
     q51CumulativeCompare, q97OverlapCounts, q14CrossChannel, q23FrequentBest,
     q72InventoryLag, q34TicketBand, q64ResaleMargin, q95MultiSupplier,
     q11YoyGrowth, q49ReturnRatios, q93ReturnsAdjusted,
-    q31ShareShift, q54CohortSegments, q78ChannelRatio)
+    q31ShareShift, q54CohortSegments, q78ChannelRatio,
+    q39InventoryCov, q17QuantityBounds)
 }
