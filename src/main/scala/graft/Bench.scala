@@ -49,7 +49,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = SparkEntry.benchNames
+    // SPARK_GRAFT_BENCH_NAMES: comma-separated item override — the
+    // reference CLI's item filter (cli_config_parser.cpp lets a run pick
+    // single benchmark items); default = the headline set.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_NAMES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(SparkEntry.benchNames)
     // warmup pass, in declared order
     names.foreach(n => try once(n) catch { case _: Throwable => () })
 
