@@ -286,6 +286,21 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
         }
         invalidatePlanCache()
         StatementResult(s, Ok, None)
+      } else if (upper == "SHOW TABLES") {
+        // psql's \dt / hyriseConsole's table listing as a statement: name +
+        // column count, derived from the live catalog like the meta views.
+        import spark.implicits._
+        StatementResult(s, Ok, Some(
+          catalog.tableNames.map(n => (n, catalog.table(n).columns.length))
+            .toDF("table_name", "n_columns")))
+      } else if (upper.startsWith("DESCRIBE ")) {
+        // DESCRIBE <table> — column/type/nullable, the meta_columns slice.
+        val name = s.drop("DESCRIBE ".length).trim
+        import spark.implicits._
+        StatementResult(s, Ok, Some(
+          catalog.table(name).schema.fields.toSeq
+            .map(f => (f.name, f.dataType.simpleString, f.nullable))
+            .toDF("column_name", "data_type", "nullable")))
       } else if (upper.startsWith("COPY ")) {
         // COPY <table> FROM '<file>' | COPY <table> TO '<file>' — the
         // reference's SQL import/export surface (reference:

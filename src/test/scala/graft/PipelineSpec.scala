@@ -197,6 +197,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(commits >= 3, s"register + UPDATE + txn commit all recorded (got $commits)")
   }
 
+  test("SHOW TABLES and DESCRIBE expose the live catalog") {
+    val p = freshPipeline()
+    val tables = p.sql("SHOW TABLES").collect().map(_.getString(0)).toSet
+    assert(tables === Set("t_nation", "t_region"))
+    val cols = p.sql("DESCRIBE t_nation").collect().map(_.getString(0)).toSeq
+    assert(cols === Seq("n_nationkey", "n_name", "n_regionkey"))
+  }
+
   test("COPY TO/FROM round-trips .tbl and .parquet through the SQL surface") {
     val p = freshPipeline()
     val tbl = java.nio.file.Files.createTempFile("graft_copy", ".tbl").toString
