@@ -278,6 +278,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("SQ8: range table broadcasts; scoring joins broadcast the 10-row query side") {
+    val p = planOf("emb_sq8_topk")
+    assert(!p.contains("CartesianProduct"),
+      s"SQ8 must never cartesian the corpus against itself:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row range table and the query side must broadcast:\n$p")
+    // encode is map-only over the corpus: exactly one corpus-wide keyed agg
+    // (the 64-dim min/max pass) may shuffle the exploded dims
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("embeddings"))
+    assert(scans <= 3, s"bounded scans of the embeddings fixture (got $scans):\n$p")
+  }
+
   test("PQ/ADC: codebooks broadcast; encode and ADC stay equi joins") {
     for (q <- Seq("emb_pq_adc_topk", "ann_ivfpq_topk")) {
       val p = planOf(q)
