@@ -48,18 +48,40 @@ final class Catalog(val spark: SparkSession) {
   // is a lazy DataFrame over shared immutable inputs.
   private val HistoryDepth = 32
   private val history = TrieMap.empty[String, Vector[(Long, Option[DataFrame])]]
-  private def recordHistory(name: String, cid: Long): Unit =
+  // First-ever commit CID per table: lets tableAsOf distinguish "before the
+  // table existed" (legitimately None) from "older than the retention
+  // window" (unanswerable — must error, not silently treat as absent).
+  private val firstCid = TrieMap.empty[String, Long]
+  private def recordHistory(name: String, cid: Long): Unit = {
+    firstCid.putIfAbsent(name, cid)
     history.put(name,
       (history.getOrElse(name, Vector.empty) :+ (cid -> tables.get(name)))
         .takeRight(HistoryDepth))
+  }
 
   /** The current commit clock — pair with [[tableAsOf]] for repeatable reads. */
   def commitId: Long = commitCid.get
 
+  /** Every table with retained history, including ones since DROPped — the
+    * ASOF view installer must cover these, not just current bindings. */
+  def historyTableNames: Seq[String] = history.keys.toSeq.sorted
+
   /** The binding `name` had at commit `cid` (latest commit ≤ cid): Some(df)
-    * if it existed, None if it was dropped or not yet created. */
-  def tableAsOf(name: String, cid: Long): Option[DataFrame] =
-    history.get(name).flatMap(_.filter(_._1 <= cid).lastOption).flatMap(_._2)
+    * if it existed, None if it was dropped or not yet created. Throws when
+    * `cid` predates the oldest retained entry of a table that already existed
+    * then — truncated history cannot answer that read, and pretending the
+    * table never existed would be a plausible-but-wrong result. */
+  def tableAsOf(name: String, cid: Long): Option[DataFrame] = {
+    val at = history.get(name).flatMap(_.filter(_._1 <= cid).lastOption)
+    if (at.isEmpty && firstCid.get(name).exists(_ <= cid)) {
+      // the table had commits at/before cid, yet none are retained → evicted
+      val oldest = history.get(name).flatMap(_.headOption).map(_._1).getOrElse(-1L)
+      throw new IllegalArgumentException(
+        s"ASOF $cid is outside the retention window for table '$name' " +
+        s"(oldest retained commit: $oldest, retention depth: $HistoryDepth)")
+    }
+    at.flatMap(_._2)
+  }
 
   private def logEvent(level: String, msg: String): Unit = eventLog.synchronized {
     eventLog += ((eventLog.size + 1, level, msg))
@@ -368,12 +390,16 @@ final class Catalog(val spark: SparkSession) {
     val rows = for {
       (n, hs) <- history.toSeq.sortBy(_._1)
       (cid, b) <- hs
-    } yield Row(n, cid, b.isEmpty)
+    } yield Row(n, cid, b.isEmpty, firstCid.getOrElse(n, cid))
     spark.createDataFrame(java.util.Arrays.asList(rows.sortBy(r => (r.getString(0), r.getLong(1))): _*),
       StructType(Seq(
         StructField("table_name", StringType, nullable = false),
         StructField("commit_id", LongType, nullable = false),
-        StructField("dropped", org.apache.spark.sql.types.BooleanType, nullable = false))))
+        StructField("dropped", org.apache.spark.sql.types.BooleanType, nullable = false),
+        // retention bound surfaced (round-6 ADVICE): MIN(commit_id) per table
+        // is the oldest ASOF-able commit; first_commit_id < that ⇒ older
+        // entries were evicted and ASOF on them errors.
+        StructField("first_commit_id", LongType, nullable = false))))
   }
 
   /** `meta_log` — catalog event log (reference: meta_log_table.cpp). */

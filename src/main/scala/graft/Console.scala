@@ -46,32 +46,42 @@ final class Console(spark: SparkSession, in: BufferedReader, out: PrintWriter) {
     val s = line.trim
     if (s.isEmpty) return true
     val t0 = System.nanoTime()
-    s.split("\\s+", 2).toList match {
-      case ".quit" :: _ | ".exit" :: _ => return false
-      case ".help" :: _ =>
-        out.println(".load <dir> | .tables | .timing on|off | .maxrows <n> | .quit | any SQL (incl. EXPLAIN / VISUALIZE / BEGIN..COMMIT)")
-      case ".load" :: dir :: Nil =>
-        Tables.names.foreach(n => catalog.register(n, Tables.df(spark, dir, n)))
-        out.println(s"loaded ${Tables.names.size} tables from $dir")
-      case ".tables" :: _ =>
-        catalog.tableNames.foreach(n => out.println(s"$n (${catalog.table(n).count()} rows)"))
-      case ".timing" :: mode :: Nil =>
-        timing = mode == "on"; out.println(s"timing ${if (timing) "on" else "off"}")
-      case ".maxrows" :: n :: Nil =>
-        maxRows = n.toInt; out.println(s"maxrows $maxRows")
-      case cmd :: _ if cmd.startsWith(".") =>
-        out.println(s"unknown command: $cmd (.help lists commands)")
-      case _ =>
-        try {
+    // Meta-commands sit INSIDE the same try/catch as SQL: a malformed
+    // argument (".maxrows foo") must print an error and keep the REPL
+    // alive, not propagate and kill the session (round-6 ADVICE).
+    val continue = try {
+      s.split("\\s+", 2).toList match {
+        case ".quit" :: _ | ".exit" :: _ => false
+        case ".help" :: _ =>
+          out.println(".load <dir> | .tables | .timing on|off | .maxrows <n> | .quit | any SQL (incl. EXPLAIN / VISUALIZE / BEGIN..COMMIT)")
+          true
+        case ".load" :: dir :: Nil =>
+          Tables.names.foreach(n => catalog.register(n, Tables.df(spark, dir, n)))
+          out.println(s"loaded ${Tables.names.size} tables from $dir")
+          true
+        case ".tables" :: _ =>
+          catalog.tableNames.foreach(n => out.println(s"$n (${catalog.table(n).count()} rows)"))
+          true
+        case ".timing" :: mode :: Nil =>
+          timing = mode == "on"; out.println(s"timing ${if (timing) "on" else "off"}")
+          true
+        case ".maxrows" :: n :: Nil =>
+          maxRows = n.toInt; out.println(s"maxrows $maxRows")
+          true
+        case cmd :: _ if cmd.startsWith(".") =>
+          out.println(s"unknown command: $cmd (.help lists commands)")
+          true
+        case _ =>
           val df = pipeline.sql(s)
           if (df.schema.nonEmpty) printDf(df) else out.println("ok")
-        } catch {
-          case e: Exception => out.println(s"error: ${e.getMessage}")
-        }
+          true
+      }
+    } catch {
+      case e: Exception => out.println(s"error: ${e.getMessage}"); true
     }
     if (timing) out.println(f"time: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     out.flush()
-    true
+    continue
   }
 
   def repl(): Unit = {

@@ -14,6 +14,21 @@ object IoQueries {
   private def tmp(suffix: String): String =
     java.nio.file.Files.createTempFile("graft_io", suffix).toString
 
+  /** Per-JVM scratch root for the distributed round-trips: overwritten on
+    * repeat runs inside ONE JVM (no accretion — ADVICE r5) but pid-suffixed so
+    * two concurrent verify/bench JVMs cannot clobber each other's scratch
+    * mid-read (ADVICE r6); deleted by a shutdown hook. */
+  private lazy val scratchRoot: String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_scratch_${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(p))
+    }))
+    p
+  }
+
   private val oracleNation =
     "SELECT * FROM nation ORDER BY n_nationkey"
 
@@ -47,9 +62,7 @@ object IoQueries {
     "io_jsonl_roundtrip",
     "SELECT * FROM documents ORDER BY doc_id") { (s, dir) =>
     val d = Tables.df(s, dir, "documents")
-    // fixed per-JVM scratch path, overwritten each run — repeated verify/
-    // bench invocations must not accrete temp directories (ADVICE r5)
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_scratch/docs"
+    val out = s"$scratchRoot/jsonl/docs"
     d.write.mode("overwrite").json(out)
     s.read.schema(d.schema).json(out).orderBy("doc_id")
   }
@@ -68,7 +81,7 @@ object IoQueries {
       |FROM lineitem WHERE l_orderkey % 100 = 0
       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
     val li = Tables.df(s, dir, "lineitem")
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_scratch/lineitem"
+    val out = s"$scratchRoot/orc/lineitem"
     li.write.mode("overwrite").orc(out)
     import org.apache.spark.sql.functions.col
     s.read.schema(li.schema).orc(out)

@@ -43,6 +43,16 @@ class ConsoleSpec extends AnyFunSuite {
     assert(o.contains("(1 row)"))
   }
 
+  test("malformed meta-command arguments keep the REPL alive (r6 ADVICE)") {
+    val o = session(
+      s".load ${SparkTestBase.sf}",
+      ".maxrows foo", // NumberFormatException must print an error, not kill handle()
+      "SELECT COUNT(*) AS n FROM region",
+      ".quit")
+    assert(o.contains("error:"), "bad .maxrows arg must be reported")
+    assert(o.contains("(1 row)"), "the session must continue past the bad command")
+  }
+
   test("BEGIN/COMMIT spans console lines; VISUALIZE renders DOT") {
     val o = session(
       s".load ${SparkTestBase.sf}",

@@ -197,6 +197,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(commits >= 3, s"register + UPDATE + txn commit all recorded (got $commits)")
   }
 
+  test("ASOF: DROPped tables stay readable at historical commits") {
+    val p = freshPipeline()
+    p.run("CREATE TABLE doomed AS SELECT 42 AS x")
+    val cidAlive = p.catalog.commitId
+    p.run("DROP TABLE doomed")
+    // the as-of world must include the since-dropped binding (r6 ADVICE)
+    assert(p.sql(s"ASOF $cidAlive SELECT x FROM doomed").collect().head.getInt(0) === 42)
+    // at head the table is gone again
+    intercept[Exception] {
+      p.sql(s"ASOF ${p.catalog.commitId} SELECT x FROM doomed").collect()
+    }
+    // and the current namespace was restored (no leaked historical view)
+    intercept[Exception] { p.sql("SELECT x FROM doomed").collect() }
+  }
+
+  test("ASOF: commits evicted from the retention window error, not mis-answer") {
+    val p = freshPipeline()
+    p.run("CREATE TABLE churn AS SELECT 0 AS v")
+    val cidEarly = p.catalog.commitId
+    // push > HistoryDepth (32) commits so cidEarly's entry is evicted
+    (1 to 40).foreach(i => p.run(s"UPDATE churn SET v = $i"))
+    val e = intercept[Exception] {
+      p.sql(s"ASOF $cidEarly SELECT v FROM churn").collect()
+    }
+    assert(e.getMessage.contains("retention"),
+      s"out-of-retention ASOF must raise the retention error, got: ${e.getMessage}")
+    // meta_commits surfaces the bound: first_commit_id < MIN(commit_id) ⇒ truncated
+    val r = p.sql(
+      """SELECT MIN(commit_id) AS oldest, MIN(first_commit_id) AS first
+        |FROM meta_commits WHERE table_name = 'churn'""".stripMargin).collect().head
+    assert(r.getLong(1) < r.getLong(0), "eviction must be visible in meta_commits")
+    // a retained commit still answers
+    assert(p.sql(s"ASOF ${p.catalog.commitId} SELECT v FROM churn")
+      .collect().head.getInt(0) === 40)
+  }
+
   test("SHOW TABLES and DESCRIBE expose the live catalog") {
     val p = freshPipeline()
     val tables = p.sql("SHOW TABLES").collect().map(_.getString(0)).toSet

@@ -105,7 +105,29 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("resize output fits max side and preserves aspect ordering") {
     val df = Multimodal.multimodalResize.run(spark, SparkTestBase.sf)
-    assert(df.filter(col("out_w") > 256 || col("out_h") > 256).count() === 0)
+    assert(df.filter(col("out_w") > 64 || col("out_h") > 64).count() === 0)
     assert(df.filter((col("w") >= col("h")) =!= (col("out_w") >= col("out_h"))).count() === 0)
+    // the channel means were measured on the RESIZED raster after a real
+    // decode → Graphics2D scale; uniform fill makes them exactly the fill
+    val bad = df.filter(
+      col("mean_r") =!= (col("doc_id") * 37 % 256).cast("int") ||
+      col("mean_g") =!= (col("doc_id") * 59 % 256).cast("int") ||
+      col("mean_b") =!= (col("doc_id") * 83 % 256).cast("int")).count()
+    assert(bad === 0)
+  }
+
+  test("GifCodec round-trips REAL animated GIF bytes: frame count + exact colors") {
+    val codec = new Multimodal.GifCodec
+    val colors = Array((10, 200, 33), (255, 0, 128), (0, 0, 0), (77, 78, 79))
+    val gif = codec.encode(5, 4, colors)
+    assert(new String(gif.slice(0, 4), "US-ASCII") === "GIF8",
+      "encoder must emit a real GIF container signature")
+    val (n, frames) = codec.decode(gif, Seq(0, 1, 2, 3))
+    assert(n === 4, "getNumImages(true) must count the real encoded frames")
+    assert(frames === colors.toSeq,
+      "palette-indexed frames must round-trip RGB bit-exact")
+    // sparse sampling: only the requested, in-range frames decode
+    val (_, sampled) = codec.decode(gif, Seq(0, 2, 9))
+    assert(sampled === Seq(colors(0), colors(2)))
   }
 }
