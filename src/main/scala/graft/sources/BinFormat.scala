@@ -26,9 +26,21 @@ import java.nio.file.{Files, Paths}
   *     RunLength: run_count u32 | run values | run null flags
   *                | inclusive end positions u32 × run_count
   *
-  * Import supports Unencoded, Dictionary (both vector types) and RunLength —
-  * the encodings the reference's own fixture corpus exercises; FrameOfReference
-  * / LZ4 / FixedStringDictionary raise a documented unsupported error. Export
+  *     FixedStringDictionary: vector_type u8 | dict_size u32
+  *                 | string_length u32 | string_length × dict_size raw chars
+  *                 (zero-padded) | attribute vector; id == dict_size ⇒ NULL
+  *     FrameOfReference (int32): vector_type u8 | block_count u32
+  *                 | block minima i32 × block_count | nulls_stored u8
+  *                 [+ null flags] | offset vector; value = minima(i/2048)+off(i)
+  *     LZ4: num_elements u32 | block_count u32 | block_size u32
+  *                 | last_block_size u32 | per-block compressed sizes u32
+  *                 | blocks | null_count u32 [+ null flags] | dict_size u32
+  *                 | zstd-trained dict | string_offsets_size u32
+  *                 [+ bit-packed string offsets]; blocks decompress
+  *                 independently with the dict as match history ([[Lz4Block]])
+  *
+  * Import supports ALL SIX segment encodings (cross-read against the
+  * reference's own golden fixtures in BinFormatSpec). Export
   * always writes Unencoded, the format's canonical interchange encoding
   * (reference: binary_writer.cpp writes the segment's current encoding; any
   * conforming parser accepts Unencoded). This is a FIXTURE interchange path —
@@ -81,6 +93,32 @@ object BinFormat {
       case ((n, t), nl) => StructField(n, t, nl)
     })
 
+    // Compressed attribute/offset vector (reference: binary_parser.cpp
+    // _import_attribute_vector / _import_offset_value_vector): type id 0 =
+    // bit-packed compact vector (width u8, u64 words LSB-first), 1/2/3 =
+    // fixed-width 1/2/4-byte integers.
+    def bitPacked(n: Int): IndexedSeq[Int] = {
+      val width = u8()
+      val words = new Array[Long](((n.toLong * width + 63) / 64).toInt)
+      words.indices.foreach(i => words(i) = buf.getLong())
+      (0 until n).map { i =>
+        val bit = i.toLong * width
+        val w = (bit / 64).toInt
+        val off = (bit % 64).toInt
+        val lo = words(w) >>> off
+        val v = if (off + width <= 64) lo
+          else lo | (words(w + 1) << (64 - off))
+        (v & ((1L << width) - 1)).toInt
+      }
+    }
+    def idVector(vectorType: Int, n: Int): IndexedSeq[Int] = vectorType match {
+      case 0 => bitPacked(n)
+      case 1 => (0 until n).map(_ => u8())
+      case 2 => (0 until n).map(_ => u16())
+      case 3 => (0 until n).map(_ => u32().toInt)
+      case other => sys.error(s"unknown compressed vector type: $other")
+    }
+
     def readSegment(t: DataType, nullable: Boolean, rows: Int): Seq[Any] = u8() match {
       case 0 => // Unencoded
         val nulls: Seq[Boolean] =
@@ -91,26 +129,7 @@ object BinFormat {
         val vectorType = u8()
         val dictSize = u32().toInt
         val dict = typedValues(t, dictSize)
-        val ids: Seq[Int] = vectorType match {
-          case 0 => // bit-packed compact vector: width u8, u64 words LSB-first
-            val width = u8()
-            val words = new Array[Long](((rows.toLong * width + 63) / 64).toInt)
-            words.indices.foreach(i => words(i) = buf.getLong())
-            (0 until rows).map { i =>
-              val bit = i.toLong * width
-              val w = (bit / 64).toInt
-              val off = (bit % 64).toInt
-              val lo = words(w) >>> off
-              val v = if (off + width <= 64) lo
-                else lo | (words(w + 1) << (64 - off))
-              (v & ((1L << width) - 1)).toInt
-            }
-          case 1 => (0 until rows).map(_ => u8())
-          case 2 => (0 until rows).map(_ => u16())
-          case 3 => (0 until rows).map(_ => u32().toInt)
-          case other => sys.error(s"unknown compressed vector type: $other")
-        }
-        ids.map(id => if (id == dictSize) null else dict(id))
+        idVector(vectorType, rows).map(id => if (id == dictSize) null else dict(id))
       case 2 => // RunLength
         val runs = u32().toInt
         val vals = typedValues(t, runs)
@@ -122,10 +141,82 @@ object BinFormat {
           while (pos <= ends(r) && pos < rows) { out(pos) = if (nulls(r)) null else vals(r); pos += 1 }
         }
         out.toSeq
+      case 3 => // FixedStringDictionary (reference: binary_parser.cpp:223)
+        require(t == StringType, s"FixedStringDictionary on non-string column: $t")
+        val vectorType = u8()
+        val dictSize = u32().toInt
+        // fixed string vector: string_length u32, then string_length × n raw
+        // chars, each value zero-padded (binary_parser.cpp:339)
+        val strLen = u32().toInt
+        val dict = (0 until dictSize).map { _ =>
+          val a = new Array[Byte](strLen); buf.get(a)
+          var n = a.length
+          while (n > 0 && a(n - 1) == 0) n -= 1
+          new String(a, 0, n, "UTF-8")
+        }
+        idVector(vectorType, rows).map(id => if (id == dictSize) null else dict(id))
+      case 4 => // FrameOfReference (reference: binary_parser.cpp:245; int32 only)
+        require(t == IntegerType, s"FrameOfReference on non-int column: $t")
+        val vectorType = u8()
+        val blockCount = u32().toInt
+        val minima = (0 until blockCount).map(_ => buf.getInt())
+        val nulls: Seq[Boolean] = if (u8() != 0) bools(rows) else Seq.fill(rows)(false)
+        val offsets = idVector(vectorType, rows)
+        // value(i) = block_minima(i / 2048) + offset(i); BLOCK_SIZE = 2048
+        // (reference: frame_of_reference_segment.hpp:49)
+        (0 until rows).map(i => if (nulls(i)) null else minima(i / 2048) + offsets(i))
+      case 5 => // LZ4 (reference: binary_parser.cpp:263, lz4_segment.cpp decompress)
+        val _numElements = u32().toInt
+        val blockCount = u32().toInt
+        val blockSize = u32().toInt
+        val lastBlockSize = u32().toInt
+        val blockSizes = (0 until blockCount).map(_ => u32().toInt)
+        val blocks = blockSizes.map { sz => val a = new Array[Byte](sz); buf.get(a); a }
+        val nullCount = u32().toInt
+        val nulls: Seq[Boolean] = if (nullCount != 0) bools(nullCount) else Seq.fill(rows)(false)
+        val dictSize = u32().toInt
+        val dict = { val a = new Array[Byte](dictSize); buf.get(a); a }
+        val offsetsSize = u32().toInt
+        val offsets: Option[IndexedSeq[Int]] =
+          if (offsetsSize > 0) Some(bitPacked(rows)) else None
+        // blocks decompress independently; a nonempty dictionary (zstd-trained
+        // by the encoder) preloads the match window, exactly
+        // LZ4_decompress_safe_usingDict (lz4_segment.cpp:217)
+        val total = if (blockCount == 0) 0 else (blockCount - 1) * blockSize + lastBlockSize
+        val bytes = new Array[Byte](total)
+        blocks.zipWithIndex.foreach { case (blk, i) =>
+          val dlen = if (i + 1 == blockCount) lastBlockSize else blockSize
+          val dec = Lz4Block.decompress(blk, dlen, dict)
+          System.arraycopy(dec, 0, bytes, i * blockSize, dlen)
+        }
+        if (t == StringType) {
+          if (blockCount == 0) Seq.fill(rows)("") // all-empty-strings segment
+          else {
+            val off = offsets.getOrElse(sys.error("LZ4 string segment without offsets"))
+            (0 until rows).map { i =>
+              if (nulls(i)) null
+              else {
+                val s = off(i)
+                val e = if (i + 1 == rows) total else off(i + 1)
+                new String(bytes, s, e - s, "UTF-8")
+              }
+            }
+          }
+        } else {
+          val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          (0 until rows).map { i =>
+            val v = t match {
+              case IntegerType => bb.getInt()
+              case LongType => bb.getLong()
+              case FloatType => bb.getFloat()
+              case DoubleType => bb.getDouble()
+              case other => sys.error(s"LZ4 segment type: $other")
+            }
+            if (nulls(i)) null else v
+          }
+        }
       case other =>
-        throw new UnsupportedOperationException(
-          s".bin encoding $other (FixedStringDictionary/FrameOfReference/LZ4) not supported; " +
-            "re-export the reference table unencoded")
+        throw new UnsupportedOperationException(s"unknown .bin encoding: $other")
     }
 
     val rows = (0 until chunkCount).flatMap { _ =>
