@@ -947,6 +947,341 @@ object TpcdsQueries {
       .orderBy("part")
   }
 
+  // ------------------------------------------------------------ Q2 shape (wow)
+  // (tpcds query2: UNION ALL of web+catalog sales, aggregated per week, then
+  //  the weekly aggregate self-joined year vs year+1 for week-over-week
+  //  ratios). Channels here: even/odd l_linenumber slices. The oracle keeps
+  //  the spec's two-scan UNION ALL; the Spark plan reads the fact ONCE (the
+  //  channels share a source here) — one scan + one shuffle, then a tiny
+  //  self-join of 53 weekly rows per year. Ratio division happens on the
+  //  final decimal-exact doubles — identical operands ⇒ identical quotient.
+  val q2WowUnion: Q = Q(
+    "tpcds_q2_wow_union",
+    s"""WITH uni AS (
+       |  SELECT o_orderdate, $netRevSql AS rev
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_linenumber % 2 = 0
+       |  UNION ALL
+       |  SELECT o_orderdate, $netRevSql AS rev
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_linenumber % 2 = 1),
+       |wk AS (
+       |  SELECT year(o_orderdate) AS yr,
+       |    CAST(FLOOR((dayofyear(o_orderdate) - 1) / 7) AS INT) AS wk,
+       |    SUM(rev) AS rev
+       |  FROM uni GROUP BY 1, 2)
+       |SELECT a.wk AS wk, CAST(a.rev AS DOUBLE) AS rev_1996,
+       |  CAST(b.rev AS DOUBLE) AS rev_1997,
+       |  CAST(b.rev AS DOUBLE) / CAST(a.rev AS DOUBLE) AS wow_ratio
+       |FROM wk a JOIN wk b ON a.wk = b.wk
+       |WHERE a.yr = 1996 AND b.yr = 1997
+       |ORDER BY wk""".stripMargin) { (s, dir) =>
+    val weekly = lineorder(s, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        floor((dayofyear(col("o_orderdate")) - 1) / lit(7)).cast("int").as("wk"))
+      .agg(sum(netRev).as("rev"))
+    val a = weekly.filter(col("yr") === 1996).select(col("wk"), asDouble(col("rev")).as("rev_1996"))
+    val b = weekly.filter(col("yr") === 1997).select(col("wk"), asDouble(col("rev")).as("rev_1997"))
+    a.join(b, "wk")
+      .select(col("wk"), col("rev_1996"), col("rev_1997"),
+        (col("rev_1997") / col("rev_1996")).as("wow_ratio"))
+      .orderBy("wk")
+  }
+
+  // --------------------------------------------------------------- Q75 shape
+  // (tpcds query75: yearly (brand, qty, amt) over a UNION of three channel
+  //  scans minus their returns, self-joined prev-year, keeping declining
+  //  brands). Channels: l_linenumber % 3; returns negate. Integer quantities
+  //  and decimal amounts keep the decline predicate exact.
+  val q75ChannelDelta: Q = Q(
+    "tpcds_q75_channel_delta",
+    s"""WITH sales AS (
+       |  SELECT p_brand, year(o_orderdate) AS yr,
+       |    CASE WHEN l_returnflag = 'R' THEN -CAST(FLOOR(l_quantity) AS BIGINT)
+       |         ELSE CAST(FLOOR(l_quantity) AS BIGINT) END AS qty,
+       |    CASE WHEN l_returnflag = 'R' THEN -($netRevSql) ELSE $netRevSql END AS amt
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN part ON l_partkey = p_partkey),
+       |agg AS (SELECT p_brand, yr, SUM(qty) AS qty, SUM(amt) AS amt
+       |        FROM sales GROUP BY 1, 2)
+       |SELECT c.p_brand AS brand, p.qty AS prev_qty, c.qty AS curr_qty,
+       |  c.qty - p.qty AS qty_delta, CAST(c.amt - p.amt AS DOUBLE) AS amt_delta
+       |FROM agg c JOIN agg p ON c.p_brand = p.p_brand
+       |WHERE c.yr = 1997 AND p.yr = 1996 AND c.qty < p.qty
+       |ORDER BY brand""".stripMargin) { (s, dir) =>
+    val qty = when(col("l_returnflag") === "R", -floor(col("l_quantity")).cast("long"))
+      .otherwise(floor(col("l_quantity")).cast("long"))
+    val amt = when(col("l_returnflag") === "R", -netRev).otherwise(netRev)
+    val agg = lineorder(s, dir)
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(qty).as("qty"), sum(amt).as("amt"))
+    val c = agg.filter(col("yr") === 1997)
+      .select(col("p_brand"), col("qty").as("curr_qty"), col("amt").as("curr_amt"))
+    val p = agg.filter(col("yr") === 1996)
+      .select(col("p_brand").as("pb"), col("qty").as("prev_qty"), col("amt").as("prev_amt"))
+    c.join(p, col("p_brand") === col("pb"))
+      .filter(col("curr_qty") < col("prev_qty"))
+      .select(col("p_brand").as("brand"), col("prev_qty"), col("curr_qty"),
+        (col("curr_qty") - col("prev_qty")).as("qty_delta"),
+        asDouble(col("curr_amt") - col("prev_amt")).as("amt_delta"))
+      .orderBy("brand")
+  }
+
+  // --------------------------------------------------------------- Q80 shape
+  // (tpcds query80: per-channel sales / returns / profit rolled up with
+  //  ROLLUP(channel, id) over three channel scans). Channels: l_linenumber %
+  //  3; id = p_brand. Single-scan rollup on the Spark side (cf. Q5 note).
+  val q80ChannelProfitRollup: Q = Q(
+    "tpcds_q80_channel_profit_rollup",
+    s"""WITH det AS (
+       |  SELECT CASE l_linenumber % 3 WHEN 0 THEN 'store' WHEN 1 THEN 'web'
+       |              ELSE 'catalog' END AS channel,
+       |    p_brand,
+       |    CASE WHEN l_returnflag <> 'R' THEN $netRevSql
+       |         ELSE CAST(0 AS DECIMAL(18,2)) END AS sales,
+       |    CASE WHEN l_returnflag = 'R' THEN $netRevSql
+       |         ELSE CAST(0 AS DECIMAL(18,2)) END AS refunds
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN part ON l_partkey = p_partkey)
+       |SELECT channel, p_brand, CAST(SUM(sales) AS DOUBLE) AS sales,
+       |  CAST(SUM(refunds) AS DOUBLE) AS refunds,
+       |  CAST(SUM(sales) - SUM(refunds) AS DOUBLE) AS profit
+       |FROM det GROUP BY ROLLUP(channel, p_brand)
+       |ORDER BY channel NULLS FIRST, p_brand NULLS FIRST""".stripMargin) { (s, dir) =>
+    val channel = when(col("l_linenumber") % 3 === 0, "store")
+      .when(col("l_linenumber") % 3 === 1, "web").otherwise("catalog")
+    val zero = lit(0).cast("decimal(18,2)")
+    lineorder(s, dir)
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(channel.as("channel"), col("p_brand"),
+        when(col("l_returnflag") =!= "R", netRev).otherwise(zero).as("sales"),
+        when(col("l_returnflag") === "R", netRev).otherwise(zero).as("refunds"))
+      .rollup(col("channel"), col("p_brand"))
+      .agg(asDouble(sum(col("sales"))).as("sales"),
+        asDouble(sum(col("refunds"))).as("refunds"),
+        asDouble(sum(col("sales")) - sum(col("refunds"))).as("profit"))
+      .toDF("channel", "p_brand", "sales", "refunds", "profit")
+      .orderBy(col("channel").asc_nulls_first, col("p_brand").asc_nulls_first)
+  }
+
+  // --------------------------------------------------------------- Q85 shape
+  // (tpcds query85: web returns filtered by THREE OR'd demographic band
+  //  conjunctions — each band ties a categorical to two numeric ranges —
+  //  aggregated per reason). Bands: mktsegment × quantity × order total;
+  //  reason → o_orderpriority. The OR of AND-bands must survive as one scan
+  //  predicate, not three scans.
+  val q85BandedDemographics: Q = Q(
+    "tpcds_q85_banded_demographics",
+    s"""SELECT o_orderpriority,
+       |  COUNT(*) AS n_returns,
+       |  SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS qty_returned,
+       |  CAST(SUM($netRevSql) AS DOUBLE) AS refunded
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE l_returnflag = 'R' AND (
+       |     (c_mktsegment = 'BUILDING'   AND l_quantity BETWEEN 1  AND 20
+       |      AND o_totalprice BETWEEN 50000  AND 150000)
+       |  OR (c_mktsegment = 'AUTOMOBILE' AND l_quantity BETWEEN 21 AND 35
+       |      AND o_totalprice BETWEEN 100000 AND 250000)
+       |  OR (c_mktsegment = 'MACHINERY'  AND l_quantity BETWEEN 36 AND 50
+       |      AND o_totalprice BETWEEN 150000 AND 400000))
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    def band(seg: String, qLo: Int, qHi: Int, tLo: Int, tHi: Int) =
+      col("c_mktsegment") === seg &&
+        col("l_quantity").between(qLo, qHi) && col("o_totalprice").between(tLo, tHi)
+    lineorder(s, dir)
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(col("l_returnflag") === "R" &&
+        (band("BUILDING", 1, 20, 50000, 150000) ||
+         band("AUTOMOBILE", 21, 35, 100000, 250000) ||
+         band("MACHINERY", 36, 50, 150000, 400000)))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_returns"),
+        sum(floor(col("l_quantity")).cast("long")).as("qty_returned"),
+        asDouble(sum(netRev)).as("refunded"))
+      .orderBy("o_orderpriority")
+  }
+
+  // --------------------------------------------------------------- Q15 shape
+  // (tpcds query15: catalog sales per geography where ANY of three unrelated
+  //  predicates across joined tables admits the row). The disjunction spans
+  //  customer AND order attributes, so it cannot push below the joins.
+  val q15OrPredicates: Q = Q(
+    "tpcds_q15_or_predicates",
+    s"""SELECT n_name, CAST(SUM($netRevSql) AS DOUBLE) AS revenue, COUNT(*) AS n
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE c_acctbal > 6000 OR o_totalprice > 300000 OR c_mktsegment = 'AUTOMOBILE'
+       |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+    lineorder(s, dir)
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("c_acctbal") > 6000 || col("o_totalprice") > 300000 ||
+        col("c_mktsegment") === "AUTOMOBILE")
+      .groupBy("n_name")
+      .agg(asDouble(sum(netRev)).as("revenue"), count(lit(1)).as("n"))
+      .orderBy("n_name")
+  }
+
+  // --------------------------------------------------------------- Q25 shape
+  // (tpcds query25: sale → return → re-purchase chain — three fact instances
+  //  joined on (customer, item) with date ordering, aggregated per brand).
+  //  Keyed equi-joins on (cust, part) carry the chain; the date ordering is
+  //  the residual theta condition on top.
+  val q25ResaleChain: Q = Q(
+    "tpcds_q25_resale_chain",
+    """WITH sale AS (
+      |  SELECT o_custkey AS cust, l_partkey AS part,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS qty, l_shipdate AS d
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag <> 'R' AND year(o_orderdate) = 1996),
+      |ret AS (
+      |  SELECT o_custkey AS cust, l_partkey AS part,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS qty, l_shipdate AS d
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'),
+      |rebuy AS (
+      |  SELECT o_custkey AS cust, l_partkey AS part,
+      |    CAST(FLOOR(l_quantity) AS BIGINT) AS qty, l_shipdate AS d
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag <> 'R' AND year(o_orderdate) >= 1997)
+      |SELECT p_brand AS brand, COUNT(*) AS n_chains,
+      |  SUM(s.qty) AS sold_qty, SUM(r.qty) AS ret_qty, SUM(b.qty) AS rebuy_qty
+      |FROM sale s
+      |JOIN ret r ON s.cust = r.cust AND s.part = r.part AND r.d > s.d
+      |JOIN rebuy b ON r.cust = b.cust AND r.part = b.part AND b.d > r.d
+      |JOIN part ON s.part = p_partkey
+      |GROUP BY p_brand ORDER BY brand""".stripMargin) { (s, dir) =>
+    def slice(pred: org.apache.spark.sql.Column) = lineorder(s, dir).filter(pred)
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"),
+        floor(col("l_quantity")).cast("long").as("qty"), col("l_shipdate").as("d"))
+    val sale = slice(col("l_returnflag") =!= "R" && year(col("o_orderdate")) === 1996)
+      .toDF("cust", "part", "s_qty", "s_d")
+    val ret = slice(col("l_returnflag") === "R").toDF("cust", "part", "r_qty", "r_d")
+    val rebuy = slice(col("l_returnflag") =!= "R" && year(col("o_orderdate")) >= 1997)
+      .toDF("cust", "part", "b_qty", "b_d")
+    sale.join(ret, Seq("cust", "part")).filter(col("r_d") > col("s_d"))
+      .join(rebuy, Seq("cust", "part")).filter(col("b_d") > col("r_d"))
+      .join(t(s, dir, "part"), col("part") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_chains"), sum(col("s_qty")).as("sold_qty"),
+        sum(col("r_qty")).as("ret_qty"), sum(col("b_qty")).as("rebuy_qty"))
+      .orderBy("brand")
+  }
+
+  // --------------------------------------------------------------- Q46 shape
+  // (tpcds query46: rows kept when two DIMENSIONS disagree — the sale's
+  //  store city differs from the customer's home city — then grouped with a
+  //  HAVING floor). Here: customer nation ≠ supplier nation.
+  val q46CrossNation: Q = Q(
+    "tpcds_q46_cross_nation",
+    """SELECT c_name, COUNT(*) AS n_cross
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE c_nationkey <> s_nationkey
+      |GROUP BY c_name HAVING COUNT(*) >= 8
+      |ORDER BY c_name""".stripMargin) { (s, dir) =>
+    lineorder(s, dir)
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy("c_name").agg(count(lit(1)).as("n_cross"))
+      .filter(col("n_cross") >= 8)
+      .orderBy("c_name")
+  }
+
+  // --------------------------------------------------------------- Q58 shape
+  // (tpcds query58: items whose revenue is balanced across all three
+  //  channels — each within 90%..110% of the channel average). Channels:
+  //  l_linenumber % 3. Division-free: rev*30 between total*9 and total*11
+  //  with exact decimals (avg = total/3).
+  val q58ChannelBalance: Q = Q(
+    "tpcds_q58_channel_balance",
+    s"""WITH chan AS (
+       |  SELECT p_brand, l_linenumber % 3 AS ch, SUM($netRevSql) AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT p_brand, SUM(rev) AS total, COUNT(*) AS nch
+       |        FROM chan GROUP BY 1)
+       |SELECT c.p_brand AS brand, CAST(c.ch AS INT) AS ch, CAST(c.rev AS DOUBLE) AS rev
+       |FROM chan c JOIN tot t ON c.p_brand = t.p_brand
+       |WHERE t.nch = 3 AND c.rev * 30 >= t.total * 9 AND c.rev * 30 <= t.total * 11
+       |ORDER BY brand, ch""".stripMargin) { (s, dir) =>
+    val chan = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), (col("l_linenumber") % 3).as("ch"))
+      .agg(sum(netRev).as("rev"))
+    val tot = chan.groupBy(col("p_brand").as("pb"))
+      .agg(sum(col("rev")).as("total"), count(lit(1)).as("nch"))
+    chan.join(tot, col("p_brand") === col("pb"))
+      .filter(col("nch") === 3 &&
+        col("rev") * 30 >= col("total") * 9 && col("rev") * 30 <= col("total") * 11)
+      .select(col("p_brand").as("brand"), col("ch").cast("int").as("ch"),
+        asDouble(col("rev")).as("rev"))
+      .orderBy("brand", "ch")
+  }
+
+  // --------------------------------------------------------------- Q65 shape
+  // (tpcds query65: (store, item) pairs whose revenue is at most half the
+  //  store's average item revenue). Stores → suppliers. Division-free:
+  //  rev * 2 * n_items <= store_total with exact decimals.
+  val q65LowRevenuePairs: Q = Q(
+    "tpcds_q65_low_revenue_pairs",
+    s"""WITH sp AS (
+       |  SELECT l_suppkey AS sk, l_partkey AS pk, SUM($netRevSql) AS rev
+       |  FROM lineitem GROUP BY 1, 2),
+       |sa AS (SELECT sk, SUM(rev) AS total, COUNT(*) AS np FROM sp GROUP BY 1)
+       |SELECT s_name, p_name, CAST(sp.rev AS DOUBLE) AS rev
+       |FROM sp JOIN sa ON sp.sk = sa.sk
+       |JOIN supplier ON sp.sk = s_suppkey
+       |JOIN part ON sp.pk = p_partkey
+       |WHERE sp.rev * 2 * sa.np <= sa.total
+       |ORDER BY s_name, p_name, rev""".stripMargin) { (s, dir) =>
+    val sp = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+      .agg(sum(netRev).as("rev"))
+    val sa = sp.groupBy(col("sk").as("sk2"))
+      .agg(sum(col("rev")).as("total"), count(lit(1)).as("np"))
+    sp.join(sa, col("sk") === col("sk2"))
+      .filter(col("rev") * 2 * col("np") <= col("total"))
+      .join(t(s, dir, "supplier"), col("sk") === col("s_suppkey"))
+      .join(t(s, dir, "part"), col("pk") === col("p_partkey"))
+      .select(col("s_name"), col("p_name"), asDouble(col("rev")).as("rev"))
+      .orderBy("s_name", "p_name", "rev")
+  }
+
+  // --------------------------------------------------------------- Q99 shape
+  // (tpcds query99: shipping-latency histogram — counts per latency band per
+  //  group, the FILTERed-count pivot over a date arithmetic). Latency =
+  //  ship date − order date in days.
+  val q99ShipLatencyBuckets: Q = Q(
+    "tpcds_q99_ship_latency_buckets",
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE d <= 30) AS d30,
+      |  COUNT(*) FILTER (WHERE d > 30 AND d <= 60) AS d60,
+      |  COUNT(*) FILTER (WHERE d > 60 AND d <= 90) AS d90,
+      |  COUNT(*) FILTER (WHERE d > 90 AND d <= 120) AS d120,
+      |  COUNT(*) FILTER (WHERE d > 120) AS dmore
+      |FROM (SELECT o_orderpriority,
+      |        date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS d
+      |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val d = datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+    lineorder(s, dir)
+      .select(col("o_orderpriority"), d.as("d"))
+      .groupBy("o_orderpriority")
+      .agg(count(when(col("d") <= 30, 1)).as("d30"),
+        count(when(col("d") > 30 && col("d") <= 60, 1)).as("d60"),
+        count(when(col("d") > 60 && col("d") <= 90, 1)).as("d90"),
+        count(when(col("d") > 90 && col("d") <= 120, 1)).as("d120"),
+        count(when(col("d") > 120, 1)).as("dmore"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(
     q1ReturnsAboveAvg, q2YoyMonthly, q5RollupChannels, q38IntersectCustomers,
     q47MavgOutliers, q67TopkRollup, q10ExistsConjunction, q88TimeBands,
@@ -954,5 +1289,8 @@ object TpcdsQueries {
     q72InventoryLag, q34TicketBand, q64ResaleMargin, q95MultiSupplier,
     q11YoyGrowth, q49ReturnRatios, q93ReturnsAdjusted,
     q31ShareShift, q54CohortSegments, q78ChannelRatio,
-    q39InventoryCov, q17QuantityBounds)
+    q39InventoryCov, q17QuantityBounds,
+    q2WowUnion, q75ChannelDelta, q80ChannelProfitRollup, q85BandedDemographics,
+    q15OrPredicates, q25ResaleChain, q46CrossNation, q58ChannelBalance,
+    q65LowRevenuePairs, q99ShipLatencyBuckets)
 }
