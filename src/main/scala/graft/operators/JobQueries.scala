@@ -300,7 +300,85 @@ object JobQueries {
       .orderBy("m")
   }
 
+  /** 16-relation chain — the join-order-search-DEPTH stressor the round-6
+    * verdict flagged as unrepresented (JOB's 15+-relation queries, e.g. 29a's
+    * 17 relations). Three lineitem instances of one order (strictly
+    * escalating line numbers), each with its own part/supplier snowflake, the
+    * customer's full geography, and cross-nation residuals — 16 base
+    * relations, 6 of them aliases of reused tables, exactly JOB's alias-join
+    * regime. Declared order is worst-possible (the three fact instances join
+    * first); the sane plan filters the six predicated dims down, broadcasts
+    * them, and keeps ONE orderkey shuffle shared by all three fact legs.
+    * Integer-only aggregates keep the oracle exact. */
+  val chain16: Q = Q(
+    "job_chain_16way",
+    """SELECT nc.n_name AS cust_nation, COUNT(*) AS n_triples,
+      |  SUM(CAST(FLOOR(l1.l_quantity) AS BIGINT)
+      |    + CAST(FLOOR(l2.l_quantity) AS BIGINT)
+      |    + CAST(FLOOR(l3.l_quantity) AS BIGINT)) AS total_qty
+      |FROM lineitem l1
+      |JOIN lineitem l2 ON l2.l_orderkey = l1.l_orderkey
+      |  AND l2.l_linenumber > l1.l_linenumber
+      |JOIN lineitem l3 ON l3.l_orderkey = l2.l_orderkey
+      |  AND l3.l_linenumber > l2.l_linenumber
+      |JOIN orders o ON l1.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      |JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+      |JOIN part p1 ON l1.l_partkey = p1.p_partkey
+      |JOIN supplier s1 ON l1.l_suppkey = s1.s_suppkey
+      |JOIN nation ns1 ON s1.s_nationkey = ns1.n_nationkey
+      |JOIN region rs1 ON ns1.n_regionkey = rs1.r_regionkey
+      |JOIN part p2 ON l2.l_partkey = p2.p_partkey
+      |JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+      |JOIN nation ns2 ON s2.s_nationkey = ns2.n_nationkey
+      |JOIN part p3 ON l3.l_partkey = p3.p_partkey
+      |JOIN supplier s3 ON l3.l_suppkey = s3.s_suppkey
+      |WHERE rc.r_name = 'ASIA' AND rs1.r_name = 'EUROPE'
+      |  AND p1.p_type = 'STANDARD' AND p2.p_type = 'ECONOMY'
+      |  AND ns2.n_name <> ns1.n_name
+      |GROUP BY nc.n_name ORDER BY cust_nation""".stripMargin) { (s, dir) =>
+    def li(p: String) = t(s, dir, "lineitem").select(
+      col("l_orderkey").as(s"${p}_ok"), col("l_linenumber").as(s"${p}_ln"),
+      col("l_partkey").as(s"${p}_pk"), col("l_suppkey").as(s"${p}_sk"),
+      floor(col("l_quantity")).cast("long").as(s"${p}_qty"))
+    def nat(p: String) = t(s, dir, "nation").select(
+      col("n_nationkey").as(s"${p}_key"), col("n_name").as(s"${p}_name"),
+      col("n_regionkey").as(s"${p}_rk"))
+    def reg(p: String, name: String) = t(s, dir, "region")
+      .filter(col("r_name") === name).select(col("r_regionkey").as(s"${p}_key"))
+    def sup(p: String) = t(s, dir, "supplier").select(
+      col("s_suppkey").as(s"${p}_key"), col("s_nationkey").as(s"${p}_nk"))
+    def prt(p: String, tpe: Option[String]) = {
+      val base = t(s, dir, "part")
+      tpe.fold(base)(v => base.filter(col("p_type") === v))
+        .select(col("p_partkey").as(s"${p}_key"))
+    }
+    // declared worst-first: the three fact instances join before any dim
+    li("l1")
+      .join(li("l2"), col("l2_ok") === col("l1_ok") && col("l2_ln") > col("l1_ln"))
+      .join(li("l3"), col("l3_ok") === col("l2_ok") && col("l3_ln") > col("l2_ln"))
+      .join(t(s, dir, "orders"), col("l1_ok") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(nat("nc"), col("c_nationkey") === col("nc_key"))
+      .join(reg("rc", "ASIA"), col("nc_rk") === col("rc_key"))
+      .join(prt("p1", Some("STANDARD")), col("l1_pk") === col("p1_key"))
+      .join(sup("s1"), col("l1_sk") === col("s1_key"))
+      .join(nat("ns1"), col("s1_nk") === col("ns1_key"))
+      .join(reg("rs1", "EUROPE"), col("ns1_rk") === col("rs1_key"))
+      .join(prt("p2", Some("ECONOMY")), col("l2_pk") === col("p2_key"))
+      .join(sup("s2"), col("l2_sk") === col("s2_key"))
+      .join(nat("ns2"), col("s2_nk") === col("ns2_key"))
+      .join(prt("p3", None), col("l3_pk") === col("p3_key"))
+      .join(sup("s3"), col("l3_sk") === col("s3_key"))
+      .filter(col("ns2_name") =!= col("ns1_name"))
+      .groupBy(col("nc_name").as("cust_nation"))
+      .agg(count(lit(1)).as("n_triples"),
+        sum(col("l1_qty") + col("l2_qty") + col("l3_qty")).as("total_qty"))
+      .orderBy("cust_nation")
+  }
+
   val all: Seq[Q] = Seq(
     chain7, selfAliasStar, bushy, cycleSameKey, cycleNationClosure, thetaResidual,
-    star9Way, disjunctiveDim, correlatedPred)
+    star9Way, disjunctiveDim, correlatedPred, chain16)
 }

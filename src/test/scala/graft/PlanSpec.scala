@@ -195,6 +195,20 @@ class PlanSpec extends AnyFunSuite {
       s"a mis-declared join order must still plan as equi joins:\n$p")
   }
 
+  test("job 16-way chain: all dims broadcast, facts keep equi joins, filters push") {
+    val f = formatted("job_chain_16way")
+    assert(f.contains("EqualTo(p_type,STANDARD)") && f.contains("EqualTo(p_type,ECONOMY)"),
+      s"both part-alias filters must push into their scans:\n$f")
+    val p = planOf("job_chain_16way")
+    assert(p.contains("BroadcastHashJoin"), "the 13 dim edges must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      s"a 16-relation worst-declared order must not plan a cartesian:\n$p")
+    // the three lineitem instances meet on orderkey equi joins (the ln
+    // inequality rides as a residual condition, not a nested loop)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the l1/l2/l3 self-joins must stay equi (orderkey) joins:\n$p")
+  }
+
   test("runtime bloom filter reduces the fact scan for a selective dim join") {
     // the Spark counterpart of the reference's semi-join reduction rule
     // (semi_join_reduction_rule.cpp): a bloom filter built on the filtered
