@@ -66,6 +66,18 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
       StructField("status", StringType, nullable = false))))
   }
 
+  /** `meta_plan_cache` — the GDFS memo's (statement, frequency) snapshot,
+    * the observability face of the reference's plan cache `snapshot()`
+    * (gdfs_cache.hpp:117; no meta-table counterpart there — beyond-ref). */
+  private def metaPlanCache: DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val rows = planCache.snapshot().sortBy(_._1)
+      .map { case (sql, freq) => org.apache.spark.sql.Row(sql, freq) }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+      StructField("statement", StringType, nullable = false),
+      StructField("frequency", LongType, nullable = false))))
+  }
+
   /** Registered meta views: ordered so longer names match first (meta_tables
     * vs meta_tables_x is not an issue here, but segments/segments_accurate is). */
   private def metaViews: Seq[(String, () => DataFrame)] = Seq(
@@ -82,7 +94,8 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
     "meta_constraints" -> (() => catalog.metaConstraints),
     "meta_commits" -> (() => catalog.metaCommits),
     "meta_log" -> (() => catalog.metaLog),
-    "meta_exec" -> (() => metaExec))
+    "meta_exec" -> (() => metaExec),
+    "meta_plan_cache" -> (() => metaPlanCache))
 
   /** Execute a multi-statement SQL script; statements run in order, failures
     * don't abort the script (per-statement status, like SQLPipelineStatement). */

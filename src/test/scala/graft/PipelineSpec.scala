@@ -197,6 +197,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(commits >= 3, s"register + UPDATE + txn commit all recorded (got $commits)")
   }
 
+  test("meta_plan_cache surfaces GDFS (statement, frequency) pairs") {
+    val p = freshPipeline()
+    p.sql("SELECT COUNT(*) AS n FROM t_region").collect()
+    p.sql("SELECT COUNT(*) AS n FROM t_region").collect()
+    p.sql("SELECT COUNT(*) AS n FROM t_nation").collect()
+    val snap = p.sql("SELECT statement, frequency FROM meta_plan_cache ORDER BY statement")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val regionFreq = snap.collect { case (s, f) if s.contains("t_region") => f }
+    assert(regionFreq.nonEmpty && regionFreq.head >= 2,
+      s"replayed statement must show frequency >= 2: $snap")
+  }
+
   test("ASOF: DROPped tables stay readable at historical commits") {
     val p = freshPipeline()
     p.run("CREATE TABLE doomed AS SELECT 42 AS x")
