@@ -1282,6 +1282,187 @@ object TpcdsQueries {
       .orderBy("o_orderpriority")
   }
 
+  // ---------------------------------------------------------------- Q6 shape
+  // (tpcds query6: customers in states whose bought items cost >= 1.2× the
+  //  category's overall average — a GLOBAL scalar average correlated into a
+  //  per-row filter). Division-free: price * n_cat >= 1.2 * cat_total
+  //  becomes price * 10 * n_cat >= 12 * cat_total in exact decimals. The
+  //  global per-category average is a tiny broadcast aggregate, never a
+  //  per-row subquery execution.
+  val q6PriceyStates: Q = Q(
+    "tpcds_q6_pricey_states",
+    """WITH cat AS (
+      |  SELECT p_type, SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS total,
+      |    COUNT(*) AS n
+      |  FROM part GROUP BY p_type)
+      |SELECT n_name, COUNT(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN cat ON part.p_type = cat.p_type
+      |WHERE CAST(p_retailprice AS DECIMAL(18,2)) * 10 * n >= total * 12
+      |GROUP BY n_name HAVING COUNT(*) >= 10
+      |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val cat = t(s, dir, "part").groupBy(col("p_type").as("cat_type"))
+      .agg(sum(dec(col("p_retailprice"))).as("total"), count(lit(1)).as("n"))
+    lineorder(s, dir)
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(cat), col("p_type") === col("cat_type"))
+      .filter(dec(col("p_retailprice")) * 10 * col("n") >= col("total") * 12)
+      .groupBy("n_name").agg(count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") >= 10)
+      .orderBy("n_name")
+  }
+
+  // --------------------------------------------------------------- Q21 shape
+  // (tpcds query21: per-warehouse inventory split into before/after an event
+  //  date, kept when the after/before ratio is inside [2/3, 3/2]).
+  //  Warehouses → suppliers; inventory qty → lineitem qty. FILTERed sums
+  //  make the split one pass; the ratio band is cross-multiplied exact.
+  val q21BeforeAfterBand: Q = Q(
+    "tpcds_q21_before_after_band",
+    """WITH w AS (
+      |  SELECT s_name,
+      |    SUM(CAST(FLOOR(l_quantity) AS BIGINT))
+      |      FILTER (WHERE l_shipdate <  TIMESTAMP '1997-07-01 00:00:00') AS before_qty,
+      |    SUM(CAST(FLOOR(l_quantity) AS BIGINT))
+      |      FILTER (WHERE l_shipdate >= TIMESTAMP '1997-07-01 00:00:00') AS after_qty
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY s_name)
+      |SELECT s_name, before_qty, after_qty
+      |FROM w
+      |WHERE before_qty > 0 AND after_qty > 0
+      |  AND after_qty * 3 >= before_qty * 2 AND after_qty * 2 <= before_qty * 3
+      |ORDER BY s_name""".stripMargin) { (s, dir) =>
+    val qty = floor(col("l_quantity")).cast("long")
+    val split = lit("1997-07-01 00:00:00").cast("timestamp")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(sum(when(col("l_shipdate") < split, qty)).as("before_qty"),
+        sum(when(col("l_shipdate") >= split, qty)).as("after_qty"))
+      .filter(col("before_qty") > 0 && col("after_qty") > 0 &&
+        col("after_qty") * 3 >= col("before_qty") * 2 &&
+        col("after_qty") * 2 <= col("before_qty") * 3)
+      .orderBy("s_name")
+  }
+
+  // --------------------------------------------------------------- Q32 shape
+  // (tpcds query32: "excess discount" — lineitems whose discount exceeds
+  //  1.3× the average discount of their part, summed). The correlated
+  //  per-part average joins back to the fact as an aggregate, division-free
+  //  via disc * 10 * n > 13 * part_total in exact decimals.
+  val q32ExcessDiscount: Q = Q(
+    "tpcds_q32_excess_discount",
+    s"""WITH pd AS (
+       |  SELECT l_partkey AS pk, SUM(CAST(l_discount AS DECIMAL(18,2))) AS dtotal,
+       |    COUNT(*) AS n
+       |  FROM lineitem GROUP BY l_partkey)
+       |SELECT COUNT(*) AS n_excess, CAST(SUM($netRevSql) AS DOUBLE) AS excess_rev
+       |FROM lineitem JOIN pd ON l_partkey = pd.pk
+       |WHERE CAST(l_discount AS DECIMAL(18,2)) * 10 * pd.n > pd.dtotal * 13""".stripMargin) { (s, dir) =>
+    val pd = t(s, dir, "lineitem").groupBy(col("l_partkey").as("pk"))
+      .agg(sum(dec(col("l_discount"))).as("dtotal"), count(lit(1)).as("n"))
+    t(s, dir, "lineitem")
+      .join(pd, col("l_partkey") === col("pk"))
+      .filter(dec(col("l_discount")) * 10 * col("n") > col("dtotal") * 13)
+      .agg(count(lit(1)).as("n_excess"), asDouble(sum(netRev)).as("excess_rev"))
+  }
+
+  // --------------------------------------------------------------- Q36 shape
+  // (tpcds query36: gross-margin ROLLUP lattice with RANK() PARTITIONED BY
+  //  THE GROUPING LEVEL — the rank resets inside each lattice stratum via
+  //  GROUPING()). The window runs on the rolled-up rows (tiny), never the
+  //  fact.
+  val q36LatticeRank: Q = Q(
+    "tpcds_q36_lattice_rank",
+    s"""WITH rolled AS (
+       |  SELECT l_returnflag, l_linestatus,
+       |    GROUPING(l_returnflag) + GROUPING(l_linestatus) AS lvl,
+       |    SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS qty
+       |  FROM lineitem
+       |  GROUP BY ROLLUP(l_returnflag, l_linestatus))
+       |SELECT l_returnflag, l_linestatus, CAST(lvl AS INT) AS lvl,
+       |  qty, CAST(RANK() OVER (PARTITION BY lvl ORDER BY qty DESC) AS INT) AS rk
+       |FROM rolled
+       |ORDER BY lvl, rk, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    val rolled = t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("qty"),
+        (grouping(col("l_returnflag")) + grouping(col("l_linestatus"))).as("lvl"))
+      .toDF("l_returnflag", "l_linestatus", "qty", "lvl")
+    rolled.select(col("l_returnflag"), col("l_linestatus"),
+        col("lvl").cast("int").as("lvl"), col("qty"),
+        rank().over(Window.partitionBy("lvl").orderBy(col("qty").desc))
+          .cast("int").as("rk"))
+      .orderBy(col("lvl"), col("rk"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  // --------------------------------------------------------------- Q79 shape
+  // (tpcds query79: each customer's single BEST visit — aggregate per
+  //  (customer, order), then keep the max-profit row per customer via a
+  //  keyed window, then re-join the customer dim). Two keyed shuffles, no
+  //  global window.
+  val q79BestVisit: Q = Q(
+    "tpcds_q79_best_visit",
+    s"""WITH visits AS (
+       |  SELECT o_custkey AS cust, o_orderkey AS ok, SUM($netRevSql) AS rev
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY o_custkey, o_orderkey),
+       |best AS (
+       |  SELECT cust, ok, rev,
+       |    ROW_NUMBER() OVER (PARTITION BY cust ORDER BY rev DESC, ok) AS rn
+       |  FROM visits)
+       |SELECT c_name, ok AS best_order, CAST(rev AS DOUBLE) AS best_rev
+       |FROM best JOIN customer ON cust = c_custkey
+       |WHERE rn = 1 AND rev > 400000
+       |ORDER BY c_name""".stripMargin) { (s, dir) =>
+    val visits = lineorder(s, dir)
+      .groupBy(col("o_custkey").as("cust"), col("o_orderkey").as("ok"))
+      .agg(sum(netRev).as("rev"))
+    val w = Window.partitionBy("cust").orderBy(col("rev").desc, col("ok"))
+    visits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("rev") > 400000)
+      .join(t(s, dir, "customer"), col("cust") === col("c_custkey"))
+      .select(col("c_name"), col("ok").as("best_order"), asDouble(col("rev")).as("best_rev"))
+      .orderBy("c_name")
+  }
+
+  // --------------------------------------------------------------- Q98 shape
+  // (tpcds query98: each item's revenue share WITHIN ITS CLASS —
+  //  ratio_to_report as a class-partitioned window over the item aggregate).
+  //  Integer micro-shares (ppm via cent-exact cross division) keep the
+  //  oracle exact where a double ratio would drift.
+  val q98ClassShare: Q = Q(
+    "tpcds_q98_class_share",
+    s"""WITH item AS (
+       |  SELECT p_type, p_brand, SUM($netRevSql) AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY p_type, p_brand)
+       |SELECT p_type, p_brand, CAST(rev AS DOUBLE) AS rev,
+       |  CAST(CAST(rev * 100 AS BIGINT) * 1000000
+       |    // CAST(SUM(rev * 100) OVER (PARTITION BY p_type) AS BIGINT) AS BIGINT) AS share_ppm
+       |FROM item
+       |ORDER BY p_type, p_brand""".stripMargin) { (s, dir) =>
+    val item = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("p_brand"))
+      .agg(sum(netRev).as("rev"))
+    item.withColumn("cents", (col("rev") * 100).cast("long"))
+      .withColumn("class_cents", sum(col("cents")).over(Window.partitionBy("p_type")))
+      // integral `div`, never `/` (Column./ widens to double — memory trap)
+      .selectExpr("p_type", "p_brand", "CAST(rev AS DOUBLE) AS rev",
+        "CAST(cents * 1000000 div class_cents AS BIGINT) AS share_ppm")
+      .orderBy("p_type", "p_brand")
+  }
+
   val all: Seq[Q] = Seq(
     q1ReturnsAboveAvg, q2YoyMonthly, q5RollupChannels, q38IntersectCustomers,
     q47MavgOutliers, q67TopkRollup, q10ExistsConjunction, q88TimeBands,
@@ -1292,5 +1473,7 @@ object TpcdsQueries {
     q39InventoryCov, q17QuantityBounds,
     q2WowUnion, q75ChannelDelta, q80ChannelProfitRollup, q85BandedDemographics,
     q15OrPredicates, q25ResaleChain, q46CrossNation, q58ChannelBalance,
-    q65LowRevenuePairs, q99ShipLatencyBuckets)
+    q65LowRevenuePairs, q99ShipLatencyBuckets,
+    q6PriceyStates, q21BeforeAfterBand, q32ExcessDiscount, q36LatticeRank,
+    q79BestVisit, q98ClassShare)
 }
