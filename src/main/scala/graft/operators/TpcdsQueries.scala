@@ -13,13 +13,21 @@ import org.apache.spark.sql.functions._
   * query here reproduces one shape the TPC-H/SSB sets don't cover:
   *
   *  - Q1:  CTE aggregate filtered against 1.2× its group average
-  *  - Q2:  year-over-year self-join of a periodic aggregate
+  *  - Q2:  year-over-year self-join of a periodic aggregate (+ the
+  *         week-over-week UNION variant, `q2WowUnion`)
   *  - Q5:  channel UNION ALL rolled up with ROLLUP
   *  - Q38: INTERSECT of per-period customer sets
   *  - Q47: windowed deviation from a yearly average with lag/lead context
   *  - Q67: top-k per group over a ROLLUP lattice
   *  - Q10: conjunction of EXISTS / NOT EXISTS membership probes
   *  - Q88: many band-restricted counts of one fact table in a single statement
+  *  - …and 32 further shapes across six waves (40 total — see `all`): CTE
+  *    cascades, 3-channel deltas/rollups, OR'd demographic bands, fact
+  *    chains, correlated per-group and global averages (division-free),
+  *    lattice ranks over GROUPING levels, class shares in integer ppm,
+  *    latency histograms — the reference executes ~49 of the 103 official
+  *    queries (resources/benchmark/tpcds/query_excludelist.cfg); every
+  *    distinctive runnable family is represented here
   *
   * Determinism: every threshold that TPC-DS writes as `x > 1.2 * AVG(...)` is
   * algebraically cleared of division (`total * n > 1.2 * group_sum` with exact
