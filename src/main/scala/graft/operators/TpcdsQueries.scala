@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   *  - Q67: top-k per group over a ROLLUP lattice
   *  - Q10: conjunction of EXISTS / NOT EXISTS membership probes
   *  - Q88: many band-restricted counts of one fact table in a single statement
-  *  - …and 32 further shapes across six waves (40 total — see `all`): CTE
+  *  - …and 41 further shapes across seven waves (49 total — see `all`,
+  *    matching the count of the reference's ~49 runnable queries): CTE
   *    cascades, 3-channel deltas/rollups, OR'd demographic bands, fact
   *    chains, correlated per-group and global averages (division-free),
   *    lattice ranks over GROUPING levels, class shares in integer ppm,
@@ -1471,6 +1472,285 @@ object TpcdsQueries {
       .orderBy("p_type", "p_brand")
   }
 
+  // ---------------------------------------------------------------- Q9 shape
+  // (tpcds query9: five banded CASE buckets, each choosing between two scalar
+  //  subqueries by a count threshold, projected off a one-row anchor table —
+  //  15 scalar subqueries over one fact in the spec). Bands → l_quantity
+  //  decades; anchor → region row 0. The Spark side rewrites the 15 scans as
+  //  ONE pass with FILTERed aggregates (the q88 treatment) cross-joined to the
+  //  broadcast anchor; integer cents/hundredths with `div` keep both engines
+  //  bit-identical.
+  val q9CaseBuckets: Q = Q(
+    "tpcds_q9_case_buckets",
+    { val b = (1 to 5).map { i =>
+        val lo = (i - 1) * 10 + 1
+        val hi = i * 10
+        val band = s"l_quantity >= $lo AND l_quantity <= $hi"
+        s"""CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE $band) > 12000
+           |  THEN (SELECT SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           |          // COUNT(*) FROM lineitem WHERE $band)
+           |  ELSE (SELECT SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+           |          // COUNT(*) FROM lineitem WHERE $band)
+           |END AS bucket$i""".stripMargin
+      }.mkString(",\n")
+      s"SELECT r_name, $b FROM region WHERE r_regionkey = 0" }) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    val priceCents = (dec(col("l_extendedprice")) * 100).cast("long")
+    val qtyHundredths = (dec(col("l_quantity")) * 100).cast("long")
+    def band(i: Int) = col("l_quantity").between((i - 1) * 10 + 1, i * 10)
+    val aggs = (1 to 5).flatMap { i =>
+      Seq(count(when(band(i), 1)).as(s"cnt$i"),
+        sum(when(band(i), priceCents)).as(s"pc$i"),
+        sum(when(band(i), qtyHundredths)).as(s"qh$i"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val anchor = broadcast(t(s, dir, "region").filter(col("r_regionkey") === 0)
+      .select(col("r_name")))
+    val buckets = (1 to 5).map(i =>
+      expr(s"CASE WHEN cnt$i > 12000 THEN pc$i div cnt$i ELSE qh$i div cnt$i END")
+        .as(s"bucket$i"))
+    anchor.crossJoin(one).select(col("r_name") +: buckets: _*)
+  }
+
+  // --------------------------------------------------------------- Q28 shape
+  // (tpcds query28: six quantity buckets, each with OR'd list-price bands,
+  //  reporting avg price / row count / DISTINCT price count, cross-joined into
+  //  one row). The spec runs six separate scans; here all six buckets come
+  //  from ONE scan — plain aggs via FILTER, the distinct counts as
+  //  COUNT(DISTINCT CASE WHEN band THEN price END), which Catalyst plans with
+  //  a single Expand instead of six passes.
+  val q28PriceBuckets: Q = Q(
+    "tpcds_q28_price_buckets",
+    { val b = (1 to 6).map { i =>
+        val lo = (i - 1) * 5 + 1
+        val hi = i * 5
+        val band = s"""l_quantity >= $lo AND l_quantity <= $hi
+           | AND (l_extendedprice BETWEEN 900 AND 40000
+           |      OR l_extendedprice BETWEEN 60000 AND 104000)""".stripMargin
+        s"""SUM(CASE WHEN $band THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) END)
+           |  // COUNT(CASE WHEN $band THEN 1 END) AS b${i}_avg_cents,
+           |COUNT(CASE WHEN $band THEN 1 END) AS b${i}_cnt,
+           |COUNT(DISTINCT CASE WHEN $band THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS b${i}_distinct""".stripMargin
+      }.mkString(",\n")
+      s"SELECT $b FROM lineitem" }) { (s, dir) =>
+    val priceCents = (dec(col("l_extendedprice")) * 100).cast("long")
+    def band(i: Int) =
+      col("l_quantity").between((i - 1) * 5 + 1, i * 5) &&
+        (col("l_extendedprice").between(900, 40000) ||
+          col("l_extendedprice").between(60000, 104000))
+    val aggs = (1 to 6).flatMap { i =>
+      Seq(sum(when(band(i), priceCents)).as(s"pc$i"),
+        count(when(band(i), 1)).as(s"b${i}_cnt"),
+        countDistinct(when(band(i), priceCents)).as(s"b${i}_distinct"))
+    }
+    t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      .selectExpr((1 to 6).flatMap(i => Seq(
+        s"pc$i div b${i}_cnt AS b${i}_avg_cents",
+        s"b${i}_cnt", s"b${i}_distinct")): _*)
+  }
+
+  // --------------------------------------------------------------- Q35 shape
+  // (tpcds query35: customers gated by EXISTS store-sales AND an OR of
+  //  EXISTS web / EXISTS catalog probes, then demographic stats per state
+  //  band). Channels → any-order / urgent-order / returned-item; stats block
+  //  = count + exact-decimal sum + min/max of acctbal per (nation, segment).
+  //  The OR of EXISTS becomes ONE semi join against the union of the two key
+  //  sets — no double probe of the fact.
+  val q35ChannelProbes: Q = Q(
+    "tpcds_q35_channel_probes",
+    """SELECT n_name, c_mktsegment, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+      |  MIN(c_acctbal) AS bal_min, MAX(c_acctbal) AS bal_max
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND (EXISTS (SELECT 1 FROM orders
+      |               WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |       OR EXISTS (SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |                  WHERE o_custkey = c_custkey AND l_returnflag = 'R'))
+      |GROUP BY n_name, c_mktsegment
+      |ORDER BY n_name, c_mktsegment""".stripMargin) { (s, dir) =>
+    val orders = t(s, dir, "orders")
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k"))
+    val returned = lineorder(s, dir).filter(col("l_returnflag") === "R")
+      .select(col("o_custkey").as("k"))
+    val probe = urgent.union(returned).distinct()
+    t(s, dir, "customer")
+      .join(orders.select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(probe, col("c_custkey") === col("k"), "left_semi")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        asDouble(sum(dec(col("c_acctbal")))).as("bal_sum"),
+        min(col("c_acctbal")).as("bal_min"), max(col("c_acctbal")).as("bal_max"))
+      .orderBy("n_name", "c_mktsegment")
+  }
+
+  // --------------------------------------------------------------- Q41 shape
+  // (tpcds query41: DISTINCT product names in a price band whose manufacturer
+  //  also makes items matching OR'd attribute combos — a correlated COUNT(*)
+  //  over the dimension itself). Manufacturer → brand; attribute combos →
+  //  (type, size) bands. The correlated count collapses to one keyed agg over
+  //  the 25-brand dimension joined back — dimension-sized work either way.
+  val q41AttrCombo: Q = Q(
+    "tpcds_q41_attr_combo",
+    """SELECT DISTINCT p_name FROM part p1
+      |WHERE p_retailprice BETWEEN 950 AND 980
+      |  AND (SELECT COUNT(*) FROM part p2 WHERE p2.p_brand = p1.p_brand
+      |       AND ((p2.p_type = 'PROMO' AND p2.p_size BETWEEN 1 AND 15)
+      |         OR (p2.p_type = 'ECONOMY' AND p2.p_size BETWEEN 20 AND 35)
+      |         OR (p2.p_type = 'STANDARD' AND p2.p_size BETWEEN 40 AND 50))) > 0
+      |ORDER BY p_name""".stripMargin) { (s, dir) =>
+    val part = t(s, dir, "part")
+    val combos = part.filter(
+      (col("p_type") === "PROMO" && col("p_size").between(1, 15)) ||
+        (col("p_type") === "ECONOMY" && col("p_size").between(20, 35)) ||
+        (col("p_type") === "STANDARD" && col("p_size").between(40, 50)))
+      .select(col("p_brand").as("b")).distinct()
+    part.filter(col("p_retailprice").between(950, 980))
+      .join(broadcast(combos), col("p_brand") === col("b"), "left_semi")
+      .select(col("p_name")).distinct().orderBy("p_name")
+  }
+
+  // --------------------------------------------------------------- Q43 shape
+  // (tpcds query43: per-store revenue pivoted into sun_sales..sat_sales
+  //  day-of-week columns). Store → supplier nation. Seven FILTERed sums off
+  //  one fact pass; Spark dayofweek() is 1=Sunday, DuckDB's 0=Sunday, so the
+  //  Spark side shifts by one and both engines band identically.
+  val q43DowPivot: Q = Q(
+    "tpcds_q43_dow_pivot",
+    { val days = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+      val cols = days.zipWithIndex.map { case (d, i) =>
+        s"CAST(SUM(CASE WHEN dayofweek(CAST(o_orderdate AS DATE)) = $i THEN $netRevSql END) AS DOUBLE) AS ${d}_sales"
+      }.mkString(",\n  ")
+      s"""SELECT n_name, $cols
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin }) { (s, dir) =>
+    val days = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+    val aggs = days.zipWithIndex.map { case (d, i) =>
+      asDouble(sum(when(dayofweek(col("o_orderdate")) === i + 1, netRev)))
+        .as(s"${d}_sales")
+    }
+    lineorder(s, dir)
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("n_name")
+  }
+
+  // --------------------------------------------------------------- Q45 shape
+  // (tpcds query45: revenue by geography where zip IN a literal list OR item
+  //  IN a subquery — a disjunction between a dim attribute and a fact-key
+  //  membership probe, which defeats plain semi-join planning). The
+  //  membership side becomes a broadcast left join producing a match flag so
+  //  the OR stays one filter over one fact pass.
+  val q45ZipOrSubquery: Q = Q(
+    "tpcds_q45_zip_or_subquery",
+    s"""SELECT n_name, CAST(SUM($netRevSql) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11', 'NATION_19', 'NATION_23')
+       |   OR l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 3)
+       |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val hotNations = Seq("NATION_3", "NATION_7", "NATION_11", "NATION_19", "NATION_23")
+    val smallParts = t(s, dir, "part").filter(col("p_size") <= 3)
+      .select(col("p_partkey").as("sp_key")).distinct()
+    lineorder(s, dir)
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(smallParts), col("l_partkey") === col("sp_key"), "left")
+      .filter(col("n_name").isin(hotNations: _*) || col("sp_key").isNotNull)
+      .groupBy(col("n_name"))
+      .agg(asDouble(sum(netRev)).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  // --------------------------------------------------------------- Q48 shape
+  // (tpcds query48: one quantity sum under three OR'd (demographic band ×
+  //  price band) conjunctions plus a year gate). Bands → mktsegment ×
+  //  extendedprice; the whole disjunction is a single pushable filter over
+  //  one fact pass — no union of scans.
+  val q48BandedOrSum: Q = Q(
+    "tpcds_q48_banded_or_sum",
+    """SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS qty_sum
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE year(CAST(o_orderdate AS DATE)) = 1997
+      |  AND ((c_mktsegment = 'BUILDING'  AND l_extendedprice BETWEEN 900 AND 30000)
+      |    OR (c_mktsegment = 'MACHINERY' AND l_extendedprice BETWEEN 30000 AND 70000)
+      |    OR (c_mktsegment = 'HOUSEHOLD' AND l_extendedprice BETWEEN 70000 AND 105000))""".stripMargin) { (s, dir) =>
+    lineorder(s, dir)
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(year(col("o_orderdate")) === 1997 &&
+        ((col("c_mktsegment") === "BUILDING" && col("l_extendedprice").between(900, 30000)) ||
+          (col("c_mktsegment") === "MACHINERY" && col("l_extendedprice").between(30000, 70000)) ||
+          (col("c_mktsegment") === "HOUSEHOLD" && col("l_extendedprice").between(70000, 105000))))
+      .agg(sum(dec(col("l_quantity"))).cast("long").as("qty_sum"))
+  }
+
+  // --------------------------------------------------------------- Q82 shape
+  // (tpcds query82: items in a price band and a size list that actually moved
+  //  in a date window — a dimension-driven semi join against the fact).
+  //  Inventory presence → lineitem shipments in 1996-1997.
+  val q82InstockParts: Q = Q(
+    "tpcds_q82_instock_parts",
+    """SELECT DISTINCT p_name, p_brand, p_retailprice FROM part
+      |WHERE p_retailprice BETWEEN 920 AND 950 AND p_size IN (2, 7, 13, 19, 23)
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_partkey = p_partkey
+      |                AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |                AND l_shipdate < TIMESTAMP '1998-01-01')
+      |ORDER BY p_name, p_brand, p_retailprice""".stripMargin) { (s, dir) =>
+    val moved = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_partkey"))
+    t(s, dir, "part")
+      .filter(col("p_retailprice").between(920, 950) &&
+        col("p_size").isin(2, 7, 13, 19, 23))
+      .join(moved, col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_name"), col("p_brand"), col("p_retailprice"))
+      .distinct()
+      .orderBy("p_name", "p_brand", "p_retailprice")
+  }
+
+  // ---------------------------------------------------------------- Q7 shape
+  // (tpcds query7: four average metrics per item over a demographic +
+  //  promotion + year slice — the plain star-average family). Averages are
+  //  integer `div` of exact cents/hundredths so neither engine divides
+  //  doubles.
+  val q7StarAvgs: Q = Q(
+    "tpcds_q7_star_avgs",
+    """SELECT p_brand,
+      |  SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) // COUNT(*) AS avg_qty_h,
+      |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) // COUNT(*) AS avg_price_c,
+      |  SUM(CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)) // COUNT(*) AS avg_disc_bp,
+      |  COUNT(*) AS cnt
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE c_mktsegment = 'AUTOMOBILE' AND year(CAST(o_orderdate AS DATE)) = 1998
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    lineorder(s, dir)
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(col("c_mktsegment") === "AUTOMOBILE" && year(col("o_orderdate")) === 1998)
+      .groupBy(col("p_brand"))
+      .agg(
+        sum((dec(col("l_quantity")) * 100).cast("long")).as("qh"),
+        sum((dec(col("l_extendedprice")) * 100).cast("long")).as("pc"),
+        sum((col("l_discount").cast(org.apache.spark.sql.types.DecimalType(18, 4)) * 10000).cast("long")).as("db"),
+        count(lit(1)).as("cnt"))
+      .selectExpr("p_brand", "qh div cnt AS avg_qty_h", "pc div cnt AS avg_price_c",
+        "db div cnt AS avg_disc_bp", "cnt")
+      .orderBy("p_brand")
+  }
+
   val all: Seq[Q] = Seq(
     q1ReturnsAboveAvg, q2YoyMonthly, q5RollupChannels, q38IntersectCustomers,
     q47MavgOutliers, q67TopkRollup, q10ExistsConjunction, q88TimeBands,
@@ -1483,5 +1763,8 @@ object TpcdsQueries {
     q15OrPredicates, q25ResaleChain, q46CrossNation, q58ChannelBalance,
     q65LowRevenuePairs, q99ShipLatencyBuckets,
     q6PriceyStates, q21BeforeAfterBand, q32ExcessDiscount, q36LatticeRank,
-    q79BestVisit, q98ClassShare)
+    q79BestVisit, q98ClassShare,
+    q9CaseBuckets, q28PriceBuckets, q35ChannelProbes, q41AttrCombo,
+    q43DowPivot, q45ZipOrSubquery, q48BandedOrSum, q82InstockParts,
+    q7StarAvgs)
 }

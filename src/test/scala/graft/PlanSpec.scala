@@ -390,4 +390,35 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange hashpartitioning"))
     assert(exchanges <= 6, s"expected bounded keyed exchanges, got $exchanges:\n$p")
   }
+
+  test("tpcds q9/q28: banded bucket lattices run as ONE fact scan, no self-join fanout") {
+    // TPC-DS writes q9 as 15 scalar subqueries and q28 as 6 cross-joined
+    // self-scans; the Spark-first rewrite reads lineitem exactly once each.
+    val p9 = planOf("tpcds_q9_case_buckets")
+    val li9 = p9.linesIterator.count(l =>
+      (l.contains("FileScan") || l.contains("Scan parquet")) && l.contains("lineitem"))
+    assert(li9 == 1, s"q9 must scan lineitem once, got $li9:\n$p9")
+    val p28 = planOf("tpcds_q28_price_buckets")
+    val li28 = p28.linesIterator.count(l =>
+      (l.contains("FileScan") || l.contains("Scan parquet")) && l.contains("lineitem"))
+    assert(li28 == 1, s"q28 must scan lineitem once, got $li28:\n$p28")
+    assert(!p28.contains("CartesianProduct"), s"q28 buckets must not cross-join:\n$p28")
+  }
+
+  test("tpcds q35: OR of EXISTS probes is one semi join against a unioned key set") {
+    val p = planOf("tpcds_q35_channel_probes")
+    val semis = p.linesIterator.count(l => l.contains("LeftSemi"))
+    assert(semis == 2, s"EXISTS(any) + (EXISTS OR EXISTS) = exactly two semi joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no unkeyed join in the probe:\n$p")
+  }
+
+  test("tpcds q45: dim-attr OR subquery-membership stays one fact pass with a flag join") {
+    val p = planOf("tpcds_q45_zip_or_subquery")
+    val facts = p.linesIterator.count(l =>
+      (l.contains("FileScan") || l.contains("Scan parquet")) && l.contains("lineitem"))
+    assert(facts == 1, s"the OR must not union two fact scans, got $facts:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part key set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }
