@@ -33,7 +33,7 @@ object Stats {
     * compute full column statistics. Idempotent per (session, dir). */
   def register(spark: SparkSession, dir: String, tables: Seq[String] = tpchTables): Unit =
     synchronized {
-      val marker = s"graft.stats.analyzed.$dir"
+      val marker = s"graft.stats.analyzed.$dir.${tables.mkString("_")}"
       if (spark.conf.getOption(marker).isEmpty) {
         tables.foreach { t =>
           spark.sql(s"DROP TABLE IF EXISTS $t")

@@ -378,7 +378,74 @@ object JobQueries {
       .orderBy("cust_nation")
   }
 
+  /** JOB 28-class double snowflake: TWO fact spines (lineitem purchases,
+    * events clickstream) meeting at a shared hub dimension (customer), each
+    * dragging its own snowflake of dims — lineitem→part and
+    * lineitem→supplier→nation→region on one side, customer→nation→region on
+    * the hub. 10 relations, selective predicates on three leaves. Declared
+    * order is worst-possible: the two facts are fanned out through the hub
+    * FIRST (each customer's lineitems × that customer's events), dims last —
+    * a correct plan depends on the optimizer pushing the leaf filters into
+    * the scans and broadcasting every shrunken dim before the m:n hub
+    * fan-out (the public JOB 28a/28b/28c family shape — two snowflakes,
+    * movie-company and cast sides, meeting at the title hub; runner:
+    * reference src/benchmark/join_order_benchmark.cpp). */
+  val doubleSnowflake: Q = Q(
+    "job_double_snowflake",
+    """SELECT nc.n_name AS hub_nation, COUNT(*) AS n_paths,
+      |  MIN(p.p_name) AS min_part, MIN(su.s_name) AS min_supp,
+      |  SUM(CAST(FLOOR(l.l_quantity) AS BIGINT)) AS qty,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS event_value
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN events e ON e.user_id = c.c_custkey
+      |JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      |JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      |JOIN nation ns ON su.s_nationkey = ns.n_nationkey
+      |JOIN region rs ON ns.n_regionkey = rs.r_regionkey
+      |WHERE rc.r_name = 'ASIA' AND rs.r_name = 'EUROPE'
+      |  AND p.p_type = 'STANDARD' AND e.event_type = 'purchase'
+      |GROUP BY nc.n_name ORDER BY hub_nation""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      floor(col("l_quantity")).cast("long").as("l_qty"))
+    val ev = t(s, dir, "events").filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"))
+    val nc = t(s, dir, "nation").select(col("n_nationkey").as("nc_key"),
+      col("n_name").as("hub_nation"), col("n_regionkey").as("nc_rk"))
+    val rc = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      .select(col("r_regionkey").as("rc_key"))
+    val ns = t(s, dir, "nation").select(col("n_nationkey").as("ns_key"),
+      col("n_regionkey").as("ns_rk"))
+    val rs = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      .select(col("r_regionkey").as("rs_key"))
+    val p = t(s, dir, "part").filter(col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_name"))
+    val su = t(s, dir, "supplier").select(
+      col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    // deliberately naive declared order: fan both facts out through the hub
+    // first, snowflake dims last
+    li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(ev, col("user_id") === col("c_custkey"))
+      .join(nc, col("c_nationkey") === col("nc_key"))
+      .join(rc, col("nc_rk") === col("rc_key"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(ns, col("s_nationkey") === col("ns_key"))
+      .join(rs, col("ns_rk") === col("rs_key"))
+      .groupBy(col("hub_nation"))
+      .agg(count(lit(1)).as("n_paths"),
+        min(col("p_name")).as("min_part"), min(col("s_name")).as("min_supp"),
+        sum(col("l_qty")).as("qty"),
+        asDouble(sum(dec(col("value")))).as("event_value"))
+      .orderBy("hub_nation")
+  }
+
   val all: Seq[Q] = Seq(
     chain7, selfAliasStar, bushy, cycleSameKey, cycleNationClosure, thetaResidual,
-    star9Way, disjunctiveDim, correlatedPred, chain16)
+    star9Way, disjunctiveDim, correlatedPred, chain16, doubleSnowflake)
 }

@@ -413,6 +413,13 @@ class PlanSpec extends AnyFunSuite {
       s"no unkeyed join in the probe:\n$p")
   }
 
+  test("job double snowflake: both spines keep equi joins, dims broadcast, no cartesian") {
+    val p = planOf("job_double_snowflake")
+    assert(p.contains("BroadcastHashJoin"), s"filtered snowflake dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"10-relation graph must stay keyed:\n$p")
+  }
+
   test("tpcds q45: dim-attr OR subquery-membership stays one fact pass with a flag join") {
     val p = planOf("tpcds_q45_zip_or_subquery")
     val facts = p.linesIterator.count(l =>

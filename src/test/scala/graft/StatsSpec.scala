@@ -106,4 +106,36 @@ class StatsSpec extends AnyFunSuite {
       !physical.contains("BroadcastNestedLoopJoin"),
       s"theta residual must ride the nationkey hash join:\n$physical")
   }
+
+  test("JOB 28-class double snowflake: CBO must not start from the m:n hub fan-out") {
+    setup()
+    // second fact spine: events needs catalog stats too (nanos ts reads as long)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Stats.register(spark, SparkTestBase.sf, Seq("events"))
+    // the declared order fans lineitem × events out through the customer hub
+    // before any selective dim shrinks either side; with exact stats the
+    // reorderer must start each spine from a selective leaf edge instead —
+    // no innermost join may pair the two facts
+    val inner = innermostJoins(
+      """SELECT nc.n_name AS hub_nation, COUNT(*) AS n_paths
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN events e ON e.user_id = c.c_custkey
+        |JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        |JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier su ON l.l_suppkey = su.s_suppkey
+        |JOIN nation ns ON su.s_nationkey = ns.n_nationkey
+        |JOIN region rs ON ns.n_regionkey = rs.r_regionkey
+        |WHERE rc.r_name = 'ASIA' AND rs.r_name = 'EUROPE'
+        |  AND p.p_type = 'STANDARD' AND e.event_type = 'purchase'
+        |GROUP BY nc.n_name""".stripMargin)
+    assert(inner.nonEmpty)
+    inner.foreach { j =>
+      val s = j.toString
+      assert(!(s.contains("lineitem") && s.contains("events")),
+        s"the two fact spines must not meet before their dims shrink them:\n$j")
+    }
+  }
 }
