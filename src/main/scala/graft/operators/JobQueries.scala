@@ -445,7 +445,79 @@ object JobQueries {
       .orderBy("hub_nation")
   }
 
+  /** 12-relation ACYCLIC tree — the second deep-chain stressor: one fact
+    * (lineitem) whose spine climbs through orders→customer into the events
+    * clickstream, which chains onward through documents (event_id % 500 as
+    * the doc FK) into embeddings — every fixture table in one join tree.
+    * Unlike chain16 (self-join aliases) the graph here is a genuine tree:
+    * no relation appears twice under the same role and no closure edge
+    * exists, so the planner's search space is pure left-deep/bushy ordering
+    * over 11 edges (JOB's 13a/13d regime: long many-to-one ladders with
+    * selective leaves at both ends — region on the supplier side, part size,
+    * event type, document language). Declared order fans the fact through
+    * the customer hub into events FIRST and attaches every filtered leaf
+    * last; a sane plan does the opposite (reference runner:
+    * src/benchmark/join_order_benchmark.cpp). */
+  val chain12Acyclic: Q = Q(
+    "job_chain_12way_acyclic",
+    """SELECT nc.n_name AS hub_nation, COUNT(*) AS n_paths,
+      |  SUM(CAST(FLOOR(l.l_quantity) AS BIGINT)) AS qty,
+      |  SUM(CAST(emb.label AS BIGINT)) AS label_sum,
+      |  MIN(d.source) AS min_src
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN events e ON e.user_id = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      |JOIN region rs ON ns.n_regionkey = rs.r_regionkey
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      |JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+      |JOIN documents d ON d.doc_id = e.event_id % 500
+      |JOIN embeddings emb ON emb.vec_id = d.doc_id
+      |WHERE rs.r_name = 'AMERICA' AND p.p_size <= 10
+      |  AND e.event_type = 'click' AND d.lang = 'en'
+      |GROUP BY nc.n_name ORDER BY hub_nation""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      floor(col("l_quantity")).cast("long").as("l_qty"))
+    val ev = t(s, dir, "events").filter(col("event_type") === "click")
+      .select(col("user_id"), (col("event_id") % 500).as("e_doc"))
+    val nc = t(s, dir, "nation").select(col("n_nationkey").as("nc_key"),
+      col("n_name").as("hub_nation"), col("n_regionkey").as("nc_rk"))
+    val rc = t(s, dir, "region").select(col("r_regionkey").as("rc_key"))
+    val ns = t(s, dir, "nation").select(col("n_nationkey").as("ns_key"),
+      col("n_regionkey").as("ns_rk"))
+    val rs = t(s, dir, "region").filter(col("r_name") === "AMERICA")
+      .select(col("r_regionkey").as("rs_key"))
+    val p = t(s, dir, "part").filter(col("p_size") <= 10)
+      .select(col("p_partkey"))
+    val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val d = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(col("doc_id"), col("source"))
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("lbl"))
+    // declared worst-first: fan the fact through the customer hub into the
+    // clickstream before any selective leaf shrinks either side
+    li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(ev, col("user_id") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(ns, col("s_nationkey") === col("ns_key"))
+      .join(rs, col("ns_rk") === col("rs_key"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(nc, col("c_nationkey") === col("nc_key"))
+      .join(rc, col("nc_rk") === col("rc_key"))
+      .join(d, col("doc_id") === col("e_doc"))
+      .join(emb, col("vec_id") === col("doc_id"))
+      .groupBy(col("hub_nation"))
+      .agg(count(lit(1)).as("n_paths"), sum(col("l_qty")).as("qty"),
+        sum(col("lbl")).as("label_sum"), min(col("source")).as("min_src"))
+      .orderBy("hub_nation")
+  }
+
   val all: Seq[Q] = Seq(
     chain7, selfAliasStar, bushy, cycleSameKey, cycleNationClosure, thetaResidual,
-    star9Way, disjunctiveDim, correlatedPred, chain16, doubleSnowflake)
+    star9Way, disjunctiveDim, correlatedPred, chain16, doubleSnowflake, chain12Acyclic)
 }

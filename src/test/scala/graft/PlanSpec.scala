@@ -420,6 +420,15 @@ class PlanSpec extends AnyFunSuite {
       s"10-relation graph must stay keyed:\n$p")
   }
 
+  test("job 12-way acyclic tree: leaves broadcast, lang filter reaches the documents scan") {
+    val p = planOf("job_chain_12way_acyclic")
+    assert(p.contains("BroadcastHashJoin"), s"filtered leaves must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"12-relation tree must stay keyed:\n$p")
+    assert(p.contains("PushedFilters") && p.matches("(?s).*lang.*en.*"),
+      s"document language filter must push to the scan:\n$p")
+  }
+
   test("tpcds q45: dim-attr OR subquery-membership stays one fact pass with a flag join") {
     val p = planOf("tpcds_q45_zip_or_subquery")
     val facts = p.linesIterator.count(l =>
