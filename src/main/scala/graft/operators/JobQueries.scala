@@ -517,7 +517,41 @@ object JobQueries {
       .orderBy("hub_nation")
   }
 
+  /** JOB's signature OUTPUT shape — every one of the 113 reference queries
+    * returns a single row of MIN(attribute) aggregates over a many-way join
+    * with selective LIKE predicates on dimension strings (e.g. 1a.sql:
+    * `SELECT MIN(mc.note), MIN(t.title), MIN(t.production_year) ...
+    * WHERE mc.note LIKE '%(co-production)%'`). The stress is substring
+    * selectivity estimation: no histogram predicts `%gear%`, so the planner
+    * must either push the LIKE to the scan and let runtime stats (AQE)
+    * correct the join strategy, or eat a mis-sized build side. Contract:
+    * both LIKEs reach their scans as pushed StringContains/StartsWith and
+    * the shrunken part dim broadcasts. */
+  val likeMinProbe: Q = Q(
+    "job_like_min_probe",
+    """SELECT MIN(p.p_name) AS min_part, MIN(s.s_name) AS min_supp,
+      |  MIN(o.o_orderpriority) AS min_prio, COUNT(*) AS n
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE p.p_name LIKE '%gear%' AND o.o_orderpriority LIKE '1%'
+      |  AND c.c_mktsegment = 'BUILDING'""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part").filter(col("p_name").like("%gear%")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders").filter(col("o_orderpriority").like("1%")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .agg(min(col("p_name")).as("min_part"), min(col("s_name")).as("min_supp"),
+        min(col("o_orderpriority")).as("min_prio"), count(lit(1)).as("n"))
+  }
+
   val all: Seq[Q] = Seq(
     chain7, selfAliasStar, bushy, cycleSameKey, cycleNationClosure, thetaResidual,
-    star9Way, disjunctiveDim, correlatedPred, chain16, doubleSnowflake, chain12Acyclic)
+    star9Way, disjunctiveDim, correlatedPred, chain16, doubleSnowflake, chain12Acyclic,
+    likeMinProbe)
 }

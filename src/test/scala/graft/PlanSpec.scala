@@ -420,6 +420,17 @@ class PlanSpec extends AnyFunSuite {
       s"10-relation graph must stay keyed:\n$p")
   }
 
+  test("job like-min probe: substring predicates push to the scans, part dim broadcasts") {
+    val p = planOf("job_like_min_probe")
+    assert(p.matches("(?s).*PushedFilters.*StringContains\\(p_name,gear\\).*"),
+      s"%gear% must reach the part scan:\n$p")
+    assert(p.matches("(?s).*PushedFilters.*StringStartsWith\\(o_orderpriority,1\\).*"),
+      s"1%% must reach the orders scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"LIKE-shrunken part must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"probe must stay keyed:\n$p")
+  }
+
   test("job 12-way acyclic tree: leaves broadcast, lang filter reaches the documents scan") {
     val p = planOf("job_chain_12way_acyclic")
     assert(p.contains("BroadcastHashJoin"), s"filtered leaves must broadcast:\n$p")
