@@ -31,6 +31,7 @@ object SparkEntry {
       functions.DedupQueries.all ++
       functions.SimilarityQueries.all ++
       functions.CurationQueries.all ++
+      functions.SelectionQueries.all ++
       functions.RetrievalQueries.all ++
       functions.Multimodal.all
 

@@ -47,6 +47,23 @@ object DocStreams {
   def dedupedByFingerprint(docs: DataFrame): DataFrame =
     curated(docs).dropDuplicates("fp")
 
+  /** BOUNDED-STATE exact dedup: the 100 TB-correct variant of
+    * [[dedupedByFingerprint]]. Plain `dropDuplicates` keeps every key it has
+    * ever seen — on an unbounded ingest stream that state grows forever.
+    * `dropDuplicatesWithinWatermark` expires a key once the event-time
+    * watermark passes it, so state is proportional to the dedup horizon, not
+    * the stream's lifetime — the same horizon/expiry contract a production
+    * landing pipeline declares. The fixture has no ingest timestamp, so a
+    * deterministic event-time derives from doc identity (stands in for the
+    * real arrival time); the horizon exceeds the fixture's time spread, so
+    * stream == batch distinct is exact and spec-checkable. */
+  def dedupedByFingerprintBounded(docs: DataFrame): DataFrame =
+    curated(docs)
+      .withColumn("ingest_ts",
+        timestamp_seconds(lit(1700000000L) + col("doc_id") % 3600))
+      .withWatermark("ingest_ts", "2 hours")
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Ingest-time near-dup screening — a STREAM-STATIC join: arriving
     * documents compute their MinHash-LSH band keys (stateless expressions,
     * the same index definition as the batch pair join) and equi-join against

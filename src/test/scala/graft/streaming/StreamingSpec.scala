@@ -61,6 +61,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(deduped.count() == batchFps, "one survivor per distinct fingerprint")
   }
 
+  test("bounded-state dedup (dropDuplicatesWithinWatermark) == batch distinct") {
+    val deduped = EventStreams.runToMemory(
+      spark, DocStreams.dedupedByFingerprintBounded(DocStreams.source(spark, sf)),
+      "doc_dedup_bounded_out", OutputMode.Append())
+    val batchFps = Tables.df(spark, sf, "documents")
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .distinct().count()
+    assert(deduped.count() == batchFps,
+      "horizon exceeds the fixture's time spread, so bounded == exact dedup")
+    assert(deduped.select("fp").distinct().count() == deduped.count(),
+      "no duplicate fingerprint may survive")
+  }
+
   test("foreachBatch landing sink: every curated document reaches the catalog") {
     val cat = new graft.Catalog(spark)
     val q = DocStreams.landToCatalog(DocStreams.source(spark, sf), cat, "landed_docs")
