@@ -16,12 +16,28 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def df(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects by default; read it as a nanosecond-epoch long instead. Queries
-    // convert explicitly (floor(ts/1000) == DuckDB's microsecond truncation).
+    // events.parquet has shipped with two physical types for `ts`:
+    // TIMESTAMP(NANOS) (rejected by Spark's reader unless read as a
+    // nanosecond-epoch long) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).
+    // Queries are written against a single convention — nanosecond-epoch
+    // long, `ts DIV 1000` == DuckDB's `epoch_us(ts)` — so normalize here.
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(raw) else raw
+  }
+
+  /** Rewrite `ts` to a nanosecond-epoch long whatever the file carried.
+    * TIMESTAMP_NTZ wall-clock is interpreted in the session zone (pinned to
+    * UTC in GraftSession), matching DuckDB's naive-timestamp epoch_us. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    }
   }
 
   /** Register every fixture table as a temp view so `spark.sql` works 1:1 with

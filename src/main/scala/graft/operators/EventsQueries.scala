@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * streaming/time-series module (SURVEY §2.11) — these are beyond-parity, and the
   * same plans re-run under Structured Streaming in graft.streaming.
   *
-  * Timestamp convention: events.ts is parquet TIMESTAMP(NANOS), which Spark reads
-  * as a nanosecond-epoch long (Tables.df sets nanosAsLong) and DuckDB truncates to
-  * microseconds. All time math therefore happens on integer epochs:
-  * Spark `ts DIV 1000` == DuckDB `epoch_us(ts)`.
+  * Timestamp convention: Tables.df normalizes events.ts to a nanosecond-epoch
+  * long whatever the file carried (TIMESTAMP(NANOS) or TIMESTAMP(MICROS));
+  * DuckDB sees the raw column and truncates to microseconds. All time math
+  * therefore happens on integer epochs: Spark `ts DIV 1000` == DuckDB
+  * `epoch_us(ts)`.
   */
 object EventsQueries {
   import Det._

@@ -305,19 +305,32 @@ object RelationalQueries {
     * (reference: JoinMode::AntiNullAsTrue, src/lib/types.hpp:205-210 — when the
     * subquery yields a NULL, NOT IN is never true). Spark plans this as
     * NullAwareAntiJoin. Fixtures are null-free, so the inner side synthesizes
-    * NULL keys with NULLIF; the oracle does the same. */
+    * NULL keys with NULLIF; the oracle does the same. The main NOT IN list
+    * excludes the poisoned key so it stays null-free in VALUE (but nullable
+    * in TYPE → still the null-aware plan) and returns rows; the
+    * `n_null_poisoned` scalar column re-runs the poisoned variant, whose
+    * count must be 0 — NOT IN is never true once the list holds a NULL. A
+    * wrong NULL treatment flips that column, a broken anti join the rows. */
   val joinAntiNullAsTrue: Q = Q(
     "join_anti_null_as_true",
-    """SELECT c_custkey FROM customer
+    """SELECT c_custkey,
+      |  (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+      |    (SELECT NULLIF(o_custkey, 7) FROM orders WHERE o_totalprice > 100000)) AS n_null_poisoned
+      |FROM customer
       |WHERE c_custkey NOT IN
-      |  (SELECT NULLIF(o_custkey, 7) FROM orders WHERE o_totalprice > 100000)
+      |  (SELECT NULLIF(o_custkey, 7) FROM orders
+      |   WHERE o_totalprice > 100000 AND o_custkey <> 7)
       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
     t(s, dir, "customer").createOrReplaceTempView("customer")
     t(s, dir, "orders").createOrReplaceTempView("orders")
     s.sql(
-      """SELECT c_custkey FROM customer
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+        |    (SELECT NULLIF(o_custkey, 7) FROM orders WHERE o_totalprice > 100000)) AS n_null_poisoned
+        |FROM customer
         |WHERE c_custkey NOT IN
-        |  (SELECT NULLIF(o_custkey, 7) FROM orders WHERE o_totalprice > 100000)
+        |  (SELECT NULLIF(o_custkey, 7) FROM orders
+        |   WHERE o_totalprice > 100000 AND o_custkey <> 7)
         |ORDER BY c_custkey""".stripMargin)
   }
 

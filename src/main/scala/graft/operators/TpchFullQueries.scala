@@ -148,10 +148,10 @@ object TpchFullQueries {
       |  FROM part, supplier, lineitem, orders, nation
       |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
       |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
-      |    AND p_name LIKE '%green%')
+      |    AND p_name LIKE '%blue%')
       |GROUP BY nation, o_year
       |ORDER BY nation, o_year DESC""".stripMargin) { (s, dir) =>
-    val p = t(s, dir, "part").filter(col("p_name").like("%green%"))
+    val p = t(s, dir, "part").filter(col("p_name").like("%blue%"))
     val amount = net -
       lit(0.1).cast("decimal(2,1)") * dec(col("p_retailprice")) * dec(col("l_quantity"))
     t(s, dir, "lineitem")
@@ -176,12 +176,12 @@ object TpchFullQueries {
       |  FROM lineitem GROUP BY l_partkey)
       |WHERE value_dec > (
       |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))
-      |    * CAST(0.001 AS DECIMAL(4,3))
+      |    * CAST(0.0007 AS DECIMAL(5,4))
       |  FROM lineitem)
       |ORDER BY part_value DESC, l_partkey""".stripMargin) { (s, dir) =>
     val l = t(s, dir, "lineitem")
     val perPart = l.groupBy("l_partkey").agg(sum(net).as("value_dec"))
-    val threshold = l.agg((sum(net) * lit(0.001).cast("decimal(4,3)")).as("thr"))
+    val threshold = l.agg((sum(net) * lit(0.0007).cast("decimal(5,4)")).as("thr"))
     perPart.join(broadcast(threshold)) // 1-row scalar → broadcast nested loop
       .filter(col("value_dec") > col("thr"))
       .select(col("l_partkey"), asDouble(col("value_dec")).as("part_value"))
@@ -386,7 +386,8 @@ object TpchFullQueries {
       |    FROM customer
       |    WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
       |  AND NOT EXISTS (SELECT 1 FROM orders
-      |                  WHERE o_custkey = c_custkey)
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
     val inScope = t(s, dir, "customer")
       .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
@@ -395,7 +396,8 @@ object TpchFullQueries {
     inScope
       .join(broadcast(threshold))
       .filter(col("c_acctbal") > col("avg_bal"))
-      .join(t(s, dir, "orders").select("o_custkey"),
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= "2000-01-01 00:00:00").select("o_custkey"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("numcust"),

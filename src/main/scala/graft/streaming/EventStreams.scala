@@ -39,7 +39,7 @@ object EventStreams {
           tmp.resolve("events.parquet"))
         tmp.toString
       }
-    spark.readStream.schema(schema).parquet(streamDir)
+    graft.Tables.normalizeEventTs(spark.readStream.schema(schema).parquet(streamDir))
       .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
