@@ -206,5 +206,67 @@ object SelectionQueries {
     s"size(filter(ws, w -> array_contains($list, w)))"
   }
 
-  def all: Seq[Q] = Seq(bloomDecontaminate, dsirWeights, qualityLinear)
+  // ----------------------------------------------- bigram-LM fluency score
+  // Perplexity filtering (CCNet §4.2 trains a 5-gram KenLM and keeps the
+  // low-perplexity tail; Gopher/MassiveText and RefinedWeb run the same
+  // gate): score each doc by how probable its token transitions are under a
+  // language model estimated FROM THE CORPUS ITSELF. Here the LM is a
+  // hashed-bucket bigram model (count-sketch style, LM_B buckets — bounded
+  // state regardless of corpus size) with add-one smoothing, and the score
+  // is the integer-exact surrogate of the per-bigram average probability:
+  //   p_ppm(w1 w2) = (1e6 * (c(w1 w2) + 1)) div (c(w1 ·) + LM_B)
+  //   fluency_ppm(doc) = SUM(p_ppm) div n_bigrams
+  // (monotone in the geometric-mean probability's arithmetic companion;
+  // log-free so the DuckDB oracle compares bit-exactly). High score = the
+  // doc's transitions are common corpus-wide = "fluent"; gibberish and
+  // shuffled text score low.
+  // Scale: POSITIONAL bigrams (every occurrence) explode map-side; the two
+  // count tables are keyed aggs bounded at LM_B rows each, so they BROADCAST
+  // back regardless of corpus size; the only corpus-sized shuffle is the
+  // final per-doc re-aggregation — the same shape as cur_dsir_weights.
+  private val LM_B = 4096L
+
+  val lmFluency: Q = Q(
+    "text_lm_fluency",
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    ${hash64Sql("g", "lmb")} % $LM_B AS bg,
+       |    ${hash64Sql("string_split(g, ' ')[1]", "lmu")} % $LM_B AS cx
+       |  FROM (
+       |    SELECT doc_id, unnest(${spansSql("ws", 2)}) AS g
+       |    FROM (SELECT doc_id, ${tokensSql("text")} AS ws FROM documents)
+       |    WHERE len(ws) >= 2)
+       |), bgc AS (SELECT bg, COUNT(*) AS bg_ct FROM keyed GROUP BY bg),
+       |cxc AS (SELECT cx, COUNT(*) AS cx_ct FROM keyed GROUP BY cx)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  SUM((1000000 * (bg_ct + 1)) // (cx_ct + $LM_B)) // COUNT(*) AS fluency_ppm
+       |FROM keyed JOIN bgc USING (bg) JOIN cxc USING (cx)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    fluencyOf(docs(s, dir))
+  }
+
+  /** The fluency pipeline over any (doc_id, text) frame — the spec feeds a
+    * handcrafted corpus to prove fluent-vs-gibberish separation. */
+  private[functions] def fluencyOf(d: DataFrame): DataFrame = {
+    val keyed = d
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(spans(col("ws"), 2)).as("g"))
+      .select(col("doc_id"),
+        (hash64(col("g"), "lmb") % LM_B).as("bg"),
+        (hash64(split(col("g"), " ").getItem(0), "lmu") % LM_B).as("cx"))
+    val bgc = keyed.groupBy("bg").agg(count(lit(1)).as("bg_ct"))
+    val cxc = keyed.groupBy("cx").agg(count(lit(1)).as("cx_ct"))
+    keyed
+      .join(broadcast(bgc), "bg")   // ≤ LM_B rows: broadcastable at any corpus size
+      .join(broadcast(cxc), "cx")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr(s"sum((1000000 * (bg_ct + 1)) div (cx_ct + $LM_B)) div count(1)")
+          .as("fluency_ppm"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(bloomDecontaminate, dsirWeights, qualityLinear, lmFluency)
 }

@@ -86,6 +86,31 @@ class SelectionSpec extends AnyFunSuite {
       s"top-k must be enriched in the target lang ($enFracTop vs corpus $enFracAll)")
   }
 
+  test("lm fluency: repeated common transitions outscore gibberish; bounds hold") {
+    import spark.implicits._
+    // 20 copies of the same sentence make its bigrams corpus-dominant; one
+    // gibberish doc has transitions seen nowhere else.
+    val fluent = (1L to 20L).map(i => (i, "the cat sat on the mat and the dog ran"))
+    val noise = Seq((99L, "zq xv plk wrn ghj bnm qwe rty uio asd"))
+    val d = (fluent ++ noise).toDF("doc_id", "text")
+    val rows = SelectionQueries.fluencyOf(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows.size == 21)
+    rows.values.foreach(v => assert(v > 0 && v <= 1000000L, s"ppm out of range: $v"))
+    assert(rows(1L) > rows(99L) * 5,
+      s"fluent ${rows(1L)} should far outscore gibberish ${rows(99L)}")
+  }
+
+  test("lm fluency on the fixture corpus: deterministic, all multi-token docs scored") {
+    val a = SelectionQueries.lmFluency.run(spark, sf).collect()
+    val b = SelectionQueries.lmFluency.run(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "bit-stable across runs")
+    val nMulti = graft.Tables.df(spark, sf, "documents")
+      .filter(size(split(trim(col("text")), "\\s+")) >= 2).count()
+    assert(a.length == nMulti, "every >=2-token doc gets a score")
+    a.foreach(r => assert(r.getLong(2) > 0 && r.getLong(2) <= 1000000L))
+  }
+
   test("quality linear: non-degenerate keep split, flag consistent with threshold") {
     val rows = SelectionQueries.qualityLinear.run(spark, sf).collect()
     assert(rows.length == 500)
