@@ -221,6 +221,56 @@ object CurationQueries {
       .orderBy("lang", "pack_id")
   }
 
+  // --------------------------------------------- chunking with overlap
+  // The inverse of packing: split each document into fixed-token context
+  // windows with stride overlap (the standard pretraining prep for docs
+  // longer than the model context — GPT-3 era pipelines chunk with
+  // CHUNK-token windows every STRIDE tokens so no boundary loses context).
+  // Map-only: the chunk lattice is computed per row inside codegen (explode
+  // of an integer sequence + array slice), no shuffle at all until the
+  // ORDER BY presentation sort — at 100 TB this is a pure scan-transform.
+  // chunk_fp (the hash of the chunk text) feeds chunk-level exact dedup
+  // downstream, the reason chunking belongs in the engine rather than the
+  // tokenizer loader.
+
+  // Window/stride sized to the fixture corpus (docs are 10-99 tokens) so the
+  // lattice is non-vacuous: >48-token docs split into up to 3 overlapping
+  // chunks. A real pipeline uses its model context (e.g. 2048/1536) — only
+  // these two constants change; the plan shape is identical.
+  private val CHUNK = 48
+  private val STRIDE = 32 // 16-token overlap between consecutive windows
+
+  val chunkOverlap: Q = Q(
+    "cur_chunk_overlap",
+    s"""SELECT doc_id, chunk_id,
+       |  chunk_id * $STRIDE + 1 AS start_tok,
+       |  len(ws[chunk_id * $STRIDE + 1 : chunk_id * $STRIDE + $CHUNK]) AS n_tok,
+       |  ${hash64Sql(s"array_to_string(ws[chunk_id * $STRIDE + 1 : chunk_id * $STRIDE + $CHUNK], ' ')", "chk")} AS chunk_fp
+       |FROM (
+       |  SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_id
+       |  FROM (
+       |    SELECT doc_id, ws,
+       |      CASE WHEN len(ws) > $CHUNK
+       |        THEN 1 + (len(ws) - $CHUNK + $STRIDE - 1) // $STRIDE
+       |        ELSE 1 END AS n_chunks
+       |    FROM (SELECT doc_id, ${tokensSql("text")} AS ws FROM documents)))
+       |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    val chunk = slice(col("ws"), col("chunk_id") * STRIDE + 1, lit(CHUNK))
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .withColumn("n_chunks",
+        expr(s"CASE WHEN size(ws) > $CHUNK" +
+          s" THEN 1L + (size(ws) - $CHUNK + ${STRIDE - 1}) div $STRIDE" +
+          s" ELSE 1L END"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * STRIDE + 1).as("start_tok"),
+        size(chunk).cast("long").as("n_tok"),
+        hash64(array_join(chunk, " "), "chk").as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   // ---------------------------------------- duplicate-cluster resolution (CC)
   // Near-dup pairs are edges; the keep/drop unit is the connected component.
   // Spark side: min-label propagation (the Pregel/GraphX CC algorithm) — each
@@ -973,5 +1023,5 @@ object CurationQueries {
     repetition, qualityFilter, sampleStratified, packSequences, dedupClusterCc,
     corpusDiff, decontaminate, domainMix, oversampleEpochs, splitAssign, domainCap,
     endToEnd, shardAssign, dedupClusterHistogram, sourceHealth, tokenLengthHist,
-    temperatureSample, ruleFunnel, pageRank)
+    temperatureSample, ruleFunnel, pageRank, chunkOverlap)
 }

@@ -9,6 +9,30 @@ class CurationSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val sf = SparkTestBase.sf
 
+  test("chunk overlap: full coverage, contiguous ids, stride overlap, fp matches content") {
+    val rows = CurationQueries.chunkOverlap.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nTok = graft.Tables.df(spark, sf, "documents")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet == nTok.keySet, "every doc chunked")
+    byDoc.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until cs.length).toSeq, "contiguous chunk ids")
+      sorted.foreach { case (_, cid, start, n) =>
+        assert(start == cid * 32 + 1, "stride-spaced starts")
+        assert(n >= 1 && n <= 48)
+      }
+      val (_, _, lastStart, lastN) = sorted.last
+      assert(lastStart + lastN - 1 == nTok(doc), s"last chunk reaches the doc end for $doc")
+      if (sorted.length > 1)
+        assert(sorted.init.forall(_._4 == 48), "all non-final chunks are full windows")
+      assert(nTok(doc) > 48 == sorted.length > 1, "multi-chunk iff doc exceeds the window")
+    }
+    assert(rows.length > nTok.size, "corpus must produce a non-vacuous lattice")
+  }
+
   test("decontamination: eval docs never flagged, overlaps meet the threshold") {
     val flagged = CurationQueries.decontaminate.run(spark, sf).collect()
     assert(flagged.nonEmpty, "synthetic corpus should have some contaminated docs")
