@@ -448,4 +448,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"part key set must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("lm fluency: both bounded LM count tables join as broadcasts, no sort-merge") {
+    val p = planOf("text_lm_fluency")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"bg and cx count tables (<=4096 rows) must both broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the corpus side must never shuffle for the LM joins:\n$p")
+  }
+
+  test("chunk overlap: the lattice is map-only — no shuffle before the presentation sort") {
+    val p = planOf("cur_chunk_overlap")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not hash-shuffle (pure scan-transform + range sort):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"chunking joins nothing:\n$p")
+  }
 }
