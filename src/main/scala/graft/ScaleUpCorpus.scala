@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-family N× scale-up with REALISTIC duplicate structure, so the
+  * dedup/ANN operators can be scale-MEASURED (the TPC-H family got this via
+  * `ScaleUp`; the corpus family was only plan-audited until now).
+  *
+  * Naive N× replication (ScaleUp) is wrong for dedup benching: every document
+  * would gain N−1 exact copies, so LSH band buckets hold N docs each and the
+  * per-bucket pair enumeration degenerates to O(N²) per base doc — a dup
+  * density no real corpus has. Instead:
+  *
+  *  - copy 0 is the original corpus, verbatim;
+  *  - every 10th base doc keeps copies 1–2 verbatim too → 10% of base docs
+  *    become exact-duplicate clusters of size 3 (bounded, realistic — this is
+  *    the dup rate large web corpora show after coarse URL dedup);
+  *  - all other copies get a copy-specific salt token spliced in every 5
+  *    words, so EVERY shingle-sized window differs from every other copy:
+  *    the copies are genuinely distinct documents, not near-dups;
+  *  - embeddings follow the same rule: 10% exact triples, the rest jittered
+  *    per-component (±0.05, deterministic in (vec_id, copy, i)) so the label
+  *    cluster structure survives while no two copies are bitwise equal.
+  *
+  * Deterministic end to end (no Random), distributed end to end (broadcast
+  * copy fan-out, map-only transforms, multi-file parquet out). Only the two
+  * corpus tables are written — the corpus queries read nothing else.
+  *
+  * Usage: `runMain graft.ScaleUpCorpus <srcSfDir> <dstDir> [factor=10]`, then
+  * `SPARK_GRAFT_SF_DIR=<dstDir> SPARK_GRAFT_BENCH_NAMES=dedup_... runMain
+  * graft.Bench`. Bench-evidence tooling, not part of the driver contract.
+  */
+object ScaleUpCorpus {
+
+  /** Exact-dup rule shared by both tables: base key ≡ 0 (mod 10) keeps its
+    * first `DupClusterSize` copies verbatim. */
+  private val DupClusterSize = 3
+
+  def scaleDocuments(docs: DataFrame, factor: Int, stride: Long): DataFrame = {
+    val copies = broadcast(docs.sparkSession.range(factor.toLong).toDF("copy_k"))
+    val keepVerbatim =
+      col("copy_k") === 0 ||
+        (col("doc_id") % 10 === 0 && col("copy_k") < DupClusterSize)
+    // splice " s<k>" after every 5th word: every 5-gram window of a salted
+    // copy contains a token no other copy has → Jaccard across copies is low
+    val salted = regexp_replace(
+      col("text"), lit("((?:\\S+\\s+){5})"),
+      concat(lit("$1s"), col("copy_k").cast("string"), lit(" ")))
+    docs.crossJoin(copies)
+      .withColumn("text", when(keepVerbatim, col("text")).otherwise(salted))
+      .select(
+        (col("doc_id") + col("copy_k") * stride).cast("long").as("doc_id"),
+        col("text"), col("lang"), col("source"),
+        length(col("text")).cast("int").as("n_chars"))
+  }
+
+  def scaleEmbeddings(emb: DataFrame, factor: Int, stride: Long): DataFrame = {
+    val copies = broadcast(emb.sparkSession.range(factor.toLong).toDF("copy_k"))
+    val keepVerbatim =
+      col("copy_k") === 0 ||
+        (col("vec_id") % 10 === 0 && col("copy_k") < DupClusterSize)
+    val jittered = expr(
+      "transform(embedding, (x, i) -> cast(x + 0.05d * sin(vec_id * 1.7d + copy_k * 0.61d + i) as float))")
+    emb.crossJoin(copies)
+      .withColumn("embedding", when(keepVerbatim, col("embedding")).otherwise(jittered))
+      .select(
+        (col("vec_id") + col("copy_k") * stride).cast("long").as("vec_id"),
+        col("embedding"), col("label"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (src, dst) = (args(0), args(1))
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.tuned(
+      SparkSession.builder().master("local[32]").appName("graft-scale-up-corpus"),
+      shufflePartitions = 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.df(spark, src, "documents")
+    val emb = Tables.df(spark, src, "embeddings")
+    val docStride = docs.agg(max(col("doc_id").cast("long"))).collect()(0).getLong(0) + 1L
+    val vecStride = emb.agg(max(col("vec_id").cast("long"))).collect()(0).getLong(0) + 1L
+
+    val parts = math.max(8, factor / 4)
+    scaleDocuments(docs, factor, docStride)
+      .repartition(parts).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    scaleEmbeddings(emb, factor, vecStride)
+      .repartition(parts).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    // sanity facts for the bench-evidence record
+    val d = spark.read.parquet(s"$dst/documents.parquet")
+    val dupClusters = d.groupBy(md5(col("text"))).count().filter(col("count") > 1)
+    println(s"documents: ${d.count()} rows, " +
+      s"exact-dup clusters: ${dupClusters.count()} " +
+      s"(max size ${dupClusters.agg(max("count")).collect()(0).getLong(0)})")
+    println(s"embeddings: ${spark.read.parquet(s"$dst/embeddings.parquet").count()} rows")
+    spark.stop()
+  }
+}
