@@ -16,9 +16,22 @@ import org.apache.spark.sql.functions._
   *  - every 10th base doc keeps copies 1–2 verbatim too → 10% of base docs
   *    become exact-duplicate clusters of size 3 (bounded, realistic — this is
   *    the dup rate large web corpora show after coarse URL dedup);
-  *  - all other copies get a copy-specific salt token spliced in every 5
-  *    words, so EVERY shingle-sized window differs from every other copy:
-  *    the copies are genuinely distinct documents, not near-dups;
+  *  - all other copies REWRITE every 3rd word to a copy-salted form
+  *    ("s<k><word>"). With the dedup family's 3-word shingles
+  *    (DedupQueries.NGRAM) every shingle window of a salted copy contains a
+  *    salted position, so cross-copy shingle overlap is exactly zero — the
+  *    copies are genuinely distinct documents, not near-dups. Crucially the
+  *    rewrite PRESERVES each window's specificity (the salted token is a
+  *    function of the word it replaces, so a window's document frequency
+  *    within a copy equals the base corpus's df for that window): the scaled
+  *    corpus's shingle-df histogram is N disjoint replicas of the base
+  *    histogram, which is exactly "N× more data from the same distribution".
+  *    Earlier drafts that INSERTED a constant or echo token between words
+  *    degraded windows to bigram strength and inflated hot-shingle df far
+  *    beyond anything the base distribution has — a generator artifact, not
+  *    a corpus property. (The template-boilerplate stress where copies share
+  *    half their shingles is covered separately by the naive-replication
+  *    sf10 bench.);
   *  - embeddings follow the same rule: 10% exact triples, the rest jittered
   *    per-component (±0.05, deterministic in (vec_id, copy, i)) so the label
   *    cluster structure survives while no two copies are bitwise equal.
@@ -42,11 +55,12 @@ object ScaleUpCorpus {
     val keepVerbatim =
       col("copy_k") === 0 ||
         (col("doc_id") % 10 === 0 && col("copy_k") < DupClusterSize)
-    // splice " s<k>" after every 5th word: every 5-gram window of a salted
-    // copy contains a token no other copy has → Jaccard across copies is low
+    // rewrite every 3rd word to its copy-salted form (see scaladoc: zero
+    // cross-copy shingle overlap at NGRAM=3 with the base df histogram
+    // preserved within each copy)
     val salted = regexp_replace(
-      col("text"), lit("((?:\\S+\\s+){5})"),
-      concat(lit("$1s"), col("copy_k").cast("string"), lit(" ")))
+      col("text"), lit("((?:\\S+\\s+){2})(\\S+)"),
+      concat(lit("$1s"), col("copy_k").cast("string"), lit("$2")))
     docs.crossJoin(copies)
       .withColumn("text", when(keepVerbatim, col("text")).otherwise(salted))
       .select(

@@ -478,10 +478,10 @@ object CurationQueries {
     val isEval = hash64(col("doc_id").cast("string"), "eval") % 100 < EVAL_PCT
     // integer shingle keys (one md5 per token) — the join keys shrink to
     // 8-byte longs, same keys as the dedup family (DedupQueries.hsgOf)
-    val evalSh = DedupQueries.hsgOf(d.filter(isEval))
-      .select(explode(col("hsg")).as("s")).distinct()
-    val trainSh = DedupQueries.hsgOf(d.filter(!isEval))
-      .select(col("doc_id"), explode(col("hsg")).as("s"))
+    val evalSh = TextFunctions.explodeNoReeval(
+      DedupQueries.hsgOf(d.filter(isEval)), Seq.empty, col("hsg"), "s").distinct()
+    val trainSh = TextFunctions.explodeNoReeval(
+      DedupQueries.hsgOf(d.filter(!isEval)), Seq(col("doc_id")), col("hsg"), "s")
       .distinct()
     trainSh.join(evalSh, "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))

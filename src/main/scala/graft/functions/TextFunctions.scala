@@ -19,6 +19,26 @@ import org.apache.spark.sql.{functions => F}
   */
 object TextFunctions {
 
+  /** `explode` an EXPENSIVE computed array without the optimizer re-inlining
+    * the generator expression into a pre-Generate filter.
+    *
+    * Plain `explode(arr)` lets `InferFiltersFromGenerate` add
+    * `size(arr) > 0 AND isnotnull(arr)` below the Generate; predicate
+    * pushdown then collapses the whole generator expression into that
+    * filter, where every `element_at(transform(...), i)` re-materializes the
+    * full inner array PER ELEMENT — turning a linear shingling pass into
+    * O(tokens²) md5 work per document (measured: 130 s vs 0.7 s for the
+    * sf0.1 shingle explode; the same pathology Spark tracks as the
+    * expensive-Generate-inference family, cf. SPARK-36715).
+    * `explode_outer` infers no such filter — empty/null arrays emit a null
+    * element instead — so filtering the OUTPUT column afterwards is
+    * both equivalent (non-null elements are identical; empty/null arrays
+    * contribute nothing either way — our arrays never contain nulls) and
+    * cheap (the filter references only the generated column). */
+  def explodeNoReeval(df: org.apache.spark.sql.DataFrame, keep: Seq[Column],
+                      arr: Column, as: String): org.apache.spark.sql.DataFrame =
+    df.select(keep :+ F.explode_outer(arr).as(as): _*).filter(F.col(as).isNotNull)
+
   // ------------------------------------------------------------ tokens
 
   /** Whitespace tokens of trimmed text. */

@@ -92,13 +92,14 @@ object DocStreams {
     * benchmark size. */
   def decontaminationScreen(stream: DataFrame, evalDocs: DataFrame): DataFrame = {
     import graft.functions.DedupQueries
-    val evalSh = evalDocs
-      .select(explode(TextFunctions.shingles(
-        TextFunctions.tokens(col("text")), DedupQueries.NGRAM)).as("s"))
+    val evalSh = TextFunctions.explodeNoReeval(
+        evalDocs.select(TextFunctions.tokens(col("text")).as("ws")),
+        Seq.empty, TextFunctions.shingles(col("ws"), DedupQueries.NGRAM), "s")
       .distinct()
-    stream
-      .select(col("doc_id"), explode(array_distinct(TextFunctions.shingles(
-        TextFunctions.tokens(col("text")), DedupQueries.NGRAM))).as("s"))
+    TextFunctions.explodeNoReeval(
+        stream.select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws")),
+        Seq(col("doc_id")),
+        array_distinct(TextFunctions.shingles(col("ws"), DedupQueries.NGRAM)), "s")
       .join(evalSh, Seq("s"))
       .select(col("doc_id"), col("s"))
   }
