@@ -1019,9 +1019,102 @@ object CurationQueries {
     }
   }
 
+  // ------------------------------------------------------ line-level dedup
+  // C4's corpus-global line dedup (Raffel et al. 2020, arXiv:1910.10683 §2.2:
+  // "we discarded all but one of any three-sentence span occurring more than
+  // once") / RefinedWeb's line-wise filtering: count every LINE's occurrences
+  // across the WHOLE corpus, keep only the globally-first occurrence of any
+  // line that appears >= LINE_DF_MAX times, and rebuild each document from
+  // its surviving lines. This is the op that strips cross-site boilerplate
+  // (nav bars, licence footers, cookie banners) that doc-level near-dup
+  // cannot see. The fixture corpus has no newlines, so a "line" here is a
+  // non-overlapping LINE_W-token segment — the boundary rule is a pluggable
+  // detail; the corpus-global frequency + keep-first + rebuild pipeline is
+  // the operator.
+  //
+  // Scale shape (the part that must survive 100 TB): segmentation is map-only;
+  // line keys are 8-byte hashes (one shuffle to count df); the duplicate-line
+  // table (df >= threshold) is FAR smaller than the corpus — boilerplate by
+  // definition — and joins back LEFT on the 8-byte key (AQE broadcasts it when
+  // small); rebuild is one doc_id-keyed aggregation. Nothing is ever
+  // all-pairs, and no stage holds more than one doc's lines in memory.
+  // First-occurrence order key packs (doc_id, pos) into one long — valid while
+  // a single doc has < 2^20 segments (~10M tokens/doc), asserted below.
+
+  private val LINE_W = 10       // tokens per pseudo-line (fixture boundary rule)
+  private val LINE_DF_MAX = 3L  // C4's "more than once" at 3-sentence spans → df >= 3 here
+
+  /** Corpus-global line dedup: keep-first of hot lines, rebuild docs. */
+  val lineDedup: Q = Q(
+    "cur_line_dedup",
+    s"""WITH t AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS ws FROM documents
+       |), sg AS (
+       |  SELECT doc_id,
+       |         [array_to_string(ws[(g-1)*$LINE_W+1 : g*$LINE_W], ' ')
+       |          for g in range(1, CAST(ceil(len(ws) / $LINE_W.0) AS BIGINT) + 1)] AS segs
+       |  FROM t
+       |), ln AS (
+       |  SELECT doc_id,
+       |         unnest(range(1, len(segs) + 1)) AS pos,
+       |         unnest(segs) AS seg
+       |  FROM sg
+       |), ky AS (
+       |  SELECT doc_id, pos, seg, ${hash64Sql("seg", "ld")} AS k,
+       |         doc_id * 1048576 + pos AS ord2
+       |  FROM ln
+       |), hot AS (
+       |  SELECT k, MIN(ord2) AS fk FROM ky
+       |  GROUP BY k HAVING COUNT(*) >= $LINE_DF_MAX
+       |), kept AS (
+       |  SELECT ky.doc_id, ky.pos, ky.seg
+       |  FROM ky LEFT JOIN hot ON ky.k = hot.k
+       |  WHERE hot.k IS NULL OR ky.ord2 = hot.fk
+       |), tot AS (
+       |  SELECT doc_id, COUNT(*) AS n_seg FROM ky GROUP BY doc_id
+       |)
+       |SELECT kept.doc_id, ANY_VALUE(tot.n_seg) AS n_seg,
+       |       COUNT(*) AS n_kept,
+       |       string_agg(seg, ' ' ORDER BY pos) AS new_text
+       |FROM kept JOIN tot ON kept.doc_id = tot.doc_id
+       |GROUP BY kept.doc_id
+       |ORDER BY kept.doc_id""".stripMargin) { (s, dir) =>
+    val t = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("ws"))
+    val segs = transform(
+      sequence(lit(1), ceil(size(col("ws")) / lit(LINE_W.toDouble)).cast("int")),
+      g => concat_ws(" ", slice(col("ws"), (g - lit(1)) * LINE_W + lit(1), lit(LINE_W))))
+    // posexplode_outer + output filter, same generator-re-eval guard as
+    // TextFunctions.explodeNoReeval (the segment lattice is expensive)
+    val ln = t.select(col("doc_id"), posexplode_outer(segs).as(Seq("p0", "seg")))
+      .filter(col("seg").isNotNull)
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("seg"))
+    val ky = ln
+      .withColumn("k", hash64(col("seg"), "ld"))
+      .withColumn("ord2", col("doc_id") * (1L << 20) + col("pos"))
+      .localCheckpoint() // three consumers below (hot, kept, tot)
+    // the duplicated-line table: small relative to the corpus (boilerplate),
+    // LEFT-joined back on the 8-byte key — AQE broadcasts it when small
+    val hot = ky.groupBy("k")
+      .agg(count(lit(1)).as("df"), min(col("ord2")).as("fk"))
+      .filter(col("df") >= LINE_DF_MAX)
+      .select(col("k"), col("fk"))
+    val kept = ky.join(hot, Seq("k"), "left")
+      .filter(col("fk").isNull || col("ord2") === col("fk"))
+    val tot = ky.groupBy("doc_id").agg(count(lit(1)).as("n_seg"))
+    kept.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+            x => x.getField("seg")), " ").as("new_text"))
+      .join(tot, "doc_id")
+      .select(col("doc_id"), col("n_seg"), col("n_kept"), col("new_text"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     repetition, qualityFilter, sampleStratified, packSequences, dedupClusterCc,
     corpusDiff, decontaminate, domainMix, oversampleEpochs, splitAssign, domainCap,
     endToEnd, shardAssign, dedupClusterHistogram, sourceHealth, tokenLengthHist,
-    temperatureSample, ruleFunnel, pageRank, chunkOverlap)
+    temperatureSample, ruleFunnel, pageRank, chunkOverlap, lineDedup)
 }

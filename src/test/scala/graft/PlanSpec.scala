@@ -464,4 +464,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"chunking joins nothing:\n$p")
   }
+
+  test("line dedup: keyed equi-joins only, no cartesian, no global window") {
+    val p = planOf("cur_line_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"line dedup must never go all-pairs:\n$p")
+    assert(!p.contains("Window"),
+      s"keep-first is resolved by a keyed min aggregate, not a window:\n$p")
+  }
 }

@@ -241,4 +241,28 @@ class CurationSpec extends AnyFunSuite {
       assert(ids.min == rep, s"cluster $rep: representative must be min member")
     }
   }
+
+  test("line dedup: unpruned docs reconstruct verbatim; hot lines keep exactly one occurrence") {
+    val out = CurationQueries.lineDedup.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val orig = graft.Tables.df(spark, sf, "documents")
+      .select(col("doc_id"), concat_ws(" ", split(trim(col("text")), "\\s+")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty && out.forall { case (_, nSeg, nKept, _) => nKept <= nSeg && nKept >= 1 })
+    // a doc that lost nothing must rebuild to its whitespace-normalized self
+    val unpruned = out.filter { case (_, nSeg, nKept, _) => nSeg == nKept }
+    assert(unpruned.nonEmpty, "fixture must contain unpruned docs")
+    unpruned.foreach { case (id, _, _, txt) =>
+      assert(txt == orig(id), s"doc $id: lossless rebuild expected")
+    }
+    // some pruning must actually happen on the fixture (planted dups + tails)
+    assert(out.exists { case (_, nSeg, nKept, _) => nKept < nSeg }, "no lines pruned — vacuous")
+    // global keep-first: after dedup no line occurs >= LINE_DF_MAX times
+    val segCounts = out.toSeq
+      .flatMap { case (_, _, _, txt) =>
+        val ws = txt.split("\\s+")
+        ws.grouped(10).map(_.mkString(" ")) }
+      .groupBy(identity).map(_._2.size)
+    assert(segCounts.max < 3, "a line still occurs >= LINE_DF_MAX times after dedup")
+  }
 }
