@@ -113,6 +113,7 @@ final class Catalog(val spark: SparkSession) {
           case (n, Some(df)) => publish(n, df); lastCommit.put(n, cid); recordHistory(n, cid)
           case (n, None) => removeBinding(n); lastCommit.put(n, cid); recordHistory(n, cid)
         }
+        refreshMatViewsOver(writes.map(_._1))
         logEvent("INFO", s"txn commit cid=$cid tables=${writes.map(_._1).mkString(",")}")
         Right(cid)
       }
@@ -227,6 +228,9 @@ final class Catalog(val spark: SparkSession) {
   def hasTable(name: String): Boolean = tables.contains(name)
 
   def dropTable(name: String): Unit = {
+    val dependents = matViewDefs.values.filter(_.base == name).map(_.name).toSeq.sorted
+    require(dependents.isEmpty,
+      s"cannot drop $name: materialized view(s) ${dependents.mkString(", ")} depend on it")
     removeBinding(name)
     recordCommit(name)
     logEvent("INFO", s"drop table $name")
@@ -235,8 +239,11 @@ final class Catalog(val spark: SparkSession) {
   /** INSERT: bag-append via union (reference: insert.cpp appends to chunks).
     * Auto-commit DML delegates to [[Dml]] so the statement path and the
     * transaction overlay path share one rewrite (ADVICE r4). */
-  def insert(name: String, rows: DataFrame): Unit =
+  def insert(name: String, rows: DataFrame): Unit = {
+    requireNotMatView(name)
     register(name, Dml.insert(table(name), rows))
+    maintainMatViews(name, insDelta = Some(rows), delDelta = None)
+  }
 
   /** INSERT INTO ... VALUES with the target's schema enforced. */
   def insertValues(name: String, values: Seq[Seq[Any]]): Unit = {
@@ -247,13 +254,26 @@ final class Catalog(val spark: SparkSession) {
   }
 
   /** DELETE: anti-filter rewrite; NULL predicate = not deleted (SQL semantics). */
-  def delete(name: String, cond: Column): Unit =
-    register(name, Dml.delete(table(name), cond))
+  def delete(name: String, cond: Column): Unit = {
+    requireNotMatView(name)
+    val old = table(name)
+    register(name, Dml.delete(old, cond))
+    maintainMatViews(name, insDelta = None,
+      delDelta = Some(old.filter(coalesce(cond, lit(false)))))
+  }
 
   /** UPDATE: per-column CASE rewrite (reference models it as Delete+Insert,
     * update.hpp:28 — same end state). */
-  def update(name: String, cond: Column, set: Map[String, Column]): Unit =
-    register(name, Dml.update(table(name), cond, set))
+  def update(name: String, cond: Column, set: Map[String, Column]): Unit = {
+    requireNotMatView(name)
+    val old = table(name)
+    register(name, Dml.update(old, cond, set))
+    // IVM sees UPDATE exactly as the reference models it: delete+insert
+    val touched = old.filter(coalesce(cond, lit(false)))
+    val rewritten = touched.select(
+      old.columns.map(c => set.getOrElse(c, col(c)).cast(old.schema(c).dataType).as(c)).toSeq: _*)
+    maintainMatViews(name, insDelta = Some(rewritten), delDelta = Some(touched))
+  }
 
   /** MERGE (upsert): rows of `source` matching `keys` replace the target's
     * column values; unmatched source rows append. Modeled — like UPDATE — as
@@ -262,6 +282,7 @@ final class Catalog(val spark: SparkSession) {
     * Plan shape: ONE full-outer equi join on the key, then per-column
     * coalesce — no per-row lookups, scales as a join. */
   def merge(name: String, source: DataFrame, keys: Seq[String]): Unit = {
+    requireNotMatView(name)
     val t = table(name)
     // presence flag, not coalesce-per-column: a matched source row must win
     // even where its column value is legitimately NULL
@@ -274,6 +295,7 @@ final class Catalog(val spark: SparkSession) {
       .select(t.columns.map(c =>
         when(col("__src_present"), col(s"__src_$c")).otherwise(t(c)).as(c)).toSeq: _*)
     register(name, merged)
+    refreshMatViewsOver(Seq(name))
     logEvent("INFO", s"merge into $name on ${keys.mkString(",")}")
   }
 
@@ -283,6 +305,90 @@ final class Catalog(val spark: SparkSession) {
     views.put(name, sqlText)
     val df = spark.sql(sqlText)
     cols.fold(df)(cs => df.toDF(cs: _*)).createOrReplaceTempView(name)
+  }
+
+  // ------------------------------------------------ materialized views (IVM)
+  // Summary-delta incremental maintenance — see [[MatViews]] scaladoc.
+  // Maintenance is EAGER (each DML statement updates dependent views before
+  // returning, like the reference's chunk-level index maintenance); the
+  // per-statement cost is O(delta) + one keyed merge with the stored state,
+  // never a base-table rescan (except the documented MIN/MAX-under-delete
+  // recompute). Raw `register` rebinds bypass DML and therefore require
+  // REFRESH MATERIALIZED VIEW; transactional commits refresh dependents.
+
+  private val matViewDefs = TrieMap.empty[String, MatViews.MatViewDef]
+  private val matViewState = TrieMap.empty[String, DataFrame]
+
+  def isMatView(name: String): Boolean = matViewDefs.contains(name)
+  private def requireNotMatView(name: String): Unit =
+    require(!isMatView(name),
+      s"$name is a materialized view — it is read-only; run DML on its base table")
+  def matViewNames: Seq[String] = matViewDefs.keys.toSeq.sorted
+
+  def createMatView(name: String, sqlText: String): Unit = {
+    val d = MatViews.parse(name, sqlText)
+    require(hasTable(d.base), s"unknown base table: ${d.base}")
+    require(!isMatView(d.base),
+      "materialized view over a materialized view is not supported")
+    matViewDefs.put(name, d)
+    publishMatView(d, MatViews.deltaState(d, table(d.base)))
+    logEvent("INFO", s"create materialized view $name over ${d.base}")
+  }
+
+  /** Full recompute from the current base (REFRESH MATERIALIZED VIEW; also
+    * the fallback for non-incremental paths). */
+  def refreshMatView(name: String): Unit = {
+    val d = matViewDefs.getOrElse(name, sys.error(s"no materialized view: $name"))
+    publishMatView(d, MatViews.deltaState(d, table(d.base)))
+  }
+
+  def dropMatView(name: String): Unit = {
+    require(isMatView(name), s"no materialized view: $name")
+    matViewDefs.remove(name)
+    matViewState.remove(name)
+    dropTable(name)
+  }
+
+  /** localCheckpoint bounds state lineage (the merge chain would otherwise
+    * grow one join per DML statement) and makes maintenance cost visible
+    * per-statement instead of deferred to first read. */
+  private def publishMatView(d: MatViews.MatViewDef, state: DataFrame): Unit = {
+    val st = state.localCheckpoint()
+    matViewState.put(d.name, st)
+    register(d.name, MatViews.visible(d, st))
+  }
+
+  /** Apply a DML delta to every materialized view over `base`. */
+  private def maintainMatViews(
+      base: String, insDelta: Option[DataFrame], delDelta: Option[DataFrame]): Unit =
+    matViewDefs.values.filter(_.base == base).foreach { d =>
+      if (delDelta.isDefined && d.hasMinMax) refreshMatView(d.name)
+      else {
+        var st = matViewState(d.name)
+        insDelta.foreach(r => st = MatViews.merge(d, st, MatViews.deltaState(d, r)))
+        delDelta.foreach(r => st = MatViews.merge(d, st, MatViews.deltaState(d, r, sign = -1)))
+        publishMatView(d, st)
+      }
+    }
+
+  /** Refresh every materialized view whose base is in `names` (txn commits
+    * and MERGE publish whole new bindings, so the delta is unknown). */
+  private[graft] def refreshMatViewsOver(names: Seq[String]): Unit =
+    matViewDefs.values.filter(d => names.contains(d.base)).foreach(d => refreshMatView(d.name))
+
+  def metaMaterializedViews: DataFrame = {
+    val rows = matViewDefs.values.toSeq.sortBy(_.name).map { d =>
+      Row(d.name, d.base, d.sqlText, d.hasMinMax,
+        matViewState.get(d.name).map(_.count()).getOrElse(0L))
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("view_name", StringType, nullable = false),
+        StructField("base_table", StringType, nullable = false),
+        StructField("definition", StringType, nullable = false),
+        StructField("has_min_max", org.apache.spark.sql.types.BooleanType, nullable = false),
+        StructField("n_groups", LongType, nullable = false))))
   }
 
   /** CREATE TABLE with column definitions and key constraints (reference:

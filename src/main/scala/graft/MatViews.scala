@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized views — summary-delta maintenance (Gupta &
+  * Mumick, "Maintenance of Materialized Views: Problems, Techniques, and
+  * Applications", IEEE DE Bulletin 1995). Beyond the reference's surface
+  * (hyrise has only virtual views, src/lib/storage/lqp_view.hpp); this is
+  * the warehouse counterpart every 100 TB deployment maintains by hand:
+  * a keyed aggregate rollup whose refresh cost is O(delta), not O(base).
+  *
+  * Supported defining shape (the incrementally-maintainable fragment):
+  *
+  *   SELECT k1, ..., FN(arg) AS a, ...  FROM base [WHERE pred] GROUP BY k1, ...
+  *
+  * with FN in COUNT(*) / COUNT(x) / SUM(x) / AVG(x) / MIN(x) / MAX(x).
+  * The stored STATE keeps additive components per group — count(*), per-agg
+  * non-null counts and sums, min/max — so:
+  *
+  *  - INSERT delta: aggregate the delta rows alone, then one keyed
+  *    full-outer merge with the state (components add; min/max fold with
+  *    least/greatest). Never rescans the base.
+  *  - DELETE delta: same merge with negated counts/sums. MIN/MAX are not
+  *    self-maintainable under deletion (the classic IVM limitation — the new
+  *    extreme may live in the undeleted remainder), so a delete/update on a
+  *    view with MIN/MAX falls back to full recompute.
+  *  - Groups whose total count reaches zero disappear; SUM over a group whose
+  *    non-null count reached zero returns to NULL (SQL semantics).
+  *
+  * Floating-point note: incremental float sums re-associate additions, so
+  * like every IVM engine the bit-exactness guarantee is for integer/decimal
+  * aggregates; float aggregates are correct up to addition reordering.
+  *
+  * COUNT(DISTINCT) is not additive (needs per-group value multisets) and is
+  * rejected at parse time.
+  */
+object MatViews {
+
+  final case class MatAgg(alias: String, fn: String, arg: Option[String])
+  final case class MatViewDef(
+      name: String, base: String, where: Option[String],
+      keys: Seq[String], aggs: Seq[MatAgg], sqlText: String) {
+    def hasMinMax: Boolean = aggs.exists(a => a.fn == "MIN" || a.fn == "MAX")
+  }
+
+  /** Split on `sep` ignoring separators nested inside parentheses/quotes. */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inQ = false
+    s.foreach { ch =>
+      if (ch == '\'') { inQ = !inQ; cur += ch }
+      else if (inQ) cur += ch
+      else if (ch == '(') { depth += 1; cur += ch }
+      else if (ch == ')') { depth -= 1; cur += ch }
+      else if (ch == sep && depth == 0) { out += cur.toString; cur.clear() }
+      else cur += ch
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val AggItem =
+    """(?is)^(COUNT|SUM|MIN|MAX|AVG)\s*\((.+)\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+
+  /** Parse the restricted defining SELECT; throws with a specific reason on
+    * anything outside the incrementally-maintainable fragment. */
+  def parse(name: String, sql: String): MatViewDef = {
+    // collapse whitespace so the keyword anchors below work on multiline
+    // definitions (the fragment has no whitespace-significant literals)
+    val s = sql.trim.stripSuffix(";").replaceAll("\\s+", " ")
+    val u = s.toUpperCase
+    require(u.startsWith("SELECT "), "materialized view definition must be a SELECT")
+    val fromIdx = u.indexOf(" FROM ")
+    require(fromIdx > 0, "materialized view definition needs FROM <table>")
+    val gbIdx = u.indexOf(" GROUP BY ")
+    require(gbIdx > fromIdx,
+      "materialized view definition must be a grouped aggregate (GROUP BY required)")
+    val whereIdx = u.indexOf(" WHERE ")
+    val items = splitTop(s.substring("SELECT ".length, fromIdx), ',')
+    val base = s.substring(fromIdx + 6, if (whereIdx > 0) whereIdx else gbIdx).trim
+    require(base.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"materialized view base must be a single table, got: $base")
+    val where = if (whereIdx > 0) Some(s.substring(whereIdx + 7, gbIdx).trim) else None
+    val keys = splitTop(s.substring(gbIdx + " GROUP BY ".length), ',')
+    keys.foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"GROUP BY keys must be plain columns, got: $k"))
+    val aggs = items.flatMap {
+      case item if keys.exists(_.equalsIgnoreCase(item)) => None
+      case AggItem(fn, arg, alias) =>
+        val a = arg.trim
+        require(!a.toUpperCase.startsWith("DISTINCT "),
+          "COUNT(DISTINCT) is not incrementally maintainable (per-group value sets needed); " +
+            "use a plain view or REFRESH-only recompute")
+        Some(MatAgg(alias, fn.toUpperCase, if (fn.equalsIgnoreCase("COUNT") && a == "*") None else Some(a)))
+      case item => throw new IllegalArgumentException(
+        s"select item must be a GROUP BY key or FN(arg) AS alias, got: $item")
+    }
+    require(aggs.nonEmpty, "materialized view needs at least one aggregate")
+    MatViewDef(name, base, where, keys, aggs, s)
+  }
+
+  // ---------------------------------------------------------------- state
+  // State schema: keys ++ __n (count(*)) ++ per-agg components:
+  //   COUNT(*)  -> reads __n            COUNT(x) -> __cn_<alias>
+  //   SUM(x)    -> __cn_<alias>, __s_<alias>
+  //   AVG(x)    -> __cn_<alias>, __s_<alias>
+  //   MIN/MAX   -> __m_<alias>
+
+  private def componentAggs(d: MatViewDef, sign: Int) = {
+    // sign = −1 only negates; the sign-1 path leaves types untouched
+    def signed(c: org.apache.spark.sql.Column) = if (sign == 1) c else c * sign
+    val n = signed(count(lit(1))).as("__n")
+    n +: d.aggs.flatMap { a =>
+      val arg = a.arg.map(expr)
+      a.fn match {
+        case "COUNT" =>
+          arg.map(e => Seq(signed(count(e)).as(s"__cn_${a.alias}"))).getOrElse(Nil)
+        case "SUM" | "AVG" =>
+          val e = arg.get
+          Seq(signed(count(e)).as(s"__cn_${a.alias}"), signed(sum(e)).as(s"__s_${a.alias}"))
+        case "MIN" => Seq(min(arg.get).as(s"__m_${a.alias}"))
+        case "MAX" => Seq(max(arg.get).as(s"__m_${a.alias}"))
+      }
+    }
+  }
+
+  private def filtered(d: MatViewDef, rows: DataFrame): DataFrame =
+    d.where.fold(rows)(w => rows.filter(expr(w)))
+
+  /** Aggregate `rows` (a delta or the whole base) to state-component form.
+    * `sign` −1 turns a delete-delta into subtractable components (min/max
+    * forbidden there — callers check [[MatViewDef.hasMinMax]] first). */
+  def deltaState(d: MatViewDef, rows: DataFrame, sign: Int = 1): DataFrame = {
+    require(sign == 1 || !d.hasMinMax, "negative delta undefined for MIN/MAX")
+    val comps = componentAggs(d, sign)
+    filtered(d, rows).groupBy(d.keys.map(col): _*).agg(comps.head, comps.tail: _*)
+  }
+
+  /** One keyed full-outer merge of state + delta: components add, min/max
+    * fold, dead groups (count 0) drop, empty-group sums return to NULL. */
+  def merge(d: MatViewDef, state: DataFrame, delta: DataFrame): DataFrame = {
+    val a = state.as("a"); val b = delta.as("b")
+    def add(c: String) =
+      (coalesce(col(s"a.$c"), lit(0L)) + coalesce(col(s"b.$c"), lit(0L))).as(c)
+    val comps = d.aggs.flatMap { agg =>
+      agg.fn match {
+        case "COUNT" if agg.arg.isEmpty => Nil
+        case "COUNT" => Seq(add(s"__cn_${agg.alias}"))
+        case "SUM" | "AVG" =>
+          val cn = s"__cn_${agg.alias}"; val sm = s"__s_${agg.alias}"
+          val cnSum = coalesce(col(s"a.$cn"), lit(0L)) + coalesce(col(s"b.$cn"), lit(0L))
+          Seq(add(cn),
+            when(cnSum === 0, lit(null))
+              .otherwise(coalesce(col(s"a.$sm"), lit(0)) + coalesce(col(s"b.$sm"), lit(0)))
+              .as(sm))
+        case "MIN" =>
+          val m = s"__m_${agg.alias}"; Seq(least(col(s"a.$m"), col(s"b.$m")).as(m))
+        case "MAX" =>
+          val m = s"__m_${agg.alias}"; Seq(greatest(col(s"a.$m"), col(s"b.$m")).as(m))
+      }
+    }
+    val keyCols = d.keys.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k))
+    a.join(b, d.keys.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _), "full_outer")
+      .select(keyCols ++ (add("__n") +: comps): _*)
+      .filter(col("__n") > 0)
+  }
+
+  /** The user-visible rows, derived from state components with the same
+    * expressions Spark's own aggregates produce (so refresh == incremental). */
+  def visible(d: MatViewDef, state: DataFrame): DataFrame =
+    state.select(d.keys.map(col) ++ d.aggs.map { a =>
+      a.fn match {
+        case "COUNT" => a.arg.fold(col("__n"))(_ => col(s"__cn_${a.alias}")).as(a.alias)
+        case "SUM" => col(s"__s_${a.alias}").as(a.alias)
+        case "AVG" =>
+          (col(s"__s_${a.alias}").cast("double") /
+            col(s"__cn_${a.alias}").cast("double")).as(a.alias)
+        case "MIN" | "MAX" => col(s"__m_${a.alias}").as(a.alias)
+      }
+    }: _*)
+}

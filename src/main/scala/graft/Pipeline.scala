@@ -95,7 +95,8 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
     "meta_commits" -> (() => catalog.metaCommits),
     "meta_log" -> (() => catalog.metaLog),
     "meta_exec" -> (() => metaExec),
-    "meta_plan_cache" -> (() => metaPlanCache))
+    "meta_plan_cache" -> (() => metaPlanCache),
+    "meta_materialized_views" -> (() => catalog.metaMaterializedViews))
 
   /** Execute a multi-statement SQL script; statements run in order, failures
     * don't abort the script (per-statement status, like SQLPipelineStatement). */
@@ -271,6 +272,28 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
         val bound = args.foldLeft(template)((t, a) => t.replaceFirst("\\?",
           java.util.regex.Matcher.quoteReplacement(a.trim)))
         StatementResult(s, Ok, Some(cachedSql(bound)))
+      } else if (upper.startsWith("CREATE MATERIALIZED VIEW ")) {
+        // CREATE MATERIALIZED VIEW v AS SELECT ... — incrementally-maintained
+        // aggregate (summary-delta IVM, see MatViews; beyond the reference's
+        // virtual-view surface).
+        val rest = s.drop("CREATE MATERIALIZED VIEW ".length)
+        // the name is one identifier, so anchor on ITS trailing AS — an
+        // indexOf(" AS ") would bite the first aggregate alias instead
+        val m = """(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+)$""".r
+        rest match {
+          case m(name, defining) => catalog.createMatView(name, defining.trim)
+          case _ => sys.error("syntax: CREATE MATERIALIZED VIEW <name> AS <select>")
+        }
+        invalidatePlanCache()
+        StatementResult(s, Ok, None)
+      } else if (upper.startsWith("REFRESH MATERIALIZED VIEW ")) {
+        catalog.refreshMatView(s.drop("REFRESH MATERIALIZED VIEW ".length).trim)
+        invalidatePlanCache()
+        StatementResult(s, Ok, None)
+      } else if (upper.startsWith("DROP MATERIALIZED VIEW ")) {
+        catalog.dropMatView(s.drop("DROP MATERIALIZED VIEW ".length).trim)
+        invalidatePlanCache()
+        StatementResult(s, Ok, None)
       } else if (upper.startsWith("CREATE VIEW ") || upper.startsWith("CREATE OR REPLACE VIEW ")) {
         val rest = s.drop(upper.indexOf("VIEW ") + 5)
         val asIdx = rest.toUpperCase.indexOf(" AS ")

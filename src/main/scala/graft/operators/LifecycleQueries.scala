@@ -196,6 +196,38 @@ object LifecycleQueries {
     rs.last.df.get
   }
 
+  /** Incrementally-maintained materialized view (summary-delta IVM, see
+    * [[graft.MatViews]]): the Spark answer is read from the VIEW after a
+    * DML script whose every statement maintained it incrementally
+    * (insert/delete/key-moving update); DuckDB replays the same DML natively
+    * on the base and aggregates from scratch at the end — divergence
+    * anywhere in the delta math breaks the hash. */
+  val dmlMatView: Q = Q(
+    "dml_matview_incremental",
+    """CREATE OR REPLACE TEMP TABLE mv_base AS
+      |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier;
+      |INSERT INTO mv_base VALUES (901, 'SUP_X', 77, 10.0), (902, 'SUP_Y', 77, 20.0);
+      |DELETE FROM mv_base WHERE s_suppkey % 5 = 0;
+      |UPDATE mv_base SET s_nationkey = s_nationkey + 1 WHERE s_suppkey % 7 = 0;
+      |SELECT s_nationkey, COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS sum_k
+      |FROM mv_base WHERE s_suppkey > 2
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+    val cat = new Catalog(s)
+    cat.register("mv_base_w",
+      Tables.df(s, dir, "supplier").selectExpr("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+    val p = new Pipeline(cat)
+    val rs = p.run(
+      """CREATE MATERIALIZED VIEW mv_rollup AS
+        |  SELECT s_nationkey, COUNT(*) AS n, SUM(s_suppkey) AS sum_k
+        |  FROM mv_base_w WHERE s_suppkey > 2 GROUP BY s_nationkey;
+        |INSERT INTO mv_base_w VALUES (901, 'SUP_X', 77, 10.0), (902, 'SUP_Y', 77, 20.0);
+        |DELETE FROM mv_base_w WHERE s_suppkey % 5 = 0;
+        |UPDATE mv_base_w SET s_nationkey = s_nationkey + 1 WHERE s_suppkey % 7 = 0;
+        |SELECT * FROM mv_rollup ORDER BY s_nationkey""".stripMargin)
+    rs.foreach(r => require(r.status == p.Ok, s"${r.sql}: ${r.status}"))
+    rs.last.df.get
+  }
+
   val all: Seq[Q] = Seq(dmlInsert, dmlDelete, dmlUpdate, dmlSnapshot, viewPrepared,
-    metaTables, dmlMerge, txnRollbackCommit, dmlAlterTable)
+    metaTables, dmlMerge, txnRollbackCommit, dmlAlterTable, dmlMatView)
 }

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental materialized views: after every DML path the view content must
+  * equal a from-scratch recompute of its defining query (the IVM correctness
+  * contract), maintenance must be delta-sized, and the non-incremental cases
+  * must fall back (MIN/MAX under delete) or be rejected (COUNT DISTINCT). */
+class MatViewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+
+  private def freshPipeline(): (Catalog, Pipeline) = {
+    val cat = new Catalog(spark)
+    cat.register("nation_mv", Tables.df(spark, sf, "nation"))
+    cat.register("supplier_mv", Tables.df(spark, sf, "supplier"))
+    (cat, new Pipeline(cat))
+  }
+
+  private def sorted(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy(df.columns.map(col).toSeq: _*).collect().toSeq
+
+  private def assertMatchesRecompute(cat: Catalog, view: String, defining: String): Unit = {
+    val got = sorted(cat.table(view))
+    val want = sorted(spark.sql(defining).toDF(cat.table(view).columns: _*))
+    assert(got == want, s"$view diverged from recompute:\ngot  ${got.take(5)}\nwant ${want.take(5)}")
+  }
+
+  test("create + insert + delete + update keep the view equal to recompute") {
+    val (cat, p) = freshPipeline()
+    val defining =
+      "SELECT s_nationkey, COUNT(*) AS n, SUM(s_suppkey) AS sk, AVG(s_suppkey) AS avg_k " +
+        "FROM supplier_mv WHERE s_suppkey > 2 GROUP BY s_nationkey"
+    val r = p.run(s"CREATE MATERIALIZED VIEW sup_rollup AS $defining")
+    assert(r.forall(_.status == p.Ok), r.map(_.status).mkString(","))
+    assertMatchesRecompute(cat, "sup_rollup", defining)
+
+    // INSERT: new group + growth of an existing group
+    p.run("INSERT INTO supplier_mv VALUES (901, 'SUP_X', 'addr', 77, 'p', 10.0, ''), " +
+      "(902, 'SUP_Y', 'addr', 77, 'p', 20.0, '')")
+    assertMatchesRecompute(cat, "sup_rollup", defining)
+
+    // DELETE: shrink groups; some groups may die entirely
+    p.run("DELETE FROM supplier_mv WHERE s_suppkey % 3 = 0")
+    assertMatchesRecompute(cat, "sup_rollup", defining)
+
+    // DELETE that empties the WHERE-qualified slice of a group
+    p.run("DELETE FROM supplier_mv WHERE s_nationkey = 77 AND s_suppkey > 2")
+    assertMatchesRecompute(cat, "sup_rollup", defining)
+
+    // UPDATE: moves rows across the WHERE boundary and rewrites summed values
+    p.run("UPDATE supplier_mv SET s_suppkey = s_suppkey + 100 WHERE s_nationkey = 0")
+    assertMatchesRecompute(cat, "sup_rollup", defining)
+  }
+
+  test("min/max: incremental under insert, recompute fallback under delete") {
+    val (cat, p) = freshPipeline()
+    val defining =
+      "SELECT n_regionkey, MIN(n_nationkey) AS mn, MAX(n_nationkey) AS mx, COUNT(*) AS n " +
+        "FROM nation_mv GROUP BY n_regionkey"
+    p.run(s"CREATE MATERIALIZED VIEW nat_minmax AS $defining")
+    assertMatchesRecompute(cat, "nat_minmax", defining)
+    p.run("INSERT INTO nation_mv VALUES (900, 'N_HI', 1), (-5, 'N_LO', 1)")
+    assertMatchesRecompute(cat, "nat_minmax", defining) // both extremes moved
+    // deleting the current minimum forces the fallback recompute — the new
+    // min must resurface from the remainder, which no additive state can do
+    p.run("DELETE FROM nation_mv WHERE n_nationkey = -5")
+    assertMatchesRecompute(cat, "nat_minmax", defining)
+  }
+
+  test("sum returns to NULL when a group's non-null slice empties; group dies at count 0") {
+    val cat = new Catalog(spark)
+    import spark.implicits._
+    cat.register("t_nulls", Seq((1, Some(10L)), (1, None), (2, Some(5L))).toDF("k", "v"))
+    val p = new Pipeline(cat)
+    val defining = "SELECT k, COUNT(*) AS n, SUM(v) AS sv FROM t_nulls GROUP BY k"
+    p.run(s"CREATE MATERIALIZED VIEW tn_mv AS $defining")
+    p.run("DELETE FROM t_nulls WHERE v = 10") // group 1 keeps only the NULL row
+    val rows = cat.table("tn_mv").orderBy("k").collect()
+    assert(rows.length == 2 && rows(0).getLong(1) == 1 && rows(0).isNullAt(2),
+      s"SUM over all-null remainder must be NULL: ${rows.toSeq}")
+    p.run("DELETE FROM t_nulls WHERE k = 1") // group 1 dies
+    assert(cat.table("tn_mv").count() == 1)
+    assertMatchesRecompute(cat, "tn_mv", defining)
+  }
+
+  test("txn commit and MERGE refresh dependent views") {
+    val (cat, p) = freshPipeline()
+    val defining = "SELECT n_regionkey, COUNT(*) AS n FROM nation_mv GROUP BY n_regionkey"
+    p.run(s"CREATE MATERIALIZED VIEW nat_n AS $defining")
+    p.run("BEGIN; INSERT INTO nation_mv VALUES (950, 'TXN_N', 3); COMMIT")
+    assertMatchesRecompute(cat, "nat_n", defining)
+    cat.merge("nation_mv",
+      spark.sql("SELECT 950 AS n_nationkey, 'TXN_N2' AS n_name, 4 AS n_regionkey"),
+      Seq("n_nationkey"))
+    assertMatchesRecompute(cat, "nat_n", defining)
+  }
+
+  test("maintenance is delta-sized: the merge plan never rescans the base table") {
+    val cat = new Catalog(spark)
+    cat.register("lineitem_ivm", Tables.df(spark, sf, "lineitem"))
+    val p = new Pipeline(cat)
+    p.run("CREATE MATERIALIZED VIEW li_rollup AS SELECT l_returnflag, COUNT(*) AS n, " +
+      "SUM(l_quantity) AS q FROM lineitem_ivm GROUP BY l_returnflag")
+    // the state is localCheckpoint'd, so the post-DML view plan must contain
+    // NO scan of the lineitem parquet — only the checkpoint RDD + the delta
+    p.run("INSERT INTO lineitem_ivm SELECT * FROM lineitem_ivm LIMIT 0") // no-op delta, real path
+    p.run("INSERT INTO lineitem_ivm VALUES " +
+      cat.table("lineitem_ivm").limit(1).collect().head.toSeq.map {
+        case s: String => s"'$s'"
+        case d: java.sql.Date => s"DATE '$d'"
+        case x => String.valueOf(x)
+      }.mkString("(", ", ", ")"))
+    val plan = cat.table("li_rollup").queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+      s"view state must come from the checkpointed merge, not a base rescan:\n$plan")
+    // and it still matches a fresh recompute
+    val got = sorted(cat.table("li_rollup"))
+    val want = sorted(spark.sql("SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS q " +
+      "FROM lineitem_ivm GROUP BY l_returnflag").toDF("l_returnflag", "n", "q"))
+    assert(got == want)
+  }
+
+  test("guards: read-only view, no MV-over-MV, base drop blocked, COUNT DISTINCT rejected") {
+    val (cat, p) = freshPipeline()
+    p.run("CREATE MATERIALIZED VIEW g1 AS SELECT n_regionkey, COUNT(*) AS n " +
+      "FROM nation_mv GROUP BY n_regionkey")
+    assert(p.run("INSERT INTO g1 VALUES (1, 1)").last.status != p.Ok, "MV must be read-only")
+    assert(p.run("CREATE MATERIALIZED VIEW g2 AS SELECT n, COUNT(*) AS c FROM g1 GROUP BY n")
+      .last.status != p.Ok, "MV over MV must be rejected")
+    assert(p.run("DROP TABLE nation_mv").last.status != p.Ok, "base drop with dependents must fail")
+    assert(p.run("CREATE MATERIALIZED VIEW g3 AS SELECT n_regionkey, " +
+      "COUNT(DISTINCT n_name) AS c FROM nation_mv GROUP BY n_regionkey").last.status != p.Ok,
+      "COUNT DISTINCT is not incrementally maintainable")
+    // after dropping the MV the base becomes droppable
+    assert(p.run("DROP MATERIALIZED VIEW g1").last.status == p.Ok)
+    assert(p.run("DROP TABLE nation_mv").last.status == p.Ok)
+  }
+
+  test("meta_materialized_views lists definitions; REFRESH re-syncs a raw rebind") {
+    val (cat, p) = freshPipeline()
+    val defining = "SELECT n_regionkey, COUNT(*) AS n FROM nation_mv GROUP BY n_regionkey"
+    p.run(s"CREATE MATERIALIZED VIEW meta_probe AS $defining")
+    val meta = p.run("SELECT view_name, base_table, n_groups FROM meta_materialized_views")
+      .last.df.get.collect()
+    assert(meta.exists(r => r.getString(0) == "meta_probe" && r.getString(1) == "nation_mv"
+      && r.getLong(2) == 5))
+    // raw register() bypasses DML maintenance by design → REFRESH re-syncs
+    cat.register("nation_mv", Tables.df(spark, sf, "nation").filter(col("n_regionkey") =!= 0))
+    p.run("REFRESH MATERIALIZED VIEW meta_probe")
+    assertMatchesRecompute(cat, "meta_probe", defining)
+  }
+}
