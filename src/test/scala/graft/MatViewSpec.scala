@@ -138,6 +138,26 @@ class MatViewSpec extends AnyFunSuite {
     assert(p.run("DROP TABLE nation_mv").last.status == p.Ok)
   }
 
+  test("streaming ingest maintains a materialized view across micro-batches") {
+    import graft.streaming.DocStreams
+    val cat = new Catalog(spark)
+    // pre-register an empty landing table so the MV can be declared BEFORE
+    // the stream starts — each micro-batch then flows through cat.insert,
+    // whose IVM hook maintains the view incrementally
+    val schema = DocStreams.curated(DocStreams.source(spark, sf)).schema
+    cat.register("landed_ivm",
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    val p = new Pipeline(cat)
+    val defining = "SELECT reason, COUNT(*) AS n FROM landed_ivm GROUP BY reason"
+    p.run(s"CREATE MATERIALIZED VIEW landed_by_reason AS $defining")
+    val q = DocStreams.landToCatalog(DocStreams.source(spark, sf), cat, "landed_ivm")
+    try q.processAllAvailable() finally q.stop()
+    assert(cat.table("landed_ivm").count() == Tables.df(spark, sf, "documents").count())
+    assertMatchesRecompute(cat, "landed_by_reason", defining)
+    assert(cat.table("landed_by_reason").agg(sum("n")).head.getLong(0) ==
+      cat.table("landed_ivm").count())
+  }
+
   test("meta_materialized_views lists definitions; REFRESH re-syncs a raw rebind") {
     val (cat, p) = freshPipeline()
     val defining = "SELECT n_regionkey, COUNT(*) AS n FROM nation_mv GROUP BY n_regionkey"
