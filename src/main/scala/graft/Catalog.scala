@@ -171,6 +171,10 @@ final class Catalog(val spark: SparkSession) {
         c.refTable.getOrElse(""), c.refCols.mkString(",")))
       .toDF("tbl", "kind", "cols", "ref_table", "ref_cols")
       .coalesce(1).write.mode("overwrite").json(s"$dir/constraints")
+    if (matViewDefs.nonEmpty)
+      matViewDefs.values.toSeq.sortBy(_.name).map(d => (d.name, d.sqlText))
+        .toDF("name", "sql")
+        .coalesce(1).write.mode("overwrite").json(s"$dir/matviews")
     logEvent("INFO", s"catalog saved to $dir")
   }
 
@@ -215,6 +219,15 @@ final class Catalog(val spark: SparkSession) {
               Option(r.getString(3)).filter(_.nonEmpty),
               r.getString(4).split(",").toSeq.filter(_.nonEmpty))
           })
+        }
+    if (new java.io.File(s"$dir/matviews").exists)
+      // the MV's last snapshot was dumped as a plain table; re-materialize it
+      // as a LIVE view over the restored base (state recomputed, maintenance
+      // hooks reattached) instead of leaving a frozen copy
+      spark.read.schema("name STRING, sql STRING").json(s"$dir/matviews")
+        .collect().sortBy(_.getString(0)).foreach { r =>
+          if (hasTable(r.getString(0))) dropTable(r.getString(0))
+          createMatView(r.getString(0), r.getString(1))
         }
     logEvent("INFO", s"catalog loaded from $dir")
   }

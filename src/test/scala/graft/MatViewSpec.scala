@@ -158,6 +158,20 @@ class MatViewSpec extends AnyFunSuite {
       cat.table("landed_ivm").count())
   }
 
+  test("saveTo/loadFrom round-trips a LIVE materialized view, not a frozen copy") {
+    val (cat, p) = freshPipeline()
+    val defining = "SELECT n_regionkey, COUNT(*) AS n FROM nation_mv GROUP BY n_regionkey"
+    p.run(s"CREATE MATERIALIZED VIEW persisted_mv AS $defining")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-persist").toString
+    cat.saveTo(dir)
+    val cat2 = new Catalog(spark)
+    cat2.loadFrom(dir)
+    assert(cat2.isMatView("persisted_mv"), "restored as a materialized view")
+    // maintenance hooks must be live again after restore
+    new Pipeline(cat2).run("INSERT INTO nation_mv VALUES (970, 'RESTORED', 2)")
+    assertMatchesRecompute(cat2, "persisted_mv", defining)
+  }
+
   test("meta_materialized_views lists definitions; REFRESH re-syncs a raw rebind") {
     val (cat, p) = freshPipeline()
     val defining = "SELECT n_regionkey, COUNT(*) AS n FROM nation_mv GROUP BY n_regionkey"
