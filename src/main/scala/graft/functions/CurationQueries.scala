@@ -34,11 +34,12 @@ object CurationQueries {
   // family is the meaningful one.
 
   /** Raw (non-distinct) word 2-grams. */
-  private def grams2(ws: Column): Column =
+  private def grams2(ws0: Column): Column = bindOnce(ws0) { ws =>
     when(size(ws) >= 2,
       transform(sequence(lit(1), size(ws) - 1),
         i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
       .otherwise(array().cast("array<string>"))
+  }
   private def grams2Sql(ws: String): String =
     s"[$ws[i] || ' ' || $ws[i+1] for i in range(1, len($ws))]"
 
@@ -48,7 +49,7 @@ object CurationQueries {
     * filter-inside-filter (which is O(g²) per row AND re-evaluates the gram
     * construction per outer element — at long-document scale that quadratic
     * blowup, not any shuffle, was the cost ceiling of the quality gate). */
-  private def dupChars(ss: Column): Column = {
+  private def dupChars(ss0: Column): Column = bindOnce(ss0) { ss =>
     val n = size(ss)
     // m(i) = ss(i) == ss(i+1), length n-1
     val m = zip_with(slice(ss, lit(1), n - 1), slice(ss, lit(2), n - 1), (a, b) => a === b)
@@ -119,15 +120,19 @@ object CurationQueries {
     * state, stays inside codegen. */
   def keepReason(text: Column): Column = {
     val stops = langMarkers.flatMap(_._2)
-    val ws = tokens(text)
-    val nTokens = tokenCount(text)
-    val dupchars = dupChars(array_sort(grams2(ws)))
-    when(nTokens < minTokens, "too_short")
-      .when(nTokens > maxTokens, "too_long")
-      .when(markerCount(ws, stops) * 100 < lit(stopFloorPct) * nTokens, "low_stopword")
-      .when(digitCount(text) * 100 > lit(digitCeilPct) * length(text), "high_digit")
-      .when(dupchars * 100 > lit(dup2CeilPct) * length(text), "repetitive")
-      .otherwise("keep")
+    // bind the token array ONCE: grams2's per-element lambda reads a bound
+    // variable instead of re-splitting the text per element (O(tokens²) —
+    // measured 30 s for 5k docs in the composed single-Column form)
+    bindOnce(tokens(text)) { ws =>
+      val nTokens = size(ws)
+      val dupchars = dupChars(array_sort(grams2(ws)))
+      when(nTokens < minTokens, "too_short")
+        .when(nTokens > maxTokens, "too_long")
+        .when(markerCount(ws, stops) * 100 < lit(stopFloorPct) * nTokens, "low_stopword")
+        .when(digitCount(text) * 100 > lit(digitCeilPct) * length(text), "high_digit")
+        .when(dupchars * 100 > lit(dup2CeilPct) * length(text), "repetitive")
+        .otherwise("keep")
+    }
   }
 
   /** Oracle twin of [[keepReason]]: SELECT wrapping `src` (any relation with a

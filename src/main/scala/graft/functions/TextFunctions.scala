@@ -39,6 +39,21 @@ object TextFunctions {
                       arr: Column, as: String): org.apache.spark.sql.DataFrame =
     df.select(keep :+ F.explode_outer(arr).as(as): _*).filter(F.col(as).isNotNull)
 
+  /** Let-binding for a COMPUTED array used inside a higher-order-function
+    * lambda: evaluate `value` once per row and hand the body a bound lambda
+    * VARIABLE instead of the raw expression tree.
+    *
+    * A lambda like `transform(seq, i -> element_at(ws, i))` re-evaluates the
+    * whole `ws` subtree on EVERY element when `ws` is a computed expression
+    * (lambda bodies are interpreted per element; only lambda variables are
+    * O(1) to read) — composing `grams2(tokens(text))` that way turns a linear
+    * pass into O(tokens²) splits per document (measured: the quality gate's
+    * single-Column form cost 30 s for 5k sf0.1 docs; 0.4 s after binding).
+    * `transform(array(value), body)[1]` evaluates `value` exactly once and
+    * every body reference reads the bound element. */
+  def bindOnce(value: Column)(body: Column => Column): Column =
+    F.element_at(F.transform(F.array(value), body), 1)
+
   // ------------------------------------------------------------ tokens
 
   /** Whitespace tokens of trimmed text. */
@@ -85,7 +100,9 @@ object TextFunctions {
 
   /** Distinct word n-gram shingles (space-joined). Short docs (<n tokens)
     * collapse to one whole-text shingle. */
-  def shingles(ws: Column, n: Int): Column = {
+  def shingles(ws0: Column, n: Int): Column = bindOnce(ws0) { ws =>
+    // bindOnce: the lambda below reads `ws` per element — a computed
+    // argument (e.g. tokens(text)) must not be re-evaluated n times
     val grams = F.transform(
       F.sequence(F.lit(1), F.size(ws) - (n - 1)),
       i => F.concat_ws(" ", (0 until n).map(o => F.element_at(ws, i + o)): _*))
@@ -103,12 +120,13 @@ object TextFunctions {
     * produce no spans: a sub-`n` fragment cannot contain an `n`-token
     * duplicate. Used by span-level substring dedup (Lee et al. 2021,
     * arXiv:2107.06499: duplicated exact substrings across training docs). */
-  def spans(ws: Column, n: Int): Column =
+  def spans(ws0: Column, n: Int): Column = bindOnce(ws0) { ws =>
     F.when(F.size(ws) >= n,
       F.transform(
         F.sequence(F.lit(1), F.size(ws) - (n - 1)),
         i => F.concat_ws(" ", (0 until n).map(o => F.element_at(ws, i + o)): _*)))
       .otherwise(F.array().cast("array<string>"))
+  }
   def spansSql(ws: String, n: Int): String = {
     val parts = (0 until n).map(o => s"$ws[i+$o]").mkString(" || ' ' || ")
     s"(CASE WHEN len($ws) >= $n THEN [$parts for i in range(1, len($ws) - ${n - 2})] " +
@@ -215,7 +233,8 @@ object TextFunctions {
   }
 
   /** Predicted language = argmax marker count, ties to earlier language. */
-  def langId(ws: Column): Column = {
+  def langId(ws0: Column): Column = bindOnce(ws0) { ws =>
+    // one bound evaluation feeds every language's marker count
     val scores = langMarkers.map { case (lang, ms) => lang -> markerCount(ws, ms) }
     scores.zipWithIndex.foldRight(F.lit(langMarkers.last._1)) {
       case (((lang, score), i), acc) =>
