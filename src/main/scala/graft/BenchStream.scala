@@ -24,19 +24,23 @@ object BenchStream {
       (System.nanoTime() - t0) / 1e9
     }
 
+    val hasEvents = new java.io.File(s"$sfDir/events.parquet").exists()
     val nDocs = Tables.df(spark, sfDir, "documents").count()
-    val nEvents = Tables.df(spark, sfDir, "events").count()
     def docsSrc: DataFrame = DocStreams.source(spark, sfDir)
     def eventsSrc: DataFrame = EventStreams.source(spark, sfDir)
 
-    val results = Seq(
+    val docResults = Seq(
       ("doc_curation", nDocs, timeStream(DocStreams.curated(docsSrc))),
       ("doc_dedup_bounded", nDocs,
-        timeStream(DocStreams.dedupedByFingerprintBounded(docsSrc))),
-      ("events_hourly", nEvents,
-        timeStream(EventStreams.hourlyCounts(eventsSrc), mode = "update")),
-      ("events_cep_patterns", nEvents,
-        timeStream(EventStreams.patternFlags(spark, eventsSrc))))
+        timeStream(DocStreams.dedupedByFingerprintBounded(docsSrc))))
+    val results = if (!hasEvents) docResults else {
+      val nEvents = Tables.df(spark, sfDir, "events").count()
+      docResults ++ Seq(
+        ("events_hourly", nEvents,
+          timeStream(EventStreams.hourlyCounts(eventsSrc), mode = "update")),
+        ("events_cep_patterns", nEvents,
+          timeStream(EventStreams.patternFlags(spark, eventsSrc))))
+    }
 
     val qs = results.map { case (n, rows, sec) =>
       s""""$n":{"rows":$rows,"sec":$sec,"rows_per_sec":${(rows / sec).toLong}}"""
