@@ -61,6 +61,21 @@ class PgClientSpec extends AnyFunSuite {
     }
   }
 
+  test("psql: materialized view lifecycle rides the wire; DML maintains it") {
+    assume(psqlBin.isDefined, "container has no psql binary")
+    withServer { port =>
+      val (code, out, err) = psql(port, "-c",
+        "CREATE MATERIALIZED VIEW pgc_mv AS SELECT n_regionkey, COUNT(*) AS n " +
+          "FROM pgc_nation GROUP BY n_regionkey; " +
+          "INSERT INTO pgc_nation VALUES (990, 'WIRE_N', 4); " +
+          "SELECT n FROM pgc_mv WHERE n_regionkey = 4; " +
+          "SELECT view_name FROM meta_materialized_views")
+      assert(code === 0, s"psql exited $code: $err")
+      assert(out.contains("6"), s"region 4 grew to 6 after the wire INSERT: $out")
+      assert(out.contains("pgc_mv"), s"meta table lists the view over the wire: $out")
+    }
+  }
+
   test("psql: VISUALIZE and ASOF ride the wire like any statement") {
     assume(psqlBin.isDefined, "container has no psql binary")
     withServer { port =>
