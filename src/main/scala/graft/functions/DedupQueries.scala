@@ -85,19 +85,31 @@ object DedupQueries {
     // tiny by construction (only shingles with df > cap) → broadcast anti join
     val hot = dfBy.filter(col("df") > maxPostings).select("s")
     val kept = sh.join(broadcast(hot), Seq("s"), "left_anti")
-    // per-doc capped distinct shingle set, reused by the verify stage
-    val sets = kept.groupBy("doc_id")
-      .agg(collect_list("s").as("ss"), count(lit(1)).as("n"))
-    // prefix index: each doc's n − ⌈t·n⌉ + 1 globally-rarest shingles
-    val wRank = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
-    val wDoc = Window.partitionBy("doc_id")
-    val pref = kept.join(dfBy, Seq("s"))
-      .withColumn("rk", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(wDoc))
-      .filter(col("rk") <= col("n") - ceil(col("n") * lit(JACCARD_MIN)) + lit(1))
-      .select("doc_id", "s")
+    // ONE doc-keyed aggregation feeds both the prefix index and the verify
+    // sets: per-doc (df, s) pairs sorted rarest-first. This replaces the
+    // earlier two-window ranking (row_number + count over 26M rows was the
+    // single most expensive stage at 100× corpus — a full sort shuffle the
+    // per-doc array_sort over ~50-element arrays does for free).
+    val byDoc = kept.join(dfBy, Seq("s"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("dfs"))
+      .withColumn("n", size(col("dfs")))
+      .localCheckpoint() // consumed by the prefix explode AND both verify joins
+    val sets = byDoc.select(col("doc_id"),
+      transform(col("dfs"), x => x.getField("s")).as("ss"), col("n"))
+    // prefix = the n − ⌈t·n⌉ + 1 globally-rarest shingles of each doc
+    val pref = TextFunctions.explodeNoReeval(
+      byDoc.select(col("doc_id"), col("n"),
+        slice(col("dfs"), lit(1),
+          (col("n") - ceil(col("n") * lit(JACCARD_MIN)) + 1).cast("int")).as("pfx")),
+      Seq(col("doc_id"), col("n")), transform(col("pfx"), x => x.getField("s")), "s")
+    // candidate pairs from prefix collisions, pruned by the PPJoin LENGTH
+    // filter before the dedup shuffle: J ≥ t forces t·na ≤ nb ≤ na/t, so
+    // wildly different-sized docs never reach verification
     val cand = pref.as("pa")
-      .join(pref.as("pb"), col("pa.s") === col("pb.s") && col("pa.doc_id") < col("pb.doc_id"))
+      .join(pref.as("pb"), col("pa.s") === col("pb.s") && col("pa.doc_id") < col("pb.doc_id")
+        && col("pb.n") * lit(JACCARD_MIN) <= col("pa.n")
+        && col("pa.n") * lit(JACCARD_MIN) <= col("pb.n"))
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
     // exact verification on the candidate pairs only (doc_id-keyed joins)
