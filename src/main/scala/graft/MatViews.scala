@@ -64,20 +64,52 @@ object MatViews {
   private val AggItem =
     """(?is)^(COUNT|SUM|MIN|MAX|AVG)\s*\((.+)\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
 
+  /** Collapse runs of whitespace to single spaces OUTSIDE quoted literals
+    * (multiline definitions anchor cleanly; literal spacing is preserved). */
+  private def collapseWsTop(s: String): String = {
+    val sb = new StringBuilder; var inQ = false; var lastWs = false
+    s.foreach { ch =>
+      if (ch == '\'') { inQ = !inQ; sb += ch; lastWs = false }
+      else if (inQ) sb += ch
+      else if (ch.isWhitespace) { if (!lastWs) sb += ' '; lastWs = true }
+      else { sb += ch; lastWs = false }
+    }
+    sb.toString
+  }
+
+  /** First index of `kw` (given uppercased) at paren depth 0 and outside
+    * single-quoted literals; -1 if absent. The quote-aware twin of the
+    * anchors below — a select-list literal containing ' FROM ' must not
+    * mis-slice the definition (same discipline [[splitTop]] applies to
+    * commas). */
+  private def topIndexOf(s: String, kw: String): Int = {
+    val u = s.toUpperCase
+    var i = 0; var depth = 0; var inQ = false
+    while (i < u.length) {
+      val ch = u.charAt(i)
+      if (ch == '\'') inQ = !inQ
+      else if (!inQ) {
+        if (ch == '(') depth += 1
+        else if (ch == ')') depth -= 1
+        else if (depth == 0 && u.startsWith(kw, i)) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
   /** Parse the restricted defining SELECT; throws with a specific reason on
     * anything outside the incrementally-maintainable fragment. */
   def parse(name: String, sql: String): MatViewDef = {
-    // collapse whitespace so the keyword anchors below work on multiline
-    // definitions (the fragment has no whitespace-significant literals)
-    val s = sql.trim.stripSuffix(";").replaceAll("\\s+", " ")
+    val s = collapseWsTop(sql.trim.stripSuffix(";"))
     val u = s.toUpperCase
     require(u.startsWith("SELECT "), "materialized view definition must be a SELECT")
-    val fromIdx = u.indexOf(" FROM ")
+    val fromIdx = topIndexOf(s, " FROM ")
     require(fromIdx > 0, "materialized view definition needs FROM <table>")
-    val gbIdx = u.indexOf(" GROUP BY ")
+    val gbIdx = topIndexOf(s, " GROUP BY ")
     require(gbIdx > fromIdx,
       "materialized view definition must be a grouped aggregate (GROUP BY required)")
-    val whereIdx = u.indexOf(" WHERE ")
+    val whereIdx = topIndexOf(s, " WHERE ")
     val items = splitTop(s.substring("SELECT ".length, fromIdx), ',')
     val base = s.substring(fromIdx + 6, if (whereIdx > 0) whereIdx else gbIdx).trim
     require(base.matches("[A-Za-z_][A-Za-z0-9_]*"),

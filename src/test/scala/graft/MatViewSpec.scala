@@ -138,6 +138,31 @@ class MatViewSpec extends AnyFunSuite {
     assert(p.run("DROP TABLE nation_mv").last.status == p.Ok)
   }
 
+  test("parse anchors are quote-aware: literals containing FROM/WHERE/GROUP BY don't mis-slice") {
+    // ' FROM ' inside an agg-arg literal and ' WHERE '/' GROUP BY ' inside the
+    // WHERE literal must not anchor the keyword slicing (they sit inside quotes
+    // and parens — the same discipline splitTop applies to commas)
+    val d = MatViews.parse("q_mv",
+      "SELECT n_regionkey, COUNT(*) AS n, " +
+        "SUM(CASE WHEN n_name LIKE '% FROM %' THEN 1 ELSE 0 END) AS has_from " +
+        "FROM nation_mv WHERE n_name <> 'X WHERE Y GROUP BY Z' GROUP BY n_regionkey")
+    assert(d.base == "nation_mv", s"base mis-sliced: ${d.base}")
+    assert(d.where.contains("n_name <> 'X WHERE Y GROUP BY Z'"), s"where mis-sliced: ${d.where}")
+    assert(d.keys == Seq("n_regionkey") && d.aggs.map(_.alias) == Seq("n", "has_from"))
+    // whitespace collapse must preserve literal-internal spacing
+    val d2 = MatViews.parse("ws_mv",
+      "SELECT  n_regionkey,  COUNT(*)  AS n\n  FROM nation_mv\n  WHERE n_name <> 'a  b'\n  GROUP BY n_regionkey")
+    assert(d2.where.contains("n_name <> 'a  b'"), s"literal spacing lost: ${d2.where}")
+    // and the quoted-FROM definition works end-to-end through the pipeline
+    val (cat, p) = freshPipeline()
+    val defining = "SELECT n_regionkey, COUNT(*) AS n, " +
+      "SUM(CASE WHEN n_name LIKE '% FROM %' THEN 1 ELSE 0 END) AS has_from " +
+      "FROM nation_mv GROUP BY n_regionkey"
+    assert(p.run(s"CREATE MATERIALIZED VIEW quoted_from_mv AS $defining").last.status == p.Ok)
+    p.run("INSERT INTO nation_mv VALUES (980, 'MADE FROM SCRATCH', 2)")
+    assertMatchesRecompute(cat, "quoted_from_mv", defining)
+  }
+
   test("streaming ingest maintains a materialized view across micro-batches") {
     import graft.streaming.DocStreams
     val cat = new Catalog(spark)

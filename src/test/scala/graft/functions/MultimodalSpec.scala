@@ -11,11 +11,11 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
   test("mapPartitions decode == expression decode, bit for bit") {
-    val docs = Multimodal.attachPayload(
+    val docs = CodecStubs.attachPayload(
       Tables.df(spark, SparkTestBase.sf, "documents").limit(100), "text")
-    val viaExpr = Multimodal.decodeBatched(spark, docs)
+    val viaExpr = CodecStubs.decodeBatched(spark, docs)
       .select(col("doc_id"), col("features"))
-    val viaPartitions = Multimodal.decodeMapPartitions(docs)
+    val viaPartitions = CodecStubs.decodeMapPartitions(docs)
       .select(col("doc_id"), col("features"))
     assert(viaExpr.join(viaPartitions, Seq("doc_id", "features"), "left_anti").count() === 0)
     assert(viaPartitions.count() === 100)

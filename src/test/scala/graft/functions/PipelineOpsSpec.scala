@@ -176,7 +176,7 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("multimodal payload plumbing: byte counts & batched features") {
     val docs = Tables.df(spark, sf, "documents")
-    val out = Multimodal.decodeBatched(spark, Multimodal.attachPayload(docs, "text"))
+    val out = CodecStubs.decodeBatched(spark, CodecStubs.attachPayload(docs, "text"))
     val row = out.select(col("media_meta.n_bytes"), length(col("text")),
       size(col("features"))).collect()
     row.foreach { r =>
