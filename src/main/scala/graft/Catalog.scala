@@ -241,7 +241,7 @@ final class Catalog(val spark: SparkSession) {
   def hasTable(name: String): Boolean = tables.contains(name)
 
   def dropTable(name: String): Unit = {
-    val dependents = matViewDefs.values.filter(_.base == name).map(_.name).toSeq.sorted
+    val dependents = matViewDefs.values.filter(_.baseTables.contains(name)).map(_.name).toSeq.sorted
     require(dependents.isEmpty,
       s"cannot drop $name: materialized view(s) ${dependents.mkString(", ")} depend on it")
     removeBinding(name)
@@ -331,6 +331,8 @@ final class Catalog(val spark: SparkSession) {
 
   private val matViewDefs = TrieMap.empty[String, MatViews.MatViewDef]
   private val matViewState = TrieMap.empty[String, DataFrame]
+  // view -> base-table commit ids at last publish (freshness for rewrite)
+  private val matViewBaseVer = TrieMap.empty[String, Map[String, Long]]
 
   def isMatView(name: String): Boolean = matViewDefs.contains(name)
   private def requireNotMatView(name: String): Unit =
@@ -340,54 +342,123 @@ final class Catalog(val spark: SparkSession) {
 
   def createMatView(name: String, sqlText: String): Unit = {
     val d = MatViews.parse(name, sqlText)
-    require(hasTable(d.base), s"unknown base table: ${d.base}")
-    require(!isMatView(d.base),
-      "materialized view over a materialized view is not supported")
+    d.baseTables.foreach { t =>
+      require(hasTable(t), s"unknown base table: $t")
+      require(!isMatView(t),
+        "materialized view over a materialized view is not supported")
+    }
     matViewDefs.put(name, d)
-    publishMatView(d, MatViews.deltaState(d, table(d.base)))
-    logEvent("INFO", s"create materialized view $name over ${d.base}")
+    publishMatView(d, MatViews.deltaState(d, joinedBase(d)))
+    logEvent("INFO", s"create materialized view $name over ${d.baseTables.mkString(" JOIN ")}")
+  }
+
+  /** The defining FROM clause's rows: the base table, inner-joined with the
+    * second table for delta-join views. Key sides resolve by column
+    * membership so `ON a = b` accepts either spelling order. */
+  private def joinFrames(j: MatViews.MatJoin, l: DataFrame, r: DataFrame): DataFrame = {
+    val (lk, rk) =
+      if (l.columns.contains(j.leftKey) && r.columns.contains(j.rightKey))
+        (j.leftKey, j.rightKey)
+      else (j.rightKey, j.leftKey)
+    require(l.columns.contains(lk) && r.columns.contains(rk),
+      s"join keys ${j.leftKey} = ${j.rightKey} do not resolve one column on each side")
+    l.join(r, l(lk) === r(rk), "inner")
+  }
+
+  private def joinedBase(d: MatViews.MatViewDef): DataFrame = d.join match {
+    case None => table(d.base)
+    case Some(j) => joinFrames(j, table(d.base), table(j.table2))
   }
 
   /** Full recompute from the current base (REFRESH MATERIALIZED VIEW; also
     * the fallback for non-incremental paths). */
   def refreshMatView(name: String): Unit = {
     val d = matViewDefs.getOrElse(name, sys.error(s"no materialized view: $name"))
-    publishMatView(d, MatViews.deltaState(d, table(d.base)))
+    publishMatView(d, MatViews.deltaState(d, joinedBase(d)))
   }
 
   def dropMatView(name: String): Unit = {
     require(isMatView(name), s"no materialized view: $name")
     matViewDefs.remove(name)
     matViewState.remove(name)
+    matViewBaseVer.remove(name)
     dropTable(name)
   }
 
   /** localCheckpoint bounds state lineage (the merge chain would otherwise
     * grow one join per DML statement) and makes maintenance cost visible
-    * per-statement instead of deferred to first read. */
+    * per-statement instead of deferred to first read. The publish also
+    * snapshots each base table's commit id — the staleness gate for
+    * transparent query rewrite ([[answerFromMatView]]): a raw `register`
+    * rebind bumps the base's commit id without maintenance, so the view
+    * stops answering queries until REFRESH re-syncs it. */
   private def publishMatView(d: MatViews.MatViewDef, state: DataFrame): Unit = {
     val st = state.localCheckpoint()
     matViewState.put(d.name, st)
+    matViewBaseVer.put(d.name,
+      d.baseTables.map(t => t -> lastCommit.getOrElse(t, 0L)).toMap)
     register(d.name, MatViews.visible(d, st))
   }
 
-  /** Apply a DML delta to every materialized view over `base`. */
+  /** A view is fresh iff no base table has committed past the view's last
+    * maintenance/refresh publish. */
+  def matViewFresh(name: String): Boolean =
+    matViewBaseVer.get(name).exists(_.forall { case (t, v) =>
+      lastCommit.getOrElse(t, 0L) == v
+    })
+
+  /** The DML delta seen through the view's FROM clause: for join views a
+    * single-table delta joins the CURRENT other side — Δ(A⋈B) = ΔA⋈B when A
+    * changed, A⋈ΔB when B changed (one table per DML statement, so the ΔA⋈ΔB
+    * term never arises). The delta side is small, so AQE broadcasts it
+    * against the big side — maintenance stays O(delta) + one keyed merge. */
+  private def viewDelta(
+      d: MatViews.MatViewDef, changed: String, delta: DataFrame): DataFrame =
+    d.join match {
+      case None => delta
+      case Some(j) =>
+        if (changed == d.base) joinFrames(j, delta, table(j.table2))
+        else joinFrames(j, table(d.base), delta)
+    }
+
+  /** Apply a DML delta to every materialized view reading `base`. */
   private def maintainMatViews(
       base: String, insDelta: Option[DataFrame], delDelta: Option[DataFrame]): Unit =
-    matViewDefs.values.filter(_.base == base).foreach { d =>
+    matViewDefs.values.filter(_.baseTables.contains(base)).foreach { d =>
       if (delDelta.isDefined && d.hasMinMax) refreshMatView(d.name)
       else {
         var st = matViewState(d.name)
-        insDelta.foreach(r => st = MatViews.merge(d, st, MatViews.deltaState(d, r)))
-        delDelta.foreach(r => st = MatViews.merge(d, st, MatViews.deltaState(d, r, sign = -1)))
+        insDelta.foreach(r =>
+          st = MatViews.merge(d, st, MatViews.deltaState(d, viewDelta(d, base, r))))
+        delDelta.foreach(r =>
+          st = MatViews.merge(d, st, MatViews.deltaState(d, viewDelta(d, base, r), sign = -1)))
         publishMatView(d, st)
       }
     }
 
-  /** Refresh every materialized view whose base is in `names` (txn commits
+  /** Refresh every materialized view reading a table in `names` (txn commits
     * and MERGE publish whole new bindings, so the delta is unknown). */
   private[graft] def refreshMatViewsOver(names: Seq[String]): Unit =
-    matViewDefs.values.filter(d => names.contains(d.base)).foreach(d => refreshMatView(d.name))
+    matViewDefs.values.filter(_.baseTables.exists(names.contains))
+      .foreach(d => refreshMatView(d.name))
+
+  /** Transparent query rewrite: if `sql` parses into the maintainable
+    * fragment and a FRESH materialized view matches it (same base/join/WHERE,
+    * set-equal keys, every aggregate answerable from stored components —
+    * [[MatViews.matches]]), answer from the view's state without touching the
+    * base. Returns None for anything else — including stale views, which
+    * fall through to normal execution for a correct (slower) answer. */
+  def answerFromMatView(sql: String): Option[DataFrame] = {
+    val q =
+      try MatViews.parse("__rewrite_probe", sql)
+      catch { case _: Exception => return None }
+    matViewDefs.values.toSeq.sortBy(_.name)
+      .find(mv => MatViews.matches(mv, q) && matViewFresh(mv.name))
+      .map { mv =>
+        logEvent("INFO", s"query rewritten onto materialized view ${mv.name}")
+        MatViews.answer(q, mv, matViewState(mv.name))
+      }
+  }
 
   def metaMaterializedViews: DataFrame = {
     val rows = matViewDefs.values.toSeq.sortBy(_.name).map { d =>

@@ -38,10 +38,23 @@ import org.apache.spark.sql.functions._
 object MatViews {
 
   final case class MatAgg(alias: String, fn: String, arg: Option[String])
+
+  /** One inner equi-join in the defining query: `FROM base JOIN table2 ON
+    * leftKey = rightKey`. Key sides are resolved by column membership at
+    * join time (either spelling order is accepted). */
+  final case class MatJoin(table2: String, leftKey: String, rightKey: String)
+
   final case class MatViewDef(
       name: String, base: String, where: Option[String],
-      keys: Seq[String], aggs: Seq[MatAgg], sqlText: String) {
+      keys: Seq[String], aggs: Seq[MatAgg], sqlText: String,
+      join: Option[MatJoin] = None, order: Seq[String] = Nil) {
     def hasMinMax: Boolean = aggs.exists(a => a.fn == "MIN" || a.fn == "MAX")
+    /** every table the view reads — dependency + staleness tracking */
+    def baseTables: Seq[String] = base +: join.map(_.table2).toSeq
+    /** select-list order (keys by name, aggs by alias); older defs that
+      * predate the field fall back to keys-then-aggs */
+    def selectOrder: Seq[String] =
+      if (order.nonEmpty) order else keys ++ aggs.map(_.alias)
   }
 
   /** Split on `sep` ignoring separators nested inside parentheses/quotes. */
@@ -111,26 +124,47 @@ object MatViews {
       "materialized view definition must be a grouped aggregate (GROUP BY required)")
     val whereIdx = topIndexOf(s, " WHERE ")
     val items = splitTop(s.substring("SELECT ".length, fromIdx), ',')
-    val base = s.substring(fromIdx + 6, if (whereIdx > 0) whereIdx else gbIdx).trim
-    require(base.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"materialized view base must be a single table, got: $base")
+    val fromSec = s.substring(fromIdx + 6, if (whereIdx > 0) whereIdx else gbIdx).trim
+    def ident(t: String, what: String): String = {
+      require(t.matches("[A-Za-z_][A-Za-z0-9_]*"), s"$what must be a single table, got: $t")
+      t
+    }
+    // FROM t  |  FROM t1 JOIN t2 ON a = b (one inner equi-join — the
+    // delta-join maintainable fragment: Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB)
+    val joinIdx = topIndexOf(fromSec, " JOIN ")
+    val (base, join) =
+      if (joinIdx < 0) (ident(fromSec, "materialized view base"), None)
+      else {
+        val b = ident(fromSec.substring(0, joinIdx).trim, "materialized view base")
+        val rest = fromSec.substring(joinIdx + " JOIN ".length)
+        val onIdx = topIndexOf(rest, " ON ")
+        require(onIdx > 0, "JOIN in a materialized view definition needs ON <col> = <col>")
+        val t2 = ident(rest.substring(0, onIdx).trim, "materialized view join table")
+        val cond = rest.substring(onIdx + " ON ".length).trim
+        val sides = cond.split("=").map(_.trim)
+        require(sides.length == 2 && sides.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+          s"materialized view join condition must be a single column equality, got: $cond")
+        (b, Some(MatJoin(t2, sides(0), sides(1))))
+      }
     val where = if (whereIdx > 0) Some(s.substring(whereIdx + 7, gbIdx).trim) else None
     val keys = splitTop(s.substring(gbIdx + " GROUP BY ".length), ',')
     keys.foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"GROUP BY keys must be plain columns, got: $k"))
+    val order = scala.collection.mutable.Buffer.empty[String]
     val aggs = items.flatMap {
-      case item if keys.exists(_.equalsIgnoreCase(item)) => None
+      case item if keys.exists(_.equalsIgnoreCase(item)) => order += item; None
       case AggItem(fn, arg, alias) =>
         val a = arg.trim
         require(!a.toUpperCase.startsWith("DISTINCT "),
           "COUNT(DISTINCT) is not incrementally maintainable (per-group value sets needed); " +
             "use a plain view or REFRESH-only recompute")
+        order += alias
         Some(MatAgg(alias, fn.toUpperCase, if (fn.equalsIgnoreCase("COUNT") && a == "*") None else Some(a)))
       case item => throw new IllegalArgumentException(
         s"select item must be a GROUP BY key or FN(arg) AS alias, got: $item")
     }
     require(aggs.nonEmpty, "materialized view needs at least one aggregate")
-    MatViewDef(name, base, where, keys, aggs, s)
+    MatViewDef(name, base, where, keys, aggs, s, join, order.toSeq)
   }
 
   // ---------------------------------------------------------------- state
@@ -199,17 +233,59 @@ object MatViews {
       .filter(col("__n") > 0)
   }
 
-  /** The user-visible rows, derived from state components with the same
-    * expressions Spark's own aggregates produce (so refresh == incremental). */
+  /** User-visible value of one aggregate, derived from the state components
+    * (named by the OWNING view's alias) with the same expressions Spark's own
+    * aggregates produce — so refresh == incremental == rewrite. */
+  private def aggExpr(a: MatAgg): org.apache.spark.sql.Column = a.fn match {
+    case "COUNT" => a.arg.fold(col("__n"))(_ => col(s"__cn_${a.alias}"))
+    case "SUM" => col(s"__s_${a.alias}")
+    case "AVG" =>
+      col(s"__s_${a.alias}").cast("double") / col(s"__cn_${a.alias}").cast("double")
+    case "MIN" | "MAX" => col(s"__m_${a.alias}")
+  }
+
+  /** The user-visible rows of the view itself. */
   def visible(d: MatViewDef, state: DataFrame): DataFrame =
-    state.select(d.keys.map(col) ++ d.aggs.map { a =>
-      a.fn match {
-        case "COUNT" => a.arg.fold(col("__n"))(_ => col(s"__cn_${a.alias}")).as(a.alias)
-        case "SUM" => col(s"__s_${a.alias}").as(a.alias)
-        case "AVG" =>
-          (col(s"__s_${a.alias}").cast("double") /
-            col(s"__cn_${a.alias}").cast("double")).as(a.alias)
-        case "MIN" | "MAX" => col(s"__m_${a.alias}").as(a.alias)
+    state.select((d.keys.map(col) ++ d.aggs.map(a => aggExpr(a).as(a.alias))): _*)
+
+  // ------------------------------------------------------- query rewrite
+
+  private def sameColSet(a: Seq[String], b: Seq[String]): Boolean =
+    a.map(_.toLowerCase).toSet == b.map(_.toLowerCase).toSet
+
+  /** The MV aggregate whose stored components can answer `qa`: same function
+    * over the same argument text (syntactic match; aliases are free). */
+  private def findAgg(mv: MatViewDef, qa: MatAgg): Option[MatAgg] =
+    mv.aggs.find(ma => ma.fn == qa.fn && ma.arg == qa.arg)
+
+  /** Can a query parsed as `q` be answered from `mv`'s stored state?
+    * Same base (and join, either key spelling order), syntactically equal
+    * WHERE, set-equal GROUP BY keys, and every query aggregate present in
+    * the view (alias-free). Syntactic matching is the exact-text rewrite
+    * tier — no predicate subsumption. */
+  def matches(mv: MatViewDef, q: MatViewDef): Boolean =
+    mv.base.equalsIgnoreCase(q.base) &&
+      ((mv.join, q.join) match {
+        case (None, None) => true
+        case (Some(a), Some(b)) => a.table2.equalsIgnoreCase(b.table2) &&
+          sameColSet(Seq(a.leftKey, a.rightKey), Seq(b.leftKey, b.rightKey))
+        case _ => false
+      }) &&
+      mv.where == q.where &&
+      sameColSet(mv.keys, q.keys) &&
+      q.aggs.forall(qa => findAgg(mv, qa).isDefined)
+
+  /** Answer `q` from `mv`'s state: group keys pass through, each aggregate
+    * reads the MATCHING view aggregate's components, output columns keep the
+    * query's aliases and select order — byte-identical to running `q` on the
+    * base, without touching it. */
+  def answer(q: MatViewDef, mv: MatViewDef, state: DataFrame): DataFrame = {
+    val byAlias = q.aggs.map(a => a.alias -> a).toMap
+    state.select(q.selectOrder.map { name =>
+      byAlias.get(name) match {
+        case Some(qa) => aggExpr(findAgg(mv, qa).get).as(qa.alias)
+        case None => col(name).as(name) // group key, query's spelling
       }
     }: _*)
+  }
 }

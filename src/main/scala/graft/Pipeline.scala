@@ -439,6 +439,17 @@ final class Pipeline(val catalog: Catalog, planCacheSize: Int = 128) {
           if (upper.contains(view.toUpperCase)) df().createOrReplaceTempView(view)
         }
         StatementResult(s, Ok, Some(analyzeSql(s)))
+      } else if (upper.startsWith("SELECT ") && !inTransaction) {
+        // Transparent materialized-view rewrite: a grouped-aggregate SELECT
+        // matching a FRESH view's definition is answered from the view's
+        // stored state (never rescanning the base — PlanSpec asserts the
+        // physical plan). Anything else — or a stale view — falls through to
+        // normal execution. Skipped inside transactions (the txn overlay's
+        // snapshot must win over eagerly-maintained global state).
+        catalog.answerFromMatView(s) match {
+          case Some(df) => StatementResult(s, Ok, Some(df))
+          case None => StatementResult(s, Ok, Some(dispatchDml(s, upper)))
+        }
       } else {
         // SELECT / INSERT / DELETE / UPDATE / WITH — Spark SQL handles all of
         // these natively against the catalog's temp views; DML on catalog tables

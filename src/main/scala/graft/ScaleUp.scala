@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
 
   /** key column -> (home table, home column) for stride computation */
-  private val keyHome: Map[String, (String, String)] = Map(
+  private[graft] val keyHome: Map[String, (String, String)] = Map(
     "custkey" -> ("customer", "c_custkey"),
     "suppkey" -> ("supplier", "s_suppkey"),
     "partkey" -> ("part", "p_partkey"),
@@ -35,7 +35,7 @@ object ScaleUp {
     "vec_id" -> ("embeddings", "vec_id"))
 
   /** table -> columns to offset, tagged with their key domain */
-  private val offsetCols: Map[String, Seq[(String, String)]] = Map(
+  private[graft] val offsetCols: Map[String, Seq[(String, String)]] = Map(
     "customer" -> Seq("c_custkey" -> "custkey"),
     "supplier" -> Seq("s_suppkey" -> "suppkey"),
     "part" -> Seq("p_partkey" -> "partkey"),
@@ -46,14 +46,24 @@ object ScaleUp {
     "documents" -> Seq("doc_id" -> "doc_id"),
     "embeddings" -> Seq("vec_id" -> "vec_id"))
 
-  def scaleTable(spark: SparkSession, src: String, name: String, factor: Int,
-                 strides: Map[String, Long]): DataFrame = {
-    val df = Tables.df(spark, src, name)
+  /** stride = domain max + 1, from each key's home table */
+  private[graft] def keyStrides(spark: SparkSession, src: String): Map[String, Long] =
+    keyHome.map { case (domain, (tbl, c)) =>
+      domain -> (Tables.df(spark, src, tbl).agg(max(col(c).cast("long")))
+        .collect()(0).getLong(0) + 1L)
+    }
+
+  /** The key-offsetting fan-out itself, on an already-partitioned `df` —
+    * the broadcast of `factor` copy indices preserves the stream side's
+    * partitioning, so callers size write parallelism by repartitioning the
+    * SMALL source (cheap) instead of shuffling the scaled output. */
+  private[graft] def scaleDf(spark: SparkSession, df: DataFrame, name: String,
+                             factor: Int, strides: Map[String, Long]): DataFrame = {
     if (!offsetCols.contains(name)) df // region/nation: fixed dims
     else {
       val copies = broadcast(spark.range(factor.toLong).toDF("copy_k"))
       val keyed = offsetCols(name).toMap
-      val out = df.crossJoin(copies).select(df.columns.map { c =>
+      df.crossJoin(copies).select(df.columns.map { c =>
         keyed.get(c) match {
           case Some(domain) =>
             val t = df.schema(c).dataType
@@ -62,9 +72,12 @@ object ScaleUp {
           case None => col(c)
         }
       }.toIndexedSeq: _*)
-      out
     }
   }
+
+  def scaleTable(spark: SparkSession, src: String, name: String, factor: Int,
+                 strides: Map[String, Long]): DataFrame =
+    scaleDf(spark, Tables.df(spark, src, name), name, factor, strides)
 
   def main(args: Array[String]): Unit = {
     val (src, dst) = (args(0), args(1))
@@ -73,11 +86,7 @@ object ScaleUp {
       SparkSession.builder().master("local[32]").appName("graft-scale-up"),
       shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // stride = domain max + 1, from each key's home table
-    val strides: Map[String, Long] = keyHome.map { case (domain, (tbl, c)) =>
-      domain -> (Tables.df(spark, src, tbl).agg(max(col(c).cast("long")))
-        .collect()(0).getLong(0) + 1L)
-    }
+    val strides = keyStrides(spark, src)
     Tables.names.foreach { t =>
       val scaled = scaleTable(spark, src, t, factor, strides)
       val parts = if (offsetCols.contains(t)) 16 else 1

@@ -228,6 +228,78 @@ object LifecycleQueries {
     rs.last.df.get
   }
 
+  /** Delta-join materialized view (Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB, one table per DML
+    * statement): the Spark answer is read from a VIEW over an equi-join after
+    * DML hits BOTH sides — fact inserts (incl. a dangling one its dim insert
+    * later picks up) and deletes on each side. DuckDB replays the DML on the
+    * bases and aggregates the join from scratch. */
+  val dmlMatViewJoin: Q = Q(
+    "dml_matview_join",
+    """CREATE OR REPLACE TEMP TABLE mvj_sup AS
+      |  SELECT s_suppkey, s_nationkey FROM supplier;
+      |CREATE OR REPLACE TEMP TABLE mvj_nat AS
+      |  SELECT n_nationkey, n_regionkey FROM nation;
+      |INSERT INTO mvj_sup VALUES (901, 77), (902, 3);
+      |INSERT INTO mvj_nat VALUES (77, 1);
+      |DELETE FROM mvj_sup WHERE s_suppkey % 5 = 0;
+      |DELETE FROM mvj_nat WHERE n_nationkey % 7 = 3;
+      |SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS sum_k
+      |FROM mvj_sup JOIN mvj_nat ON s_nationkey = n_nationkey
+      |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+    val cat = new Catalog(s)
+    cat.register("mvj_sup_w",
+      Tables.df(s, dir, "supplier").selectExpr("s_suppkey", "s_nationkey"))
+    cat.register("mvj_nat_w",
+      Tables.df(s, dir, "nation").selectExpr("n_nationkey", "n_regionkey"))
+    val p = new Pipeline(cat)
+    val rs = p.run(
+      """CREATE MATERIALIZED VIEW mvj_rollup AS
+        |  SELECT n_regionkey, COUNT(*) AS n, SUM(s_suppkey) AS sum_k
+        |  FROM mvj_sup_w JOIN mvj_nat_w ON s_nationkey = n_nationkey
+        |  GROUP BY n_regionkey;
+        |INSERT INTO mvj_sup_w VALUES (901, 77), (902, 3);
+        |INSERT INTO mvj_nat_w VALUES (77, 1);
+        |DELETE FROM mvj_sup_w WHERE s_suppkey % 5 = 0;
+        |DELETE FROM mvj_nat_w WHERE n_nationkey % 7 = 3;
+        |SELECT * FROM mvj_rollup ORDER BY n_regionkey""".stripMargin)
+    rs.foreach(r => require(r.status == p.Ok, s"${r.sql}: ${r.status}"))
+    rs.last.df.get
+  }
+
+  /** Transparent materialized-view rewrite, oracle-gated end to end: after
+    * DML, the matching grouped-aggregate SELECT (different aliases, aggregate
+    * subset) runs through the Pipeline — which answers it from the view's
+    * stored components without rescanning the base (PlanSpec asserts the
+    * physical plan) — and must hash-match DuckDB recomputing from scratch. */
+  val dmlMatViewRewrite: Q = Q(
+    "dml_matview_rewrite",
+    """CREATE OR REPLACE TEMP TABLE mvr_base AS
+      |  SELECT s_suppkey, s_nationkey FROM supplier;
+      |INSERT INTO mvr_base VALUES (931, 12), (932, 12);
+      |DELETE FROM mvr_base WHERE s_suppkey % 6 = 0;
+      |SELECT s_nationkey, COUNT(*) AS cnt
+      |FROM mvr_base GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+    val cat = new Catalog(s)
+    cat.register("mvr_base_w",
+      Tables.df(s, dir, "supplier").selectExpr("s_suppkey", "s_nationkey"))
+    val p = new Pipeline(cat)
+    val rs = p.run(
+      """CREATE MATERIALIZED VIEW mvr_mv AS
+        |  SELECT s_nationkey, COUNT(*) AS n, SUM(s_suppkey) AS sk
+        |  FROM mvr_base_w GROUP BY s_nationkey;
+        |INSERT INTO mvr_base_w VALUES (931, 12), (932, 12);
+        |DELETE FROM mvr_base_w WHERE s_suppkey % 6 = 0""".stripMargin)
+    rs.foreach(r => require(r.status == p.Ok, s"${r.sql}: ${r.status}"))
+    // the fragment query (no ORDER BY — outside the fragment) is rewritten
+    // onto mvr_mv's state; deterministic output order added afterwards
+    val ans = p.sql("SELECT s_nationkey, COUNT(*) AS cnt FROM mvr_base_w GROUP BY s_nationkey")
+    val plan = ans.queryExecution.executedPlan.toString
+    require(!plan.contains("HashAggregate") && !plan.contains("FileScan"),
+      s"expected matview rewrite, got base aggregation:\n$plan")
+    ans.orderBy("s_nationkey")
+  }
+
   val all: Seq[Q] = Seq(dmlInsert, dmlDelete, dmlUpdate, dmlSnapshot, viewPrepared,
-    metaTables, dmlMerge, txnRollbackCommit, dmlAlterTable, dmlMatView)
+    metaTables, dmlMerge, txnRollbackCommit, dmlAlterTable, dmlMatView,
+    dmlMatViewJoin, dmlMatViewRewrite)
 }

@@ -163,6 +163,75 @@ class MatViewSpec extends AnyFunSuite {
     assertMatchesRecompute(cat, "quoted_from_mv", defining)
   }
 
+  test("delta-join view: one equi-join, maintained incrementally from either side") {
+    val (cat, p) = freshPipeline()
+    val defining =
+      "SELECT n_regionkey, COUNT(*) AS n, SUM(s_suppkey) AS sk " +
+        "FROM supplier_mv JOIN nation_mv ON s_nationkey = n_nationkey GROUP BY n_regionkey"
+    val r = p.run(s"CREATE MATERIALIZED VIEW supnat AS $defining")
+    assert(r.forall(_.status == p.Ok), r.map(_.status).mkString(","))
+    assertMatchesRecompute(cat, "supnat", defining)
+    // insert on the FACT side: joins the existing dim row for nation 3
+    p.run("INSERT INTO supplier_mv VALUES (911, 'SUP_J', 'addr', 3, 'p', 5.5, '')")
+    assertMatchesRecompute(cat, "supnat", defining)
+    // dangling fact insert (no nation 88 yet): view must NOT change
+    p.run("INSERT INTO supplier_mv VALUES (912, 'SUP_K', 'addr', 88, 'p', 7.0, '')")
+    assertMatchesRecompute(cat, "supnat", defining)
+    // insert on the DIM side: the dangling supplier now joins in (A ⋈ ΔB)
+    p.run("INSERT INTO nation_mv VALUES (88, 'N_NEW', 4)")
+    assertMatchesRecompute(cat, "supnat", defining)
+    // delete on the fact side (ΔA ⋈ B with negated components)
+    p.run("DELETE FROM supplier_mv WHERE s_suppkey % 4 = 0")
+    assertMatchesRecompute(cat, "supnat", defining)
+    // delete on the dim side: every supplier of nation 3 leaves the view
+    p.run("DELETE FROM nation_mv WHERE n_nationkey = 3")
+    assertMatchesRecompute(cat, "supnat", defining)
+    // update on the fact side that moves rows across join partners
+    p.run("UPDATE supplier_mv SET s_nationkey = s_nationkey + 1 WHERE s_suppkey % 3 = 0")
+    assertMatchesRecompute(cat, "supnat", defining)
+    // update on the dim side that moves a GROUP key
+    p.run("UPDATE nation_mv SET n_regionkey = n_regionkey + 1 WHERE n_nationkey % 5 = 1")
+    assertMatchesRecompute(cat, "supnat", defining)
+  }
+
+  test("transparent rewrite: matching SELECT answered from view state; staleness falls back") {
+    val (cat, p) = freshPipeline()
+    p.run("CREATE MATERIALIZED VIEW rw_mv AS SELECT n_regionkey, COUNT(*) AS n, " +
+      "SUM(n_nationkey) AS sk FROM nation_mv GROUP BY n_regionkey")
+    // different aliases + aggregate SUBSET of the view: still answerable
+    val q = "SELECT n_regionkey, COUNT(*) AS cnt FROM nation_mv GROUP BY n_regionkey"
+    def planOf(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString
+    val df = p.sql(q)
+    assert(df.columns.toSeq == Seq("n_regionkey", "cnt"), df.columns.toSeq.toString)
+    val plan = planOf(df)
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+      s"rewritten query must read view state, not the base parquet:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"rewritten query must not re-aggregate — components are stored:\n$plan")
+    assert(sorted(df) == sorted(spark.sql(q)), "rewrite must be value-identical")
+    // DML keeps the view fresh → still rewritten, still correct
+    p.run("INSERT INTO nation_mv VALUES (991, 'RW_N', 2)")
+    val df1 = p.sql(q)
+    assert(!planOf(df1).contains("HashAggregate"), "fresh after DML → still rewritten")
+    assert(sorted(df1) == sorted(spark.sql(q)))
+    // raw register() bypasses maintenance → STALE → falls back to real execution
+    cat.register("nation_mv", Tables.df(spark, sf, "nation").filter(col("n_regionkey") =!= 0))
+    val df2 = p.sql(q)
+    assert(planOf(df2).contains("HashAggregate"),
+      s"stale view must NOT answer the query:\n${planOf(df2)}")
+    assert(sorted(df2) == sorted(spark.sql(q)))
+    // REFRESH re-syncs → rewrite resumes
+    p.run("REFRESH MATERIALIZED VIEW rw_mv")
+    val df3 = p.sql(q)
+    assert(!planOf(df3).contains("HashAggregate"), "refreshed view answers again")
+    assert(sorted(df3) == sorted(spark.sql(q)))
+    // non-matching WHERE must not rewrite
+    val qw = "SELECT n_regionkey, COUNT(*) AS cnt FROM nation_mv " +
+      "WHERE n_nationkey > 5 GROUP BY n_regionkey"
+    assert(planOf(p.sql(qw)).contains("HashAggregate"), "different WHERE → no rewrite")
+    assert(sorted(p.sql(qw)) == sorted(spark.sql(qw)))
+  }
+
   test("streaming ingest maintains a materialized view across micro-batches") {
     import graft.streaming.DocStreams
     val cat = new Catalog(spark)

@@ -32,6 +32,23 @@ class PlanSpec extends AnyFunSuite {
       s"unused key columns must not be read: $readSchema")
   }
 
+  test("matview rewrite: matching query's physical plan reads view state, not base") {
+    val cat = new Catalog(spark)
+    cat.register("rwp_nation", Tables.df(spark, sf, "nation"))
+    val p = new Pipeline(cat)
+    p.run("CREATE MATERIALIZED VIEW rwp_mv AS SELECT n_regionkey, COUNT(*) AS n " +
+      "FROM rwp_nation GROUP BY n_regionkey")
+    val df = p.sql("SELECT n_regionkey, COUNT(*) AS n FROM rwp_nation GROUP BY n_regionkey")
+    val plan = df.queryExecution.executedPlan.toString
+    // the base is parquet-backed; the view state is a localCheckpoint RDD —
+    // a rewritten plan therefore contains NO file scan and NO re-aggregation
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+      s"rewrite must not scan the base:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"rewrite must not re-aggregate:\n$plan")
+    assert(df.count() == 5)
+  }
+
   test("q5: dimension joins are broadcast, no cartesian/nested-loop") {
     val p = planOf("tpch_q5_local_supplier")
     assert(p.contains("BroadcastHashJoin"), "small dims must broadcast")
