@@ -20,6 +20,7 @@ object SparkEntry {
       operators.SsbQueries.all ++
       operators.TpcdsQueries.all ++
       operators.JobQueries.all ++
+      operators.JobVariantQueries.all ++
       operators.TpccQueries.all ++
       operators.EventsQueries.all ++
       operators.LifecycleQueries.all ++
