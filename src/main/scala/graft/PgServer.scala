@@ -26,7 +26,16 @@ import org.apache.spark.sql.types._
   * protocol's error-recovery rule). Transaction status ('I' idle / 'T' in
   * transaction) reports the pipeline's BEGIN/COMMIT/ROLLBACK state.
   *
-  * All values travel in text format (format code 0). Result fetches are
+  * Result values travel in text format (format code 0) by default; the
+  * extended flow also honours Bind's RESULT format codes (format 1 = binary)
+  * with the standard binary encodings — int2/int4/int8 big-endian, float4/
+  * float8 IEEE, bool single byte, date as days since 2000-01-01, timestamp as
+  * microseconds since 2000-01-01, numeric in base-10000 digit groups — the
+  * same wire forms libpq's binary cursors and JDBC's binary transfer expect
+  * (reference serializes text-only: result_serializer.cpp; binary is the
+  * beyond-ref half of the protocol). Binary PARAMETERS are explicitly
+  * rejected (Parse discards param type OIDs, so binary params cannot be
+  * decoded — text params cover every client we drive). Result fetches are
   * BOUNDED like [[Server]]: `limit(maxRows + 1)` caps driver materialization;
   * oversized results close with a NOTICE-equivalent suffix in the command tag
   * (the client still gets well-formed frames).
@@ -113,32 +122,119 @@ final class PgServer(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int =
     out.flush()
   }
 
-  private def sendRowDescription(out: DataOutputStream, schema: StructType): Unit =
+  /** Resolve Bind's result-format list against a column count (protocol rule:
+    * empty = all text, one entry = applies to every column, else per-column). */
+  private def resolveFormats(fmts: Seq[Int], nCols: Int): IndexedSeq[Int] =
+    fmts match {
+      case Seq()  => IndexedSeq.fill(nCols)(0)
+      case Seq(f) => IndexedSeq.fill(nCols)(f)
+      case many   => (0 until nCols).map(i => if (i < many.length) many(i) else 0)
+    }
+
+  private def sendRowDescription(out: DataOutputStream, schema: StructType,
+                                 fmts: Seq[Int] = Nil): Unit = {
+    val resolved = resolveFormats(fmts, schema.length)
     msg(out, 'T') { o =>
       o.writeShort(schema.length)
-      schema.fields.foreach { f =>
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
         cstr(o, f.name)
         o.writeInt(0)               // table oid
         o.writeShort(0)             // attribute number
         o.writeInt(typeOid(f.dataType))
         o.writeShort(-1)            // typlen (variable)
         o.writeInt(-1)              // typmod
-        o.writeShort(0)             // text format
+        // binary only where we truly encode binary — else declare text
+        o.writeShort(if (resolved(i) == 1 && binaryEncodable(f.dataType)) 1 else 0)
       }
     }
+  }
 
-  private def sendDataRow(out: DataOutputStream, row: org.apache.spark.sql.Row): Unit =
+  /** Days between the PG epoch (2000-01-01) and the Unix epoch. */
+  private val PgEpochDays = 10957L
+  /** Microseconds between the PG epoch and the Unix epoch. */
+  private val PgEpochMicros = 946684800000000L
+
+  private def binaryEncodable(dt: DataType): Boolean = dt match {
+    case BooleanType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         DateType | TimestampType | _: DecimalType | StringType => true
+    case _ => false // arrays/structs/maps keep their text rendering
+  }
+
+  /** NUMERIC binary form (pg_type 1700): i16 ndigits, i16 weight, i16 sign
+    * (0x0000 +, 0x4000 -), i16 dscale, then base-10000 digit groups aligned
+    * at the decimal point — value = Σ digits(i) · 10000^(weight−i). */
+  private[graft] def numericBytes(bd0: java.math.BigDecimal): Array[Byte] = {
+    val neg = bd0.signum() < 0
+    val bd = bd0.abs()
+    val dscale = math.max(0, bd0.scale())
+    val plain = bd.toPlainString
+    val dot = plain.indexOf('.')
+    val (intPart0, fracPart0) = if (dot < 0) (plain, "") else (plain.take(dot), plain.drop(dot + 1))
+    val intPart = "0" * ((4 - intPart0.length % 4) % 4) + intPart0
+    val fracPart = fracPart0 + "0" * ((4 - fracPart0.length % 4) % 4)
+    var groups = (intPart + fracPart).grouped(4).map(_.toInt).toVector
+    var weight = intPart.length / 4 - 1
+    while (groups.headOption.contains(0) && groups.length > 1) { groups = groups.tail; weight -= 1 }
+    while (groups.lastOption.contains(0) && groups.length > 1) groups = groups.init
+    if (groups == Vector(0)) { groups = Vector.empty; weight = 0 }
+    val b = java.nio.ByteBuffer.allocate(8 + 2 * groups.length)
+    b.putShort(groups.length.toShort)
+    b.putShort(weight.toShort)
+    b.putShort(if (neg) 0x4000.toShort else 0.toShort)
+    b.putShort(dscale.toShort)
+    groups.foreach(g => b.putShort(g.toShort))
+    b.array()
+  }
+
+  /** The standard binary wire form of one non-null value. */
+  private def binValue(dt: DataType, v: Any): Array[Byte] = (dt, v) match {
+    case (BooleanType, x: java.lang.Boolean) => Array[Byte](if (x) 1 else 0)
+    case (ShortType, x: java.lang.Short) =>
+      java.nio.ByteBuffer.allocate(2).putShort(x).array()
+    case (IntegerType, x: java.lang.Integer) =>
+      java.nio.ByteBuffer.allocate(4).putInt(x).array()
+    case (LongType, x: java.lang.Long) =>
+      java.nio.ByteBuffer.allocate(8).putLong(x).array()
+    case (FloatType, x: java.lang.Float) =>
+      java.nio.ByteBuffer.allocate(4).putFloat(x).array()
+    case (DoubleType, x: java.lang.Double) =>
+      java.nio.ByteBuffer.allocate(8).putDouble(x).array()
+    case (DateType, d: java.sql.Date) =>
+      java.nio.ByteBuffer.allocate(4).putInt((d.toLocalDate.toEpochDay - PgEpochDays).toInt).array()
+    case (DateType, d: java.time.LocalDate) =>
+      java.nio.ByteBuffer.allocate(4).putInt((d.toEpochDay - PgEpochDays).toInt).array()
+    case (TimestampType, t: java.sql.Timestamp) =>
+      // getTime already folds in the whole milliseconds of getNanos — rebuild
+      // from the seconds part + full nano field to avoid double counting
+      val micros = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      java.nio.ByteBuffer.allocate(8).putLong(micros - PgEpochMicros).array()
+    case (TimestampType, t: java.time.Instant) =>
+      val micros = t.getEpochSecond * 1000000L + t.getNano / 1000L
+      java.nio.ByteBuffer.allocate(8).putLong(micros - PgEpochMicros).array()
+    case (_: DecimalType, x: java.math.BigDecimal) => numericBytes(x)
+    case (_: DecimalType, x: scala.math.BigDecimal) => numericBytes(x.bigDecimal)
+    case _ => String.valueOf(v).getBytes(UTF_8) // StringType & anything declared text
+  }
+
+  private def sendDataRow(out: DataOutputStream, row: org.apache.spark.sql.Row,
+                          schema: StructType = null, fmts: Seq[Int] = Nil): Unit = {
+    val resolved = if (fmts.isEmpty || schema == null) null else resolveFormats(fmts, row.length)
     msg(out, 'D') { o =>
       o.writeShort(row.length)
       (0 until row.length).foreach { i =>
         if (row.isNullAt(i)) o.writeInt(-1)
         else {
-          val bytes = String.valueOf(row.get(i)).getBytes(UTF_8)
+          val dt = if (schema == null) null else schema(i).dataType
+          val bytes =
+            if (resolved != null && resolved(i) == 1 && binaryEncodable(dt))
+              binValue(dt, row.get(i))
+            else String.valueOf(row.get(i)).getBytes(UTF_8)
           o.writeInt(bytes.length)
           o.write(bytes)
         }
       }
     }
+  }
 
   private def sendComplete(out: DataOutputStream, tag: String): Unit =
     msg(out, 'C')(cstr(_, tag))
@@ -183,7 +279,8 @@ final class PgServer(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int =
 
     // extended-protocol session state (reference: prepared_plan.hpp storage)
     val statements = scala.collection.mutable.Map.empty[String, String] // name -> SQL with $n
-    val portals = scala.collection.mutable.Map.empty[String, String]    // name -> bound SQL
+    // name -> (bound SQL, result format codes from Bind)
+    val portals = scala.collection.mutable.Map.empty[String, (String, Seq[Int])]
     var errorUntilSync = false // after an extended-flow error, discard until Sync
 
     try while (running.get()) {
@@ -229,14 +326,19 @@ final class PgServer(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int =
             val b = reader(body)
             val portal = b.cstring()
             val stmt = b.cstring()
-            val nFmt = b.u16(); (0 until nFmt).foreach(_ => b.u16())
+            val nFmt = b.u16()
+            val paramFmts = (0 until nFmt).map(_ => b.u16())
+            if (paramFmts.contains(1))
+              sys.error("binary-format parameters are not supported; send params as text")
             val nParams = b.u16()
             val params = (0 until nParams).map { _ =>
               val plen = b.i32()
               if (plen < 0) null else new String(b.bytes(plen), UTF_8)
             }
+            val nRes = b.u16()
+            val resFmts = (0 until nRes).map(_ => b.u16())
             val template = statements.getOrElse(stmt, sys.error(s"unknown statement '$stmt'"))
-            portals(portal) = bindParams(template, params)
+            portals(portal) = (bindParams(template, params), resFmts)
             msg(out, '2')(_ => ()) // BindComplete
           } catch { case e: Throwable =>
             sendError(out, String.valueOf(e.getMessage)); errorUntilSync = true
@@ -246,10 +348,12 @@ final class PgServer(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int =
             val b = reader(body)
             val kind = b.u8().toChar
             val name = b.cstring()
-            val sql = (if (kind == 'P') portals.get(name) else statements.get(name))
-              .getOrElse(sys.error(s"unknown ${if (kind == 'P') "portal" else "statement"} '$name'"))
+            val (sql, fmts) =
+              (if (kind == 'P') portals.get(name).map(p => (p._1, p._2))
+               else statements.get(name).map((_, Seq.empty[Int])))
+                .getOrElse(sys.error(s"unknown ${if (kind == 'P') "portal" else "statement"} '$name'"))
             describeSql(pipeline, sql) match {
-              case Some(schema) => sendRowDescription(out, schema)
+              case Some(schema) => sendRowDescription(out, schema, fmts)
               case None => msg(out, 'n')(_ => ()) // NoData
             }
           } catch { case e: Throwable =>
@@ -260,9 +364,10 @@ final class PgServer(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int =
             val b = reader(body)
             val portal = b.cstring()
             val limit = b.i32()
-            val sql = portals.getOrElse(portal, sys.error(s"unknown portal '$portal'"))
+            val (sql, fmts) = portals.getOrElse(portal, sys.error(s"unknown portal '$portal'"))
             governed(
-              executePortal(pipeline, sql, if (limit > 0) math.min(limit, maxRows) else maxRows, out))
+              executePortal(pipeline, sql, if (limit > 0) math.min(limit, maxRows) else maxRows,
+                out, fmts))
           } catch { case e: Throwable =>
             sendError(out, String.valueOf(e.getMessage)); errorUntilSync = true
           }
@@ -302,10 +407,10 @@ final class PgServer(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int =
   }
   private def reader(body: Array[Byte]) = new Reader(body)
 
-  /** Substitute $1..$n with quoted text literals (params always arrive in text
-    * format here — format-code 1 binary params are rejected by omission since
-    * Bind ignores format codes and we quote textually; Spark coerces string
-    * literals in comparisons). NULL params become the NULL literal. */
+  /** Substitute $1..$n with quoted text literals (params must arrive in text
+    * format — Bind rejects format-code-1 params explicitly, since Parse
+    * discards the param type OIDs needed to decode binary; Spark coerces
+    * string literals in comparisons). NULL params become the NULL literal. */
   private def bindParams(template: String, params: Seq[String]): String =
     params.zipWithIndex.foldLeft(template) { case (sql, (v, i)) =>
       val lit = if (v == null) "NULL" else "'" + v.replace("'", "''") + "'"
@@ -321,7 +426,8 @@ final class PgServer(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int =
     else None
   }
 
-  private def executePortal(pipeline: Pipeline, sql: String, limit: Int, out: DataOutputStream): Unit = {
+  private def executePortal(pipeline: Pipeline, sql: String, limit: Int, out: DataOutputStream,
+                            fmts: Seq[Int] = Nil): Unit = {
     val results = pipeline.run(sql)
     results.foreach { r =>
       r.status match {
@@ -330,7 +436,8 @@ final class PgServer(makePipeline: () => Pipeline, port: Int = 0, maxRows: Int =
             case Some(df) =>
               val rows = df.limit(limit + 1).collect()
               val sent = if (rows.length > limit) rows.take(limit) else rows
-              sent.foreach(sendDataRow(out, _)) // extended flow: no RowDescription here
+              // extended flow: no RowDescription here (Describe already sent it)
+              sent.foreach(sendDataRow(out, _, df.schema, fmts))
               if (rows.length > limit) msg(out, 's')(_ => ()) // PortalSuspended
               else sendComplete(out, commandTag(r.sql, sent.length.toLong))
             case None => sendComplete(out, commandTag(r.sql, 0L))
