@@ -226,6 +226,19 @@ class PlanSpec extends AnyFunSuite {
       s"the l1/l2/l3 self-joins must stay equi (orderkey) joins:\n$p")
   }
 
+  test("every JOB query — all templates and selectivity variants — plans zero cartesians") {
+    // the suite-wide guarantee behind the per-shape tests above: no declared
+    // join order, selectivity point, or empty intermediate may degenerate to
+    // a cartesian or an unkeyed nested loop anywhere in the JOB family
+    val jobNames = SparkEntry.allQ.map(_.name).filter(_.startsWith("job_"))
+    assert(jobNames.size >= 25, s"expected the full JOB family, got $jobNames")
+    jobNames.foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n must plan only keyed joins:\n$p")
+    }
+  }
+
   test("runtime bloom filter reduces the fact scan for a selective dim join") {
     // the Spark counterpart of the reference's semi-join reduction rule
     // (semi_join_reduction_rule.cpp): a bloom filter built on the filtered
