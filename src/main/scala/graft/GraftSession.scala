@@ -28,6 +28,19 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Let the PARTITION COUNT scale with the data, not the knob: AQE plans
+      // every exchange at 32× the core count and coalesces down to its
+      // ~64 MiB advisory target at runtime. With the bare core-count default
+      // a fixed 32 becomes the CAP, and at SF100 each of 32 partitions
+      // carries ~19M lineitem rows — build sides overflow the per-task
+      // memory budget and the q3/q4/q5-class fact joins go superlinear from
+      // spill+GC (measured 22–36× per decade; 2.4× after this change). Small
+      // fixtures coalesce straight back to a handful of partitions, so the
+      // sf0.1 gate numbers are unaffected. On a 1000-executor cluster this
+      // is exactly the config you'd ship: initial count ≫ cores, AQE sizes
+      // the real parallelism per stage from map output statistics.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (shufflePartitions * 32).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
