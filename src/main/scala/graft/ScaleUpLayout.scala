@@ -38,26 +38,39 @@ object ScaleUpLayout {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    val (src, dst) = (args(0), args(1))
-    val factor = args.lift(2).map(_.toInt).getOrElse(1000)
-    val spark = GraftSession.tuned(
-      SparkSession.builder().master("local[32]").appName("graft-scale-up-layout"),
-      shufflePartitions = 32).getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+  /** The fused scale-and-write pass, with an optional per-table row transform
+    * applied AFTER key offsetting (so a transform sees final key values) —
+    * [[SkewLayout]] plugs its JCC-H-style distribution rewrites in here to
+    * materialize a skewed decade without an intermediate uniform copy. */
+  def writeScaled(spark: org.apache.spark.sql.SparkSession, src: String, dst: String,
+                  factor: Int,
+                  transform: Map[String, org.apache.spark.sql.DataFrame =>
+                    org.apache.spark.sql.DataFrame] = Map.empty): Unit = {
     val strides = ScaleUp.keyStrides(spark, src)
     val target = 128L << 20
     Tables.names.foreach { t =>
       val df = Tables.df(spark, src, t)
       val out = s"$dst/$t.parquet"
+      val tf = transform.getOrElse(t, identity[org.apache.spark.sql.DataFrame] _)
       if (!ScaleUp.offsetCols.contains(t)) {
         // fixed dims (region/nation): single file
-        df.coalesce(1).write.mode("overwrite").parquet(out)
+        tf(df).coalesce(1).write.mode("overwrite").parquet(out)
       } else {
         val scaledBytes = dirBytes(s"$src/$t.parquet") * factor
-        val perTask = target * partVals.getOrElse(t, 1)
-        val srcParts = math.max(1, math.min(256, (scaledBytes / perTask).toInt))
-        val scaled = ScaleUp.scaleDf(spark, df.repartition(srcParts), t, factor, strides)
+        val vals = partVals.getOrElse(t, 1).toLong
+        // File sizing serves TWO masters: at 100 TB files should be ~128 MiB
+        // (count is astronomical, parallelism is free), but on a fixed box a
+        // table smaller than cores × 128 MiB would cap its SCAN parallelism
+        // at total/128Mi tasks — measured at SF10 as 7 lineitem files ⇒
+        // 7-way scans ⇒ q10 16 s vs 4.5 s. Target whichever is smaller:
+        // 128 MiB, or the size that yields ≥2 files per core (floored at
+        // 16 MiB so tiny tables don't shatter into confetti).
+        val cores = Runtime.getRuntime.availableProcessors().toLong
+        val fileTarget = math.max(16L << 20,
+          math.min(target, scaledBytes / math.max(1L, 2L * cores * vals)))
+        val srcParts = math.max(1, math.min(256,
+          (scaledBytes / (fileTarget * vals)).toInt))
+        val scaled = tf(ScaleUp.scaleDf(spark, df.repartition(srcParts), t, factor, strides))
         partCols.get(t) match {
           case Some(c) => scaled.write.mode("overwrite").partitionBy(c).parquet(out)
           case None    => scaled.write.mode("overwrite").parquet(out)
@@ -67,6 +80,16 @@ object ScaleUpLayout {
       }
     }
     println(s"done: ${dirBytes(dst) >> 20}MiB total at $dst")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (src, dst) = (args(0), args(1))
+    val factor = args.lift(2).map(_.toInt).getOrElse(1000)
+    val spark = GraftSession.tuned(
+      SparkSession.builder().master("local[32]").appName("graft-scale-up-layout"),
+      shufflePartitions = 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    writeScaled(spark, src, dst, factor)
     spark.stop()
   }
 }

@@ -21,14 +21,27 @@ import org.apache.spark.sql.functions._
   *    stay single-file, so the ONLY variable vs the uniform twin is the
   *    distribution.
   *
+  * An optional third argument scales WHILE skewing (`runMain graft.SkewLayout
+  * <src> <dst> 100` = skewed SF10 from sf0.1): [[ScaleUp]]'s key-offset
+  * fan-out runs first, then the skew rewrite over the scaled keys, written in
+  * [[ScaleUpLayout]]'s hive-partitioned multi-file layout — the same layout
+  * as the uniform decade twin, so skew stays the ONLY variable at scale. Note
+  * the hotspot INTENSIFIES with factor by design: `pmod(l_orderkey, 100)`
+  * over a 100× key domain funnels 100× more hot rows into the same 100
+  * orders, and the every-10th-doc template cliques grow linearly — the
+  * cross-term this measures is "does the q18 shuffle / LSH bucketing survive
+  * a hotspot that grows WITH the data", which is what a production hot key
+  * does (JCC-H keeps skew proportional too: third_party/jcch-dbgen).
+  *
   * After writing, executes tpch_q18 on the skewed dir and prints its
   * executed AQE plan's join/skew markers as committed evidence. Usage:
-  * `runMain graft.SkewLayout <srcSfDir> <dstDir>` then
+  * `runMain graft.SkewLayout <srcSfDir> <dstDir> [factor=1]` then
   * `SPARK_GRAFT_SF_DIR=<dstDir> runMain graft.Bench`.
   */
 object SkewLayout {
   def main(args: Array[String]): Unit = {
     val (src, dst) = (args(0), args(1))
+    val factor = args.lift(2).map(_.toInt).getOrElse(1)
     val spark = GraftSession.tuned(
       SparkSession.builder().master("local[32]").appName("graft-skew-layout"),
       shufflePartitions = 32).getOrCreate()
@@ -49,7 +62,8 @@ object SkewLayout {
             .otherwise(col("text")))))
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
-    Tables.names.foreach { t =>
+    if (factor > 1) ScaleUpLayout.writeScaled(spark, src, dst, factor, skewed)
+    else Tables.names.foreach { t =>
       val out = s"$dst/$t.parquet"
       skewed.get(t) match {
         case Some(fn) =>
