@@ -81,15 +81,27 @@ object TpchFullQueries {
       |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
       |GROUP BY supp_nation, cust_nation, l_year
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, dir) =>
-    val n1 = t(s, dir, "nation").select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
-    val n2 = t(s, dir, "nation").select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
-    val l = t(s, dir, "lineitem")
-      .filter(col("l_shipdate") >= "1996-01-01 00:00:00" && col("l_shipdate") < "1998-01-01 00:00:00")
-    l.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+    // Semi-join pre-reduction (reference: semi_join_reduction_rule.cpp): the
+    // nation-pair predicate restricts both sides to 2/25 of each dim, so the
+    // restricted dims broadcast INTO the fact scans — lineitem shrinks 2/25
+    // map-side before its shuffle, and orders joins only the 2/25 customers.
+    val n1 = t(s, dir, "nation").filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation").filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    val supN = t(s, dir, "supplier")
       .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cN = t(s, dir, "customer")
       .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val lRed = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1996-01-01 00:00:00" && col("l_shipdate") < "1998-01-01 00:00:00")
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+    val oRed = t(s, dir, "orders")
+      .join(cN, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    lRed.join(oRed, col("l_orderkey") === col("o_orderkey"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
         || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
@@ -115,20 +127,30 @@ object TpchFullQueries {
       |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
       |GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, dir) =>
-    val p = t(s, dir, "part").filter(col("p_type") === "STANDARD")
+    // Semi-join pre-reduction (reference: semi_join_reduction_rule.cpp):
+    // broadcast the p_type-restricted part and the supplier⋈nation dim into
+    // the lineitem scan (map-side ~1/5 reduction, zero shuffle), and
+    // semi-reduce customer by the region's nation set before the orders
+    // join, so the fact–fact shuffle carries only region-relevant orders.
+    val p = t(s, dir, "part").filter(col("p_type") === "STANDARD").select("p_partkey")
     val n1 = t(s, dir, "nation").select(col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region"))
     val n2 = t(s, dir, "nation").select(col("n_nationkey").as("n2_key"), col("n_name").as("nation"))
     val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
-    val o = t(s, dir, "orders")
-      .filter(col("o_orderdate") >= "1996-01-01 00:00:00" && col("o_orderdate") < "1998-01-01 00:00:00")
-    t(s, dir, "lineitem")
-      .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
-      .join(broadcast(r), col("n1_region") === col("r_regionkey"))
+    val asiaKeys = n1.join(broadcast(r), col("n1_region") === col("r_regionkey")).select("n1_key")
+    val supN2 = t(s, dir, "supplier")
       .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+      .select(col("s_suppkey"), col("nation"))
+    val cAsia = t(s, dir, "customer")
+      .join(broadcast(asiaKeys), col("c_nationkey") === col("n1_key"), "left_semi")
+      .select("c_custkey")
+    val oRed = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= "1996-01-01 00:00:00" && col("o_orderdate") < "1998-01-01 00:00:00")
+      .join(cAsia, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate")
+    t(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supN2), col("l_suppkey") === col("s_suppkey"))
+      .join(oRed, col("l_orderkey") === col("o_orderkey"))
       .select(year(col("o_orderdate")).as("o_year"), net.as("volume"), col("nation"))
       .groupBy("o_year")
       .agg((asDouble(sum(when(col("nation") === "NATION_5", col("volume"))

@@ -71,7 +71,15 @@ object TpchQueries {
       .orderBy("o_orderpriority")
   }
 
-  /** Q5 — local supplier volume: one region, customer and supplier in same nation. */
+  /** Q5 — local supplier volume: one region, customer and supplier in same nation.
+    *
+    * Semi-join pre-reduction (reference:
+    * src/lib/optimizer/strategy/semi_join_reduction_rule.cpp): the region
+    * predicate restricts BOTH sides, so apply it before anything shuffles —
+    * lineitem is reduced map-side by the broadcast region-restricted supplier
+    * dim (~1/5 of rows survive, zero shuffle), and customer is semi-reduced
+    * by the same broadcast nation set before the orders join. The fact–fact
+    * shuffle then moves ~1/5 of the rows the naive join order would. */
   val q5LocalSupplier: Q = Q(
     "tpch_q5_local_supplier",
     """SELECT n_name,
@@ -90,14 +98,22 @@ object TpchQueries {
     val o = t(s, dir, "orders")
       .filter(col("o_orderdate") >= "1996-01-01 00:00:00" && col("o_orderdate") < "1998-01-01 00:00:00")
     val l = t(s, dir, "lineitem")
-    val sup = t(s, dir, "supplier")
-    val n = t(s, dir, "nation")
     val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
-      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
-      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+    val supAsia = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val asiaKeys = t(s, dir, "nation")
+      .join(broadcast(r.select(col("r_regionkey").as("ak_regionkey"))),
+        col("n_regionkey") === col("ak_regionkey"))
+      .select(col("n_nationkey").as("ak_nationkey"))
+    val lRed = l.join(broadcast(supAsia), l("l_suppkey") === col("s_suppkey"))
+    val oRed = o
+      .join(c.join(broadcast(asiaKeys), c("c_nationkey") === col("ak_nationkey"), "left_semi"),
+        o("o_custkey") === c("c_custkey"))
+      .select(o("o_orderkey").as("or_orderkey"), c("c_nationkey"))
+    lRed.join(oRed, col("l_orderkey") === col("or_orderkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
       .agg(asDouble(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
