@@ -452,12 +452,18 @@ final class Catalog(val spark: SparkSession) {
     val q =
       try MatViews.parse("__rewrite_probe", sql)
       catch { case _: Exception => return None }
-    matViewDefs.values.toSeq.sortBy(_.name)
-      .find(mv => MatViews.matches(mv, q) && matViewFresh(mv.name))
+    val fresh = matViewDefs.values.toSeq.sortBy(_.name)
+      .filter(mv => matViewFresh(mv.name))
+    fresh.find(MatViews.matches(_, q))
       .map { mv =>
         logEvent("INFO", s"query rewritten onto materialized view ${mv.name}")
         MatViews.answer(q, mv, matViewState(mv.name))
       }
+      .orElse(fresh.find(MatViews.matchesRollup(_, q)).map { mv =>
+        logEvent("INFO",
+          s"query answered by rolling up materialized view ${mv.name}")
+        MatViews.answerRollup(q, mv, matViewState(mv.name))
+      })
   }
 
   def metaMaterializedViews: DataFrame = {

@@ -288,4 +288,61 @@ object MatViews {
       }
     }: _*)
   }
+
+  // ------------------------------------------------- rollup query rewrite
+
+  /** Rollup tier (Gupta/Harinarayan lattice descent): `q` groups by a strict
+    * SUBSET of `mv`'s keys over the same base/join/WHERE. Every stored
+    * component is re-aggregable — counts and sums re-sum, min/max re-fold —
+    * so the coarser grouping is answerable by ONE aggregation over the
+    * view's (small) state instead of the base. The exact-match tier
+    * ([[matches]]) is checked first by the caller; this tier only adds the
+    * proper-subset case. */
+  def matchesRollup(mv: MatViewDef, q: MatViewDef): Boolean =
+    mv.base.equalsIgnoreCase(q.base) &&
+      ((mv.join, q.join) match {
+        case (None, None) => true
+        case (Some(a), Some(b)) => a.table2.equalsIgnoreCase(b.table2) &&
+          sameColSet(Seq(a.leftKey, a.rightKey), Seq(b.leftKey, b.rightKey))
+        case _ => false
+      }) &&
+      mv.where == q.where &&
+      q.keys.forall(k => mv.keys.exists(_.equalsIgnoreCase(k))) &&
+      q.aggs.forall(qa => findAgg(mv, qa).isDefined)
+
+  /** Answer `q` (keys ⊆ mv.keys) by re-aggregating `mv`'s state to the
+    * coarser grouping. Component math per function:
+    *  - COUNT(*) → SUM(__n); COUNT(x) → SUM(__cn) — both cast back to the
+    *    component's stored type so the output schema is byte-identical to
+    *    running `q` on the base;
+    *  - SUM(x) → SUM(__s): groups whose non-null count is 0 store a NULL
+    *    sum, SUM skips them, and an all-NULL rollup group correctly returns
+    *    NULL (SQL semantics survive the descent);
+    *  - AVG(x) → SUM(__s)/SUM(__cn) as double (same expression shape as the
+    *    exact tier's [[aggExpr]]);
+    *  - MIN/MAX(x) → MIN/MAX(__m).
+    * Output columns keep the query's aliases and select order. */
+  def answerRollup(q: MatViewDef, mv: MatViewDef, state: DataFrame): DataFrame = {
+    def reTyped(c: org.apache.spark.sql.Column, comp: String) =
+      c.cast(state.schema(comp).dataType)
+    val comps = q.aggs.map { qa =>
+      val ma = findAgg(mv, qa).get
+      (ma.fn match {
+        case "COUNT" =>
+          ma.arg.fold(reTyped(sum(col("__n")), "__n"))(_ =>
+            reTyped(sum(col(s"__cn_${ma.alias}")), s"__cn_${ma.alias}"))
+        case "SUM" => reTyped(sum(col(s"__s_${ma.alias}")), s"__s_${ma.alias}")
+        case "AVG" =>
+          sum(col(s"__s_${ma.alias}")).cast("double") /
+            sum(col(s"__cn_${ma.alias}")).cast("double")
+        case "MIN" => min(col(s"__m_${ma.alias}"))
+        case "MAX" => max(col(s"__m_${ma.alias}"))
+      }).as(qa.alias)
+    }
+    val keyCols = q.keys.map(k => mv.keys.find(_.equalsIgnoreCase(k)).get -> k)
+    val grouped = state
+      .groupBy(keyCols.map { case (mvk, qk) => col(mvk).as(qk) }: _*)
+      .agg(comps.head, comps.tail: _*)
+    grouped.select(q.selectOrder.map(col): _*)
+  }
 }

@@ -299,7 +299,38 @@ object LifecycleQueries {
     ans.orderBy("s_nationkey")
   }
 
+  /** Rollup-tier rewrite ([[graft.MatViews.answerRollup]]), oracle-gated: the
+    * SELECT groups by a strict SUBSET of the view's keys, so the exact-match
+    * tier cannot fire — the answer must come from ONE re-aggregation of the
+    * view's stored components (counts/sums re-sum, min re-folds) with no base
+    * scan (asserted on the physical plan). DuckDB recomputes the coarser
+    * grouping from scratch after the same DML. */
+  val dmlMatViewRollup: Q = Q(
+    "dml_matview_rollup",
+    """CREATE OR REPLACE TEMP TABLE mvru_base AS
+      |  SELECT s_suppkey AS sk, s_nationkey AS nk, s_suppkey % 4 AS grp FROM supplier;
+      |INSERT INTO mvru_base VALUES (941, 12, 1), (942, 12, 2), (943, 13, 3);
+      |SELECT grp, COUNT(*) AS cnt, CAST(SUM(sk) AS BIGINT) AS sum_k, MIN(sk) AS min_k
+      |FROM mvru_base GROUP BY grp ORDER BY grp""".stripMargin) { (s, dir) =>
+    val cat = new Catalog(s)
+    cat.register("mvru_w", Tables.df(s, dir, "supplier")
+      .selectExpr("s_suppkey AS sk", "s_nationkey AS nk", "s_suppkey % 4 AS grp"))
+    val p = new Pipeline(cat)
+    val rs = p.run(
+      """CREATE MATERIALIZED VIEW mvru_mv AS
+        |  SELECT nk, grp, COUNT(*) AS n, SUM(sk) AS sum_sk, MIN(sk) AS min_sk
+        |  FROM mvru_w GROUP BY nk, grp;
+        |INSERT INTO mvru_w VALUES (941, 12, 1), (942, 12, 2), (943, 13, 3)""".stripMargin)
+    rs.foreach(r => require(r.status == p.Ok, s"${r.sql}: ${r.status}"))
+    val ans = p.sql(
+      "SELECT grp, COUNT(*) AS cnt, SUM(sk) AS sum_k, MIN(sk) AS min_k FROM mvru_w GROUP BY grp")
+    val plan = ans.queryExecution.executedPlan.toString
+    require(!plan.contains("FileScan"),
+      s"expected rollup rewrite over view state, got base scan:\n$plan")
+    ans.orderBy("grp")
+  }
+
   val all: Seq[Q] = Seq(dmlInsert, dmlDelete, dmlUpdate, dmlSnapshot, viewPrepared,
     metaTables, dmlMerge, txnRollbackCommit, dmlAlterTable, dmlMatView,
-    dmlMatViewJoin, dmlMatViewRewrite)
+    dmlMatViewJoin, dmlMatViewRewrite, dmlMatViewRollup)
 }

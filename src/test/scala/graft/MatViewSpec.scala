@@ -232,6 +232,44 @@ class MatViewSpec extends AnyFunSuite {
     assert(sorted(p.sql(qw)) == sorted(spark.sql(qw)))
   }
 
+  test("rollup rewrite: coarser GROUP BY answered by re-aggregating view state") {
+    val (cat, p) = freshPipeline()
+    cat.register("ru_base", Tables.df(spark, sf, "supplier")
+      .selectExpr("s_suppkey AS sk", "s_nationkey AS nk", "s_suppkey % 3 AS g3",
+        "s_acctbal AS bal"))
+    p.run("CREATE MATERIALIZED VIEW ru_mv AS SELECT nk, g3, COUNT(*) AS n, " +
+      "SUM(sk) AS ssum, AVG(sk) AS sav, MIN(bal) AS mbal, MAX(bal) AS xbal " +
+      "FROM ru_base GROUP BY nk, g3")
+    def planOf(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString
+    // keys {nk} ⊂ {nk, g3}: every aggregate family re-aggregates from state
+    val q1 = "SELECT nk, COUNT(*) AS cnt, SUM(sk) AS s, AVG(sk) AS a, " +
+      "MIN(bal) AS mn, MAX(bal) AS mx FROM ru_base GROUP BY nk"
+    val df1 = p.sql(q1)
+    assert(!planOf(df1).contains("FileScan") && !planOf(df1).contains("Scan parquet"),
+      s"rollup must read view state, not the base:\n${planOf(df1)}")
+    assert(df1.columns.toSeq == Seq("nk", "cnt", "s", "a", "mn", "mx"))
+    assert(sorted(df1) == sorted(spark.sql(q1)), "rollup answer must equal base recompute")
+    // the other descent direction: {g3} ⊂ {nk, g3}
+    val q2 = "SELECT g3, SUM(sk) AS s, MIN(bal) AS mn FROM ru_base GROUP BY g3"
+    val df2 = p.sql(q2)
+    assert(!planOf(df2).contains("FileScan"), planOf(df2))
+    assert(sorted(df2) == sorted(spark.sql(q2)))
+    // set-equal keys still take the exact tier (no re-aggregation at all)
+    val q3 = "SELECT g3, nk, COUNT(*) AS cnt FROM ru_base GROUP BY g3, nk"
+    assert(!planOf(p.sql(q3)).contains("HashAggregate"),
+      "exact tier must win when key sets match")
+    // DML keeps the state fresh — the rollup answer tracks it
+    p.run("INSERT INTO ru_base VALUES (991, 77, 1, 42.0), (992, 77, 2, -1.0)")
+    val df1b = p.sql(q1)
+    assert(!planOf(df1b).contains("FileScan"), "fresh after DML → still rolled up")
+    assert(sorted(df1b) == sorted(spark.sql(q1)))
+    // a key OUTSIDE the view's key set cannot descend the lattice → no rewrite
+    val q4 = "SELECT sk, COUNT(*) AS cnt FROM ru_base GROUP BY sk"
+    assert(planOf(p.sql(q4)).contains("FileScan") || planOf(p.sql(q4)).contains("ExistingRDD"),
+      "finer grouping must fall through to real execution")
+    assert(sorted(p.sql(q4)) == sorted(spark.sql(q4)))
+  }
+
   test("streaming ingest maintains a materialized view across micro-batches") {
     import graft.streaming.DocStreams
     val cat = new Catalog(spark)
