@@ -42,11 +42,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_BENCH_GC=1: System.gc() after each item, OUTSIDE the timed
+    // window. Spark's ContextCleaner only deletes finished queries' shuffle
+    // files when their references get collected — on a large heap GC may not
+    // run for the whole suite, so a long bench sequence ACCUMULATES every
+    // item's spill on local disk (hit at the 1000× corpus: the suite's
+    // cumulative scratch outgrew the disk even though no single query's
+    // working set did). Off by default to keep official numbers comparable.
+    val gcEachItem = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
     val queries = SparkEntry.queries
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (gcEachItem) System.gc()
+      dt
     }
 
     // SPARK_GRAFT_BENCH_NAMES: comma-separated item override — the

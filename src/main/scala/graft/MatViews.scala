@@ -298,6 +298,33 @@ object MatViews {
     * view's (small) state instead of the base. The exact-match tier
     * ([[matches]]) is checked first by the caller; this tier only adds the
     * proper-subset case. */
+  /** Does the query's WHERE reference ONLY the view's group-key columns?
+    * Such a predicate commutes with the grouping — σ_p(γ_K(R)) = γ_K(σ_p(R))
+    * when refs(p) ⊆ K — so it can run against the view's state rows instead
+    * of the base. Column references are taken from Spark's own parse of the
+    * predicate text (unresolved attribute names). */
+  private def keyOnlyPredicate(mv: MatViewDef, pred: String): Boolean =
+    try {
+      val parsed =
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(pred)
+      val refs = parsed.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+      }
+      refs.nonEmpty && refs.forall(r => mv.keys.exists(_.equalsIgnoreCase(r)))
+    } catch { case _: Exception => false }
+
+  /** WHERE compatibility for the rollup tier: textually identical, or the
+    * query ADDS a key-only predicate on top of the view's own WHERE (it then
+    * filters state rows — subsumption over the grouping lattice). */
+  private def whereSubsumed(mv: MatViewDef, q: MatViewDef): Boolean =
+    mv.where == q.where ||
+      (mv.where.isEmpty && q.where.exists(keyOnlyPredicate(mv, _)))
+
+  /** The state-side residual filter [[whereSubsumed]] licenses (None when
+    * the WHEREs are textually identical — nothing left to apply). */
+  private def residualWhere(mv: MatViewDef, q: MatViewDef): Option[String] =
+    if (mv.where == q.where) None else q.where
+
   def matchesRollup(mv: MatViewDef, q: MatViewDef): Boolean =
     mv.base.equalsIgnoreCase(q.base) &&
       ((mv.join, q.join) match {
@@ -306,7 +333,7 @@ object MatViews {
           sameColSet(Seq(a.leftKey, a.rightKey), Seq(b.leftKey, b.rightKey))
         case _ => false
       }) &&
-      mv.where == q.where &&
+      whereSubsumed(mv, q) &&
       q.keys.forall(k => mv.keys.exists(_.equalsIgnoreCase(k))) &&
       q.aggs.forall(qa => findAgg(mv, qa).isDefined)
 
@@ -323,6 +350,8 @@ object MatViews {
     *  - MIN/MAX(x) → MIN/MAX(__m).
     * Output columns keep the query's aliases and select order. */
   def answerRollup(q: MatViewDef, mv: MatViewDef, state: DataFrame): DataFrame = {
+    // key-only residual predicate commutes with grouping → filter state rows
+    val src = residualWhere(mv, q).fold(state)(w => state.filter(expr(w)))
     def reTyped(c: org.apache.spark.sql.Column, comp: String) =
       c.cast(state.schema(comp).dataType)
     val comps = q.aggs.map { qa =>
@@ -340,7 +369,7 @@ object MatViews {
       }).as(qa.alias)
     }
     val keyCols = q.keys.map(k => mv.keys.find(_.equalsIgnoreCase(k)).get -> k)
-    val grouped = state
+    val grouped = src
       .groupBy(keyCols.map { case (mvk, qk) => col(mvk).as(qk) }: _*)
       .agg(comps.head, comps.tail: _*)
     grouped.select(q.selectOrder.map(col): _*)

@@ -300,8 +300,14 @@ object SimilarityQueries {
     s"(CAST(${dotLSql(a, b)} AS DOUBLE) / (sqrt(CAST(${dotLSql(a, a)} AS DOUBLE)) * sqrt(CAST(${dotLSql(b, b)} AS DOUBLE))))"
 
   val annIvfKmeans: Q = {
-    // oracle: unrolled Lloyd rounds as CTE pairs a{t} (assign) / c{t} (update)
-    val sumList = (1 to DIM).map(i => s"CAST(SUM(qe[$i]) AS BIGINT)")
+    // oracle: unrolled Lloyd rounds as CTE pairs a{t} (assign) / c{t} (update).
+    // The update is the exact integer MEAN (sum div count, identical floor in
+    // both engines — same discipline as emb_class_centroids): cosine is
+    // scale-invariant so the mean direction equals the sum direction, but the
+    // mean keeps components at quantization magnitude (~1e6) — raw sums grow
+    // with cluster size and overflow the i64 dot product once clusters reach
+    // ~1M members (hit at the 1000× corpus; means are scale-proof).
+    val sumList = (1 to DIM).map(i => s"CAST(SUM(qe[$i]) AS BIGINT) // COUNT(*)")
       .mkString("[", ", ", "]")
     def assignCte(t: Int, cents: String) =
       s"""a$t AS (
@@ -343,10 +349,13 @@ object SimilarityQueries {
           .select(col("vec_id"), col("qe"), col("cent_id"))
       }
       def update(assigned: DataFrame): DataFrame = {
+        // exact integer mean (matches the oracle's `SUM // COUNT`): keeps
+        // centroid components at ~1e6 so dotL stays inside i64 at any N
         val sums = assigned.groupBy("cent_id").agg(
-          sum(element_at(col("qe"), 1)).as("s1"),
-          (2 to DIM).map(i => sum(element_at(col("qe"), i)).as(s"s$i")): _*)
-        sums.select(col("cent_id"), array((1 to DIM).map(i => col(s"s$i")): _*).as("cemb"))
+          count(lit(1)).as("n_m"),
+          (1 to DIM).map(i => sum(element_at(col("qe"), i)).as(s"s$i")): _*)
+        sums.select(col("cent_id"),
+          array((1 to DIM).map(i => expr(s"s$i div n_m")): _*).as("cemb"))
       }
 
       var cents = quant.filter(col("vec_id") < IVF_NLIST)

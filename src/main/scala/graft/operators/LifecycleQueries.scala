@@ -330,7 +330,37 @@ object LifecycleQueries {
     ans.orderBy("grp")
   }
 
+  /** WHERE-subsumption rollup ([[graft.MatViews]] `keyOnlyPredicate`): the
+    * SELECT adds a predicate over the view's GROUP-BY keys — σ over keys
+    * commutes with γ, so the rewrite filters the view's STATE rows and
+    * re-aggregates, still never scanning the base (plan-asserted). DuckDB
+    * recomputes from the base with the same predicate. */
+  val dmlMatViewRollupWhere: Q = Q(
+    "dml_matview_rollup_where",
+    """CREATE OR REPLACE TEMP TABLE mvrw_base AS
+      |  SELECT s_suppkey AS sk, s_nationkey AS nk, s_suppkey % 4 AS grp FROM supplier;
+      |INSERT INTO mvrw_base VALUES (951, 14, 3), (952, 14, 0);
+      |SELECT nk, COUNT(*) AS cnt, CAST(SUM(sk) AS BIGINT) AS sum_k
+      |FROM mvrw_base WHERE grp <> 0 GROUP BY nk ORDER BY nk""".stripMargin) { (s, dir) =>
+    val cat = new Catalog(s)
+    cat.register("mvrw_w", Tables.df(s, dir, "supplier")
+      .selectExpr("s_suppkey AS sk", "s_nationkey AS nk", "s_suppkey % 4 AS grp"))
+    val p = new Pipeline(cat)
+    val rs = p.run(
+      """CREATE MATERIALIZED VIEW mvrw_mv AS
+        |  SELECT nk, grp, COUNT(*) AS n, SUM(sk) AS sum_sk
+        |  FROM mvrw_w GROUP BY nk, grp;
+        |INSERT INTO mvrw_w VALUES (951, 14, 3), (952, 14, 0)""".stripMargin)
+    rs.foreach(r => require(r.status == p.Ok, s"${r.sql}: ${r.status}"))
+    val ans = p.sql(
+      "SELECT nk, COUNT(*) AS cnt, SUM(sk) AS sum_k FROM mvrw_w WHERE grp <> 0 GROUP BY nk")
+    val plan = ans.queryExecution.executedPlan.toString
+    require(!plan.contains("FileScan"),
+      s"expected state-filtered rollup rewrite, got base scan:\n$plan")
+    ans.orderBy("nk")
+  }
+
   val all: Seq[Q] = Seq(dmlInsert, dmlDelete, dmlUpdate, dmlSnapshot, viewPrepared,
     metaTables, dmlMerge, txnRollbackCommit, dmlAlterTable, dmlMatView,
-    dmlMatViewJoin, dmlMatViewRewrite, dmlMatViewRollup)
+    dmlMatViewJoin, dmlMatViewRewrite, dmlMatViewRollup, dmlMatViewRollupWhere)
 }

@@ -268,6 +268,22 @@ class MatViewSpec extends AnyFunSuite {
     assert(planOf(p.sql(q4)).contains("FileScan") || planOf(p.sql(q4)).contains("ExistingRDD"),
       "finer grouping must fall through to real execution")
     assert(sorted(p.sql(q4)) == sorted(spark.sql(q4)))
+    // key-only WHERE commutes with grouping → filters STATE rows, still no base scan
+    val q5 = "SELECT nk, SUM(sk) AS s FROM ru_base WHERE g3 <> 1 GROUP BY nk"
+    val df5 = p.sql(q5)
+    assert(!planOf(df5).contains("FileScan"),
+      s"key-only WHERE must filter view state, not rescan the base:\n${planOf(df5)}")
+    assert(sorted(df5) == sorted(spark.sql(q5)))
+    // … even at set-equal keys (the exact tier demands textual WHERE equality)
+    val q6 = "SELECT nk, g3, COUNT(*) AS cnt FROM ru_base WHERE nk > 5 GROUP BY nk, g3"
+    val df6 = p.sql(q6)
+    assert(!planOf(df6).contains("FileScan"), planOf(df6))
+    assert(sorted(df6) == sorted(spark.sql(q6)))
+    // a NON-key predicate needs base rows the state no longer has → no rewrite
+    val q7 = "SELECT nk, COUNT(*) AS cnt FROM ru_base WHERE bal > 0 GROUP BY nk"
+    assert(planOf(p.sql(q7)).contains("FileScan"),
+      "non-key WHERE must fall through to real execution")
+    assert(sorted(p.sql(q7)) == sorted(spark.sql(q7)))
   }
 
   test("streaming ingest maintains a materialized view across micro-batches") {
