@@ -75,12 +75,34 @@ object AnnRecall {
     val (exactCos, cosSec) = timed(pairs(SparkEntry.queries("ann_brute_force_topk")(spark, dir)))
     val (exactEu, l2Sec) = timed(pairs(exactL2(spark, dir)))
 
+    // two-stage IVFPQ: ADC SHORTLIST (wider cutoff) → exact L2 re-rank on the
+    // raw vectors. Pure ADC with PQ_M code bytes saturates at large N (its
+    // recall@k collapses once millions of candidates share coarse codes); the
+    // production shape keeps the cheap ADC scan to cut 2M candidates to ~100
+    // and spends exact distance work only there.
+    val (rrPairs, rrSec) = timed {
+      val short = functions.SimilarityQueries.ivfPqAdcRanked(spark, dir, 100)
+        .select(col("q_id"), col("n_id"))
+      val e = Tables.dfSpread(spark, dir, "embeddings")
+      val d2 = expr(
+        "aggregate(zip_with(qe2, ne2, (a, b) -> cast((a - b) * (a - b) as double)), 0D, (acc, x) -> acc + x)")
+      val w = Window.partitionBy("q_id").orderBy(col("d2"), col("n_id"))
+      pairs(short
+        .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qe2")), "q_id")
+        .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne2")), "n_id")
+        .select(col("q_id"), col("n_id"), d2.as("d2"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TOPK))
+    }
+    val rrRecall = (rrPairs & exactEu).size.toDouble / exactEu.size
+
     val entries = approx.map { case (n, gt) =>
       val truth = if (gt == "cos") exactCos else exactEu
       val (got, sec) = timed(pairs(SparkEntry.queries(n)(spark, dir)))
       val recall = (got & truth).size.toDouble / truth.size
       s""""$n":{"recall":$recall,"sec":$sec,"truth":"$gt"}"""
     } ++ Seq(
+      s""""ann_ivfpq_rerank_topk":{"recall":$rrRecall,"sec":$rrSec,"truth":"l2"}""",
       s""""exact_cosine":{"recall":1.0,"sec":$cosSec,"truth":"cos"}""",
       s""""exact_l2":{"recall":1.0,"sec":$l2Sec,"truth":"l2"}""")
     println(s"""{"metric":"ann_recall","store_rows":$storeRows,"k":$TOPK,"n_queries":$NQUERY,"queries":${entries.mkString("{", ",", "}")},"sf":"$dir"}""")

@@ -582,6 +582,15 @@ object SimilarityQueries {
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rk
        |  FROM adc) WHERE rk <= $TOPK
        |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+    ivfPqAdcRanked(s, dir, TOPK)
+  }
+
+  /** The IVFPQ ADC ranking with a caller-chosen cutoff — the gated query is
+    * `topK = TOPK`; `AnnRecall` pulls a WIDER shortlist (e.g. 100) and
+    * re-ranks it exactly on the raw vectors: the standard two-stage recall
+    * recovery once pure-ADC precision (M code bytes) saturates at large N. */
+  private[graft] def ivfPqAdcRanked(
+      s: org.apache.spark.sql.SparkSession, dir: String, topK: Int): DataFrame = {
     val quant = emb(s, dir).select(col("vec_id"), quantize(col("embedding")).as("qe"))
     val cents = broadcast(quant.filter(col("vec_id") < IVF_NLIST)
       .select(col("vec_id").as("cell_id"), col("qe").as("cemb")))
@@ -618,7 +627,7 @@ object SimilarityQueries {
       .groupBy("q_id", "n_id")
       .agg(sum(l2L(col("qsq"), col("cq"))).as("dist"))
       .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= TOPK)
+      .filter(col("rk") <= topK)
       .select("q_id", "n_id", "dist", "rk")
       .orderBy("q_id", "rk")
   }
