@@ -454,7 +454,14 @@ object SimilarityQueries {
   // candidate) pair — one keyed agg. No all-pairs float work anywhere.
   private val PQ_M = 4         // subspaces
   private val PQ_SUB = DIM / PQ_M
-  private val PQ_K = 8         // codes per subspace
+  // 256 codes per subspace = the standard 1-BYTE subquantizer (Jégou 2011
+  // §II uses k* = 256 exactly so codes pack into bytes). The earlier toy
+  // k* = 8 (3 bits) left a total code space of 8^4 = 4096 — at the 2M-vector
+  // corpus ~500 vectors share every code, ADC ranking drowns in ties and
+  // recall@3 measured 0.000 even with a 100-wide exact re-rank shortlist.
+  // 256^4 ≈ 4.3B code points keeps codes near-unique at any realistic cell
+  // population; the codebook stays broadcast-sized (PQ_M × 256 subvectors).
+  private val PQ_K = 256       // codes per subspace (1 byte)
 
   private def l2L(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
