@@ -245,12 +245,20 @@ object SimilarityQueries {
     val cents = broadcast(e.filter(col("vec_id") < IVF_NLIST)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
         norm(col("embedding")).as("cnrm")))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy((dot(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm"))).desc, col("cent_id"))
+    // argmax as a keyed max_by aggregation, NOT a window rank: partial
+    // aggregation collapses the NLIST candidates per vector map-side, so the
+    // assign shuffle carries N keyed rows instead of N×NLIST embedding-wide
+    // rows (the window formulation shuffles the whole joined set — measured
+    // as the dominant cost of every argmin at the 2M-vector store).
+    // Tie-break matches the oracle's `ORDER BY sim DESC, cent_id`:
+    // max of (sim, −cent_id) prefers the smallest cent_id on equal sim.
     val assigned = e.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       .join(cents)
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        (dot(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm"))).as("csim"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"), struct(col("csim"), (-col("cent_id")).as("nc"))).as("cent_id"),
+        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
     val q = assigned.filter(col("vec_id") < NQUERY)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"), col("cent_id").as("qc"))
@@ -341,11 +349,15 @@ object SimilarityQueries {
       val quant = emb(s, dir).select(col("vec_id"), quantize(col("embedding")).as("qe"))
 
       def assign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id")
-          .orderBy(cosL(col("qe"), col("cemb")).desc, col("cent_id"))
+        // keyed max_by argmax (not a window): partial aggregation collapses
+        // the NLIST candidates map-side — N keyed rows shuffle, not N×NLIST
+        // vector-wide rows. Tie-break (sim DESC, cent_id ASC) via (sim, −id).
         quant.join(broadcast(cents))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("qe"), col("cent_id"),
+            cosL(col("qe"), col("cemb")).as("csim"))
+          .groupBy("vec_id")
+          .agg(first(col("qe")).as("qe"),
+            max_by(col("cent_id"), struct(col("csim"), (-col("cent_id")).as("nc"))).as("cent_id"))
           .select(col("vec_id"), col("qe"), col("cent_id"))
       }
       def update(assigned: DataFrame): DataFrame = {
@@ -503,12 +515,17 @@ object SimilarityQueries {
         slice(col("qe"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("sq"))
     val cb = broadcast(subs.filter(col("vec_id") < PQ_K)
       .select(col("m").as("cm"), col("vec_id").as("cent_id"), col("sq").as("cq")))
-    val wEnc = Window.partitionBy("vec_id", "m")
-      .orderBy(l2L(col("sq"), col("cq")), col("cent_id"))
+    // keyed min_by argmin (not a window): with K=256 codes the joined set is
+    // N×M×K rows — a window rank would shuffle ALL of them carrying the
+    // sub-vectors; min_by partial-aggregates each map partition down to one
+    // row per (vector, subspace) before the exchange. cent_id is unique per
+    // group, so the (dist, cent_id) ordering pair has no ties.
     val enc = subs.join(cb, col("cm") === col("m"))
-      .withColumn("rk", row_number().over(wEnc))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("m"), col("cent_id").as("code"))
+      .select(col("vec_id"), col("m"), col("cent_id"),
+        struct(l2L(col("sq"), col("cq")).as("d"), col("cent_id").as("c")).as("ord"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("cent_id"), col("ord")).as("code"))
+      .select(col("vec_id"), col("m"), col("code"))
     val q = subs.filter(col("vec_id") < NQUERY)
       .select(col("vec_id").as("q_id"), col("m").as("qm"), col("sq"))
     val wTop = Window.partitionBy("q_id").orderBy(col("dist"), col("n_id"))
@@ -601,12 +618,19 @@ object SimilarityQueries {
     val quant = emb(s, dir).select(col("vec_id"), quantize(col("embedding")).as("qe"))
     val cents = broadcast(quant.filter(col("vec_id") < IVF_NLIST)
       .select(col("vec_id").as("cell_id"), col("qe").as("cemb")))
-    val wCell = Window.partitionBy("vec_id")
-      .orderBy(l2Full(col("qe"), col("cemb")), col("cell_id"))
-    val asg = quant.crossJoin(cents).withColumn("crk", row_number().over(wCell))
     val resid = zip_with(col("qe"), col("cemb"), (x, y) => x - y)
-    val assigned = asg.filter(col("crk") === 1)
-      .select(col("vec_id"), col("cell_id"), resid.as("r"))
+    // corpus cell assignment: keyed min_by argmin (tie-broken by cell_id —
+    // unique per group, so no ties), carrying the winning centroid in the
+    // min_by payload for the residual. Partial aggregation collapses the
+    // NLIST candidates map-side — N keyed rows shuffle, not N×NLIST.
+    val assigned = quant.join(cents)
+      .select(col("vec_id"), col("qe"), col("cell_id"), col("cemb"),
+        struct(l2Full(col("qe"), col("cemb")).as("d"), col("cell_id").as("c")).as("ord"))
+      .groupBy("vec_id")
+      .agg(first(col("qe")).as("qe"),
+        min_by(struct(col("cell_id"), col("cemb")), col("ord")).as("best"))
+      .select(col("vec_id"), col("best.cell_id").as("cell_id"),
+        zip_with(col("qe"), col("best.cemb"), (x, y) => x - y).as("r"))
     val rsubs = assigned
       .select(col("vec_id"), col("cell_id"),
         explode(sequence(lit(0), lit(PQ_M - 1))).as("m"), col("r"))
@@ -614,13 +638,22 @@ object SimilarityQueries {
         slice(col("r"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("sq"))
     val cb = broadcast(rsubs.filter(col("vec_id") < PQ_K)
       .select(col("m").as("cm"), col("vec_id").as("cent_id"), col("sq").as("cq")))
-    val wEnc = Window.partitionBy("vec_id", "m")
-      .orderBy(l2L(col("sq"), col("cq")), col("cent_id"))
+    // residual PQ encode: same keyed min_by argmin as emb_pq_adc — at K=256
+    // a window rank would shuffle the whole N×M×K joined set
     val enc = rsubs.join(cb, col("cm") === col("m"))
-      .withColumn("rk", row_number().over(wEnc)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell_id"), col("m"), col("cent_id"),
+        struct(l2L(col("sq"), col("cq")).as("d"), col("cent_id").as("c")).as("ord"))
+      .groupBy("vec_id", "cell_id", "m")
+      .agg(min_by(col("cent_id"), col("ord")).as("code"))
       .select(col("vec_id").as("n_id"), col("cell_id").as("ncell"),
-        col("m"), col("cent_id").as("code"))
-    val qsubs = asg.filter(col("crk") <= IVFPQ_NPROBE && col("vec_id") < NQUERY)
+        col("m"), col("code"))
+    // query probes: only the NQUERY query vectors rank ALL cells (they need
+    // the top-NPROBE, not the argmin) — the window is fine at 10×NLIST rows
+    val wCell = Window.partitionBy("vec_id")
+      .orderBy(l2Full(col("qe"), col("cemb")), col("cell_id"))
+    val qsubs = quant.filter(col("vec_id") < NQUERY).crossJoin(cents)
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= IVFPQ_NPROBE)
       .select(col("vec_id").as("q_id"), col("cell_id").as("qcell"), resid.as("qr"))
       .select(col("q_id"), col("qcell"),
         explode(sequence(lit(0), lit(PQ_M - 1))).as("qm"), col("qr"))
@@ -641,35 +674,58 @@ object SimilarityQueries {
 
   // ---------------------------------------------------------- scalar int8
   // Scalar quantization (the FAISS SQ8 / "int8 embedding" path): each of the
-  // 64 dims gets a per-dimension [min, max] range over the corpus; values are
-  // encoded to an 8-bit level index code = (v − min)·255 ∕ span and
-  // reconstructed as min + code·span ∕ 255. A 64-float vector becomes 64
-  // bytes (4× smaller than float32) with ONE code table of 2×64 longs —
-  // the lightest-weight compression tier below PQ/IVFPQ. Queries score
-  // asymmetrically: exact query values against reconstructed corpus values
-  // (Jégou 2011 §III's ADC argument applies unchanged).
-  // Scale plan: the min/max pass is a posexplode + 64-group keyed agg whose
-  // map-side partials reduce each partition to ≤64 rows before the shuffle;
-  // the 1-row range table broadcasts; encode/reconstruct are map-only
-  // zip_with projections; scoring is a broadcast(query)×corpus scan + one
-  // top-k window per query. No all-pairs float work, no wide shuffle.
+  // 64 dims gets a per-dimension clipped range over the corpus; values are
+  // encoded to an 8-bit level index code = (v − lo)·255 ∕ span (clamped to
+  // [0, 255]) and reconstructed as lo + code·span ∕ 255. A 64-float vector
+  // becomes 64 bytes (4× smaller than float32) with ONE code table of 2×64
+  // longs — the lightest-weight compression tier below PQ/IVFPQ. Queries
+  // score asymmetrically: exact query values against reconstructed corpus
+  // values (Jégou 2011 §III's ADC argument applies unchanged).
+  // The range is the exact per-dim [0.5%, 99.5%] quantile band, NOT min/max:
+  // at 2M vectors the raw min/max ranges widen with every tail draw and the
+  // 255 levels coarsen where the mass sits — measured recall fell to 0.27
+  // (BENCH_r9_ann_2m_prefix). Quantile clipping keeps the grid matched to
+  // the bulk of the distribution at any corpus size; values outside the band
+  // saturate at code 0/255 (the standard "trained" SQ range). Quantiles are
+  // EXACT and engine-portable: per-(dim, value) counts, a cumulative sum in
+  // value order, then the smallest value whose cumulative count reaches rank
+  // 1 + ⌊(n−1)·q⌋ — pure integer arithmetic, no engine-specific
+  // interpolation, identical in Spark and DuckDB.
+  // Scale plan: the quantile pass is a posexplode + (dim, value) keyed agg —
+  // map-side combinable, output bounded by 64 × distinct grid values — then
+  // a 64-partition cumulative window over those compact counts; the 1-row
+  // range table broadcasts; encode/reconstruct are map-only zip_with
+  // projections; scoring is a broadcast(query)×corpus scan + one top-k
+  // window per query. No all-pairs float work, no wide shuffle.
   // Everything runs on the shared 1e-6 integer quantization grid, and both
-  // the encode and reconstruct divisions are non-negative integer floor
-  // divisions (`div` / `//`) — bit-identical across engines.
+  // the encode and reconstruct divisions keep non-negative operands (the
+  // clamp precedes the division), so integer `div` / `//` floor identically
+  // across engines.
   private val SQ_LEVELS = 255
+  private val SQ_CLIP_PM = 5 // per-mille clipped off each tail (q0.005/q0.995)
 
   val embSq8: Q = Q(
     "emb_sq8_topk",
     s"""WITH quant AS (
        |  SELECT vec_id, ${quantizeSql("embedding")} AS qe FROM embeddings
-       |), dims AS (
-       |  SELECT m.d AS d, MIN(qe[m.d]) AS mn, MAX(qe[m.d]) AS mx
-       |  FROM quant, (SELECT unnest(range(1, ${DIM + 1})) AS d) m GROUP BY m.d
+       |), vcnt AS (
+       |  SELECT m.d AS d, qe[m.d] AS v, COUNT(*) AS c
+       |  FROM quant, (SELECT unnest(range(1, ${DIM + 1})) AS d) m GROUP BY m.d, qe[m.d]
+       |), cum AS (
+       |  SELECT d, v, SUM(c) OVER (PARTITION BY d ORDER BY v) AS cm,
+       |    SUM(c) OVER (PARTITION BY d) AS n
+       |  FROM vcnt
+       |), clip AS (
+       |  SELECT d,
+       |    MIN(CASE WHEN cm >= ((n - 1) * $SQ_CLIP_PM) // 1000 + 1 THEN v END) AS mn,
+       |    MIN(CASE WHEN cm >= ((n - 1) * ${1000 - SQ_CLIP_PM}) // 1000 + 1 THEN v END) AS mx
+       |  FROM cum GROUP BY d
        |), rng AS (
-       |  SELECT list(mn ORDER BY d) AS mn, list(mx - mn ORDER BY d) AS sp FROM dims
+       |  SELECT list(mn ORDER BY d) AS mn, list(mx - mn ORDER BY d) AS sp FROM clip
        |), enc AS (
        |  SELECT vec_id,
-       |    [mn[i] + ((((qe[i] - mn[i]) * $SQ_LEVELS) // greatest(sp[i], 1)) * sp[i]) // $SQ_LEVELS
+       |    [mn[i] + (least((greatest(qe[i] - mn[i], 0) * $SQ_LEVELS) // greatest(sp[i], 1),
+       |                    $SQ_LEVELS) * sp[i]) // $SQ_LEVELS
        |     for i in range(1, ${DIM + 1})] AS recon
        |  FROM quant CROSS JOIN rng
        |), scored AS (
@@ -682,9 +738,20 @@ object SimilarityQueries {
        |  FROM scored) WHERE rk <= $TOPK
        |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
     val quant = emb(s, dir).select(col("vec_id"), quantize(col("embedding")).as("qe"))
+    // exact per-dim quantile band: (dim, value) counts (map-side combinable),
+    // cumulative sum in value order (64 compact window partitions), then the
+    // smallest value reaching rank 1 + ⌊(n−1)·q⌋
+    val wCum = Window.partitionBy("p").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("p")
     val rng = quant
       .select(posexplode(col("qe")).as(Seq("p", "v")))
-      .groupBy("p").agg(min("v").as("mn"), max("v").as("mx"))
+      .groupBy("p", "v").agg(count(lit(1)).as("c"))
+      .withColumn("cm", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+      .groupBy("p").agg(
+        min(when(col("cm") >= expr(s"((n - 1) * $SQ_CLIP_PM) div 1000 + 1"), col("v"))).as("mn"),
+        min(when(col("cm") >= expr(s"((n - 1) * ${1000 - SQ_CLIP_PM}) div 1000 + 1"), col("v"))).as("mx"))
       .agg(sort_array(collect_list(struct(col("p"), col("mn")))).as("mns"),
         sort_array(collect_list(struct(col("p"), col("mx")))).as("mxs"))
       .select(expr("transform(mns, x -> x.mn)").as("mn"),
@@ -693,10 +760,10 @@ object SimilarityQueries {
     // lambdas re-evaluate their input expression per element
     val enc = quant.crossJoin(broadcast(rng))
       .select(col("vec_id"),
-        expr(s"zip_with(qe, mn, (v, m) -> (v - m) * $SQ_LEVELS)").as("num"),
+        expr(s"zip_with(qe, mn, (v, m) -> greatest(v - m, 0L) * $SQ_LEVELS)").as("num"),
         col("mn"), col("sp"))
       .select(col("vec_id"),
-        expr("zip_with(num, sp, (n, s) -> n div greatest(s, 1L))").as("code"),
+        expr(s"zip_with(num, sp, (n, s) -> least(n div greatest(s, 1L), ${SQ_LEVELS}L))").as("code"),
         col("mn"), col("sp"))
       .select(col("vec_id"),
         expr(s"zip_with(code, sp, (c, s) -> (c * s) div ${SQ_LEVELS}L)").as("off"),
