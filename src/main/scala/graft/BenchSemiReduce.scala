@@ -91,10 +91,73 @@ object BenchSemiReduce {
       .orderBy("o_year")
   }
 
+  /** q9 naive: the fact–fact orders join runs BEFORE the selective part
+    * filter, so the full lineitem rides the shuffle (~25× the reduced rows). */
+  private def q9Naive(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_name").like("%blue%"))
+    val amount = net -
+      lit(0.1).cast("decimal(2,1)") * dec(col("p_retailprice")) * dec(col("l_quantity"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"),
+        amount.as("amount"))
+      .groupBy("nation", "o_year")
+      .agg(asDouble(sum(col("amount"))).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** q17 naive: the correlated per-part average aggregates the WHOLE fact
+    * (a full-fact shuffle) though only ~1/(25·50) parts are ever probed. */
+  private def q17Naive(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_brand") === "Brand#3" && col("p_size") === 5)
+    val l = t(s, dir, "lineitem")
+    val avgQty = l.groupBy(col("l_partkey").as("aq_partkey"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_threshold"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("aq_partkey"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg((asDouble(sum(dec(col("l_extendedprice")))) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** q21 naive: EXISTS / NOT EXISTS decorrelated into a semi + anti join —
+    * lineitem scanned three times and shuffled three times. */
+  private def q21Naive(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation").filter(col("n_name") === "NATION_3")
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val late = col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val l1 = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(late)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    val l2 = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+    val l3 = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"),
+        col("l_shipdate").as("l3_shipdate"))
+    l1.join(l2, col("l_orderkey") === col("l2_orderkey")
+        && col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("l_orderkey") === col("l3_orderkey")
+        && col("l3_suppkey") =!= col("l_suppkey")
+        && col("l3_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_anti")
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   val naive: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q5_local_supplier" -> (q5Naive _),
     "tpch_q7_volume_shipping" -> (q7Naive _),
-    "tpch_q8_market_share" -> (q8Naive _))
+    "tpch_q8_market_share" -> (q8Naive _),
+    "tpch_q9_product_profit" -> (q9Naive _),
+    "tpch_q17_small_quantity" -> (q17Naive _),
+    "tpch_q21_waiting_suppliers" -> (q21Naive _))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

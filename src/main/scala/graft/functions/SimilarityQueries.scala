@@ -207,6 +207,69 @@ object SimilarityQueries {
     }
   }
 
+  /** Two-sided k-NN JOIN: every fifth vector is a query (a LARGE query side —
+    * 20% of the store, NOT broadcastable by design), and each query retrieves
+    * its top-k neighbours from LSH candidates only. This is the
+    * retrieve-for-every-row shape a training pipeline runs (nearest corpus
+    * docs per training doc, hard-negative mining, RAG pre-compute) where both
+    * sides scale together, so neither the brute-force cross product nor a
+    * broadcast query side survives — candidates MUST come from an equi-join.
+    *
+    * Shape: both sides explode to (band_idx, band_key) keys (banded sign-LSH,
+    * same literal planes as [[annLshPairs]]); candidates are pairs agreeing on
+    * ≥1 band (DISTINCT collapses multi-band agreement); exact cosine re-ranks
+    * candidates per query via a window keyed by q_id — the candidate set is
+    * already LSH-pruned, so the per-query partition is bucket-sized, not
+    * corpus-sized. At 100 TB every stage is an equi-shuffle on bounded keys:
+    * no cross join, no broadcast of anything data-sized. Recall vs the exact
+    * top-k is measured in SimilaritySpec (approximate by design; the oracle
+    * applies the identical candidate rule, so results hash-match exactly). */
+  val annKnnJoin: Q = {
+    val bandListSql = (0 until LSH_BANDS).map(bandSql).mkString("[", ",\n       |    ", "]")
+    val idxListSql = (0 until LSH_BANDS).mkString("[", ",", "]")
+    Q(
+      "ann_knn_join",
+      s"""WITH normed AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+         |), bands AS (
+         |  SELECT vec_id, embedding, nrm,
+         |    unnest($idxListSql) AS band_idx,
+         |    unnest($bandListSql) AS band_key
+         |  FROM normed
+         |), cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS sim
+         |  FROM bands q JOIN bands c
+         |    ON q.band_idx = c.band_idx AND q.band_key = c.band_key
+         |    AND q.vec_id % 5 = 0 AND c.vec_id <> q.vec_id
+         |), ranked AS (
+         |  SELECT q_id, n_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+         |  FROM cand
+         |)
+         |SELECT q_id, n_id, sim, rk FROM ranked WHERE rk <= $TOPK
+         |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bands = emb(s, dir)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+          posexplode(array((0 until LSH_BANDS).map(bandCol): _*)).as(Seq("band_idx", "band_key")))
+      val q = bands.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("band_idx").as("iq"), col("band_key").as("kq"))
+      val c = bands.select(col("vec_id").as("n_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"), col("band_idx").as("ic"), col("band_key").as("kc"))
+      val sim = dot(col("qe"), col("ce")) / (col("qn") * col("cn"))
+      val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      q.join(c, col("iq") === col("ic") && col("kq") === col("kc")
+          && col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), sim.as("sim"))
+        .distinct()
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= TOPK)
+        .orderBy("q_id", "rk")
+    }
+  }
+
   private[functions] val IVF_NLIST = 8
 
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to its
@@ -780,5 +843,6 @@ object SimilarityQueries {
   }
 
   val all: Seq[Q] = Seq(annBruteForce, annThresholdPairs, annLshBuckets, annLshPairs,
-    annIvfTopk, annIvfKmeans, embClassCentroids, embNormQc, embPqAdc, annIvfPq, embSq8)
+    annKnnJoin, annIvfTopk, annIvfKmeans, embClassCentroids, embNormQc, embPqAdc,
+    annIvfPq, embSq8)
 }

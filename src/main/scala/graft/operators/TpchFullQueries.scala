@@ -176,11 +176,15 @@ object TpchFullQueries {
     val p = t(s, dir, "part").filter(col("p_name").like("%blue%"))
     val amount = net -
       lit(0.1).cast("decimal(2,1)") * dec(col("p_retailprice")) * dec(col("l_quantity"))
+    // semi-join pre-reduction (reference: semi_join_reduction_rule.cpp): the
+    // broadcast part filter keeps ~1/25 of lineitem, so it runs BEFORE the
+    // orders join — the only fact-fact shuffle moves the reduced fact, not
+    // the full one. Same rewrite family as q5/q7/q8 (BENCH_r9_semijoin_reduction).
     t(s, dir, "lineitem")
-      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"), amount.as("amount"))
       .groupBy("nation", "o_year")
       .agg(asDouble(sum(col("amount"))).as("sum_profit"))
@@ -316,11 +320,17 @@ object TpchFullQueries {
       |    WHERE l2.l_partkey = p_partkey)""".stripMargin) { (s, dir) =>
     val p = t(s, dir, "part").filter(col("p_brand") === "Brand#3" && col("p_size") === 5)
     val l = t(s, dir, "lineitem")
-    // decorrelated: per-part average once, equi-joined back to the fact rows
-    val avgQty = l.groupBy(col("l_partkey").as("aq_partkey"))
+    // decorrelated per-part average — but the correlation only ever probes the
+    // ~1/(25·50) parts that survive the brand+size filter, so the aggregate's
+    // input is semi-reduced by the broadcast part keys FIRST (reference:
+    // semi_join_reduction_rule.cpp): the groupBy shuffles the tiny qualifying
+    // subset, not the whole fact, and its output is small enough to broadcast
+    // back — q17 ends with zero full-fact shuffles.
+    val lRed = l.select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(p.select("p_partkey")), col("l_partkey") === col("p_partkey"), "left_semi")
+    val avgQty = lRed.groupBy(col("l_partkey").as("aq_partkey"))
       .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_threshold"))
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(avgQty, col("l_partkey") === col("aq_partkey"))
+    lRed.join(broadcast(avgQty), col("l_partkey") === col("aq_partkey"))
       .filter(col("l_quantity") < col("qty_threshold"))
       .agg((asDouble(sum(dec(col("l_extendedprice")))) / lit(7.0)).as("avg_yearly"))
   }
@@ -354,7 +364,23 @@ object TpchFullQueries {
 
   /** Q21 — suppliers who kept orders waiting: the only-late-supplier-in-a-
     * multi-supplier-order pattern — EXISTS + NOT EXISTS over self-joined
-    * lineitem (receipt-after-commit → shipped ≥60 days after order). */
+    * lineitem (receipt-after-commit → shipped ≥60 days after order).
+    *
+    * Plan shape: the EXISTS / NOT EXISTS pair is NOT executed as two more
+    * lineitem joins (that shape scans the fact three times and shuffles it
+    * three times — the naive decorrelation). Both subqueries only ask
+    * per-order questions ("is there another supplier in this order?" / "is
+    * another supplier late in this order?"), so one pass computes them:
+    * lineitem joins F-orders once (the only fact-fact shuffle), collapses to
+    * per-(order, supplier) rows via a partial-agg groupBy that REUSES the
+    * join's orderkey partitioning (no second exchange), and a window over the
+    * same orderkey partitioning counts suppliers and late suppliers per order
+    * (sort only, no exchange). EXISTS ⟺ supplier_count > 1; NOT EXISTS for a
+    * late l1 ⟺ late_supplier_count == 1 (l1's own supplier is the one).
+    * numwait counts qualifying l1 LINES, so per-(order,supplier) late-line
+    * counts are kept and re-summed per supplier name. Row-identity vs the
+    * naive EXISTS/NOT-EXISTS join formulation is pinned by
+    * SemiJoinReductionSpec. */
   val q21WaitingSuppliers: Q = Q(
     "tpch_q21_waiting_suppliers",
     """SELECT s_name, COUNT(*) AS numwait
@@ -376,22 +402,23 @@ object TpchFullQueries {
     val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
       .select("o_orderkey", "o_orderdate")
     val late = col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS")
-    val l1 = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    // the one fact-fact shuffle: every line of every F order, tagged late/not
+    val lines = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .filter(late)
+      .select(col("l_orderkey"), col("l_suppkey"), late.cast("int").as("is_late"))
+    // per (order, supplier): went late at all + how many of its lines did —
+    // reuses the join's orderkey partitioning (grouping keys ⊇ partition key)
+    val perSupp = lines.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("is_late")).as("supp_late"), sum(col("is_late")).as("late_lines"))
+    // per order, via a window on the SAME partitioning: sort only, no exchange
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+    perSupp
+      .withColumn("nsupp", count(lit(1)).over(w))
+      .withColumn("nlate", sum(col("supp_late")).over(w))
+      .filter(col("supp_late") === 1 && col("nsupp") > 1 && col("nlate") === 1)
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-    val l2 = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
-    val l3 = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"),
-        col("l_shipdate").as("l3_shipdate"))
-    l1.join(l2, col("l_orderkey") === col("l2_orderkey")
-        && col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
-      .join(l3, col("l_orderkey") === col("l3_orderkey")
-        && col("l3_suppkey") =!= col("l_suppkey")
-        && col("l3_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_anti")
       .groupBy("s_name")
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("late_lines")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
   }
 

@@ -22,6 +22,39 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"sign-LSH recall at sf0.001: $recallNum/$recallDen")
   }
 
+  test("ann_knn_join: candidate sims exact, ranks dense, recall vs brute force measured") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = SimilarityQueries.annKnnJoin.run(spark, sf).cache()
+    // sims must equal the exact cosine (LSH prunes candidates, never rescores):
+    // recompute each returned pair's sim brute-force and compare bit-for-bit
+    val e = graft.Tables.df(spark, sf, "embeddings")
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      call_function("graft_vec_dot", a, b)
+    val nrm = (a: org.apache.spark.sql.Column) => sqrt(dot(a, a))
+    val qs = e.select(col("vec_id").as("q_id"), col("embedding").as("qe"), nrm(col("embedding")).as("qn"))
+    val cs = e.select(col("vec_id").as("n_id"), col("embedding").as("ce"), nrm(col("embedding")).as("cn"))
+    val rescored = got.join(qs, "q_id").join(cs, "n_id")
+      .withColumn("sim2", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    assert(rescored.filter(col("sim") =!= col("sim2")).count() === 0,
+      "knn-join sims must be the exact cosine of the pair")
+    // ranks dense from 1 per query
+    val badRk = got.groupBy("q_id").agg(count(lit(1)).as("n"), max(col("rk")).as("mx"))
+      .filter(col("n") =!= col("mx")).count()
+    assert(badRk === 0, "ranks must be dense 1..n per query")
+    // recall@3 vs the exact per-query top-3 over the same query subset
+    val exactW = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    val exact = qs.filter(col("q_id") % 5 === 0)
+      .join(cs, col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rk", row_number().over(exactW)).filter(col("rk") <= 3)
+    val den = exact.count()
+    val num = got.join(exact.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_semi").count()
+    assert(num > 0, "fixture plants near-dup vectors; the knn join must recover some exact neighbours")
+    info(s"knn-join recall@3 at sf0.001: $num/$den")
+    got.unpersist()
+  }
+
   test("PQ/ADC and IVFPQ: complete top-k per query, strictly ranked integer distances") {
     import org.apache.spark.sql.functions._
     for (q <- Seq(SimilarityQueries.embPqAdc, SimilarityQueries.annIvfPq,

@@ -92,4 +92,65 @@ class SemiJoinReductionSpec extends AnyFunSuite {
     assert(reduced.count() > 0, "q8 must be non-vacuous at sf0.001")
     assertSameRows("q8", reduced, naive)
   }
+
+  test("q9: part-filter-first plan matches the naive orders-first join order") {
+    val p = t("part").filter(col("p_name").like("%blue%"))
+    val amount = net -
+      lit(0.1).cast("decimal(2,1)") * dec(col("p_retailprice")) * dec(col("l_quantity"))
+    val naive = t("lineitem")
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t("supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t("nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"), amount.as("amount"))
+      .groupBy("nation", "o_year")
+      .agg(asDouble(sum(col("amount"))).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+    val reduced = TpchFullQueries.q9ProductProfit.run(spark, sf)
+    assert(reduced.count() > 0, "q9 must be non-vacuous at sf0.001")
+    assertSameRows("q9", reduced, naive)
+  }
+
+  test("q17: semi-reduced per-part average matches the full-fact aggregate") {
+    val p = t("part").filter(col("p_brand") === "Brand#3" && col("p_size") === 5)
+    val l = t("lineitem")
+    val avgQty = l.groupBy(col("l_partkey").as("aq_partkey"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_threshold"))
+    val naive = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("aq_partkey"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg((asDouble(sum(dec(col("l_extendedprice")))) / lit(7.0)).as("avg_yearly"))
+    val reduced = TpchFullQueries.q17SmallQuantity.run(spark, sf)
+    assertSameRows("q17", reduced, naive)
+  }
+
+  test("q21: single-pass per-order stats match the EXISTS/NOT-EXISTS join pair") {
+    val n = t("nation").filter(col("n_name") === "NATION_3")
+    val sup = t("supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    val o = t("orders").filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val late = col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val l1 = t("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(late)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    val l2 = t("lineitem")
+      .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+    val l3 = t("lineitem")
+      .select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"),
+        col("l_shipdate").as("l3_shipdate"))
+    val naive = l1.join(l2, col("l_orderkey") === col("l2_orderkey")
+        && col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("l_orderkey") === col("l3_orderkey")
+        && col("l3_suppkey") =!= col("l_suppkey")
+        && col("l3_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_anti")
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+    val reduced = TpchFullQueries.q21WaitingSuppliers.run(spark, sf)
+    assert(reduced.count() > 0, "q21 must be non-vacuous at sf0.001")
+    assertSameRows("q21", reduced, naive)
+  }
 }
