@@ -1117,9 +1117,86 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------- PII redaction
+  // The scrub pass every corpus runs before training: regex-replace emails,
+  // phone numbers and IPv4 addresses with typed placeholder tags. Map-only —
+  // three codegen'd regexp_replace passes per row, zero shuffles before the
+  // final per-source rollup — so it costs one corpus scan at any scale.
+  //
+  // Pattern dialect: the intersection of Java regex (Spark) and RE2 (DuckDB)
+  // — character classes, bounded repetition, no lookaround — so the oracle
+  // twin executes the IDENTICAL patterns. The fixture text is digit-free
+  // synthetic prose, so the query composes its PII-bearing input inline from
+  // real columns (deterministic in both engines); the operator under test is
+  // the redaction pass, not the synthesis.
+
+  private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val phoneRe = """\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"""
+  private val ipRe = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+
+  /** raw = text + a deterministic contact line (email, phone, IPv4 derived
+    * from doc_id/source). Spark side of the shared-constant twin below. */
+  private def piiRaw: Column = concat(
+    col("text"), lit(" contact user"), col("doc_id").cast("string"),
+    lit("@mail-"), col("source"), lit(".org tel +1-555-"),
+    lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+    lit(" ip 10."), (col("doc_id") % 250).cast("string"),
+    lit("."), ((col("doc_id") * 7) % 250).cast("string"),
+    lit("."), ((col("doc_id") * 13) % 250).cast("string"))
+
+  private val piiRawSql: String =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail-' || source" +
+      " || '.org tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')" +
+      " || ' ip 10.' || CAST(doc_id % 250 AS VARCHAR)" +
+      " || '.' || CAST((doc_id * 7) % 250 AS VARCHAR)" +
+      " || '.' || CAST((doc_id * 13) % 250 AS VARCHAR)"
+
+  /** Redaction order is part of the operator contract (email before IP before
+    * phone) and is identical in both engines. */
+  private def redact(raw: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(raw, lit(emailRe), lit("<EMAIL>")),
+        lit(ipRe), lit("<IP>")),
+      lit(phoneRe), lit("<PHONE>"))
+
+  /** Spec hook: the fully-redacted synthesized text (no aggregation). */
+  private[functions] def redactedProbe: Column = redact(piiRaw)
+
+  private def redactSql(raw: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($raw, '$emailRe', '<EMAIL>', 'g')," +
+      s" '$ipRe', '<IP>', 'g'), '$phoneRe', '<PHONE>', 'g')"
+
+  val piiRedact: Q = Q(
+    "cur_pii_redact",
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(regexp_extract_all(raw, '$emailRe'))) AS BIGINT) AS n_email,
+       |  CAST(SUM(len(regexp_extract_all(raw, '$phoneRe'))) AS BIGINT) AS n_phone,
+       |  CAST(SUM(len(regexp_extract_all(raw, '$ipRe'))) AS BIGINT) AS n_ip,
+       |  CAST(SUM(length(raw) - length(${redactSql("raw")})) AS BIGINT) AS chars_removed
+       |FROM (SELECT source, $piiRawSql AS raw FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val withRaw = docs(s, dir).select(col("source"), piiRaw.as("raw"))
+    withRaw
+      .select(
+        col("source"),
+        regexp_count(col("raw"), lit(emailRe)).as("e"),
+        regexp_count(col("raw"), lit(phoneRe)).as("p"),
+        regexp_count(col("raw"), lit(ipRe)).as("i"),
+        (length(col("raw")) - length(redact(col("raw")))).as("rm"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("e")).as("n_email"),
+        sum(col("p")).as("n_phone"),
+        sum(col("i")).as("n_ip"),
+        sum(col("rm").cast("long")).as("chars_removed"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     repetition, qualityFilter, sampleStratified, packSequences, dedupClusterCc,
     corpusDiff, decontaminate, domainMix, oversampleEpochs, splitAssign, domainCap,
     endToEnd, shardAssign, dedupClusterHistogram, sourceHealth, tokenLengthHist,
-    temperatureSample, ruleFunnel, pageRank, chunkOverlap, lineDedup)
+    temperatureSample, ruleFunnel, pageRank, chunkOverlap, lineDedup, piiRedact)
 }

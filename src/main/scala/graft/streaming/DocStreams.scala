@@ -104,6 +104,33 @@ object DocStreams {
       .select(col("doc_id"), col("s"))
   }
 
+  /** Multi-batch variant of [[source]]: stage the fixture as `nFiles`
+    * parquet files and feed ONE file per trigger, so a test observes a real
+    * sequence of micro-batches (the single-file source collapses to one
+    * batch, which would make any incremental-maintenance claim vacuous). */
+  def sourceChunked(spark: SparkSession, docs: DataFrame, nFiles: Int): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-docs-chunks")
+    docs.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp.toString)
+  }
+
+  /** Streaming IVM: land each micro-batch into a catalog BASE table through
+    * the INSERT path — which maintains every registered materialized view
+    * over that table incrementally (one summary-delta merge per micro-batch,
+    * O(batch) work; see [[graft.MatViews]]). This is the streaming face of
+    * the same maintenance the batch DML runs: a continuously-ingesting
+    * corpus keeps its rollup views fresh without ever rescanning the base. */
+  def maintainViews(stream: DataFrame, cat: graft.Catalog, table: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        cat.insert(table, batch.localCheckpoint(true))
+      }
+      .start()
+
   /** Landing sink: each micro-batch of curated documents appends into the
     * engine's own Catalog through its INSERT path (foreachBatch = the bridge
     * from Structured Streaming to arbitrary batch sinks; per-batch this is

@@ -265,4 +265,27 @@ class CurationSpec extends AnyFunSuite {
       .groupBy(identity).map(_._2.size)
     assert(segCounts.max < 3, "a line still occurs >= LINE_DF_MAX times after dedup")
   }
+
+  test("pii redact: every doc yields one of each PII kind; redaction removes them all") {
+    val rows = CurationQueries.piiRedact.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == 20, "one row per source")
+    rows.foreach { case (src, nDocs, nEmail, nPhone, nIp, rm) =>
+      // the synthesized contact line carries exactly one email, phone and IP
+      // per doc — a count mismatch means a pattern leaked into another's text
+      assert(nEmail == nDocs, s"$src: email count != docs")
+      assert(nPhone == nDocs, s"$src: phone count != docs")
+      assert(nIp == nDocs, s"$src: ip count != docs")
+      assert(rm > 0, s"$src: redaction must shorten (placeholders < PII text)")
+    }
+    // end-to-end: the redacted text itself must contain no residual match
+    import org.apache.spark.sql.functions.{col, lit, regexp_count, sum => fsum}
+    val residual = graft.Tables.df(spark, sf, "documents")
+      .select(CurationQueries.redactedProbe.as("red"))
+      .select((regexp_count(col("red"), lit("""[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}""")) +
+        regexp_count(col("red"), lit("""@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""")) +
+        regexp_count(col("red"), lit("""\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"""))).as("n"))
+      .agg(fsum(col("n"))).collect()(0).getLong(0)
+    assert(residual == 0L, "redacted text still matches a PII pattern")
+  }
 }
