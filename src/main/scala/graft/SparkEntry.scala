@@ -21,6 +21,7 @@ object SparkEntry {
       operators.TpcdsQueries.all ++
       operators.JobQueries.all ++
       operators.JobVariantQueries.all ++
+      operators.JobGenQueries.all ++
       operators.TpccQueries.all ++
       operators.EventsQueries.all ++
       operators.LifecycleQueries.all ++
