@@ -32,6 +32,7 @@ object SparkEntry {
       functions.TextQueries.all ++
       functions.DedupQueries.all ++
       functions.SimilarityQueries.all ++
+      functions.AnnIndexQueries.all ++
       functions.CurationQueries.all ++
       functions.SelectionQueries.all ++
       functions.RetrievalQueries.all ++

@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN indexes — train once, probe many (FAISS's build/search
+  * separation; reference has no ANN surface, this is the repo's LLM-pipeline
+  * extension).
+  *
+  * Motivation (measured, BENCH_r9_ann_2m_prefix): with training inline, the
+  * IVF k-means tier cost 45.7 s per query at the 2M-vector store while exact
+  * brute-force cosine cost 2.4 s — an index that retrains per query loses to
+  * linear scan whenever it isn't reused. The fix is the standard one: the
+  * trained state (centroids, PQ codebooks, encoded corpus, SQ8
+  * reconstructions) is WRITTEN as parquet tables and queries only probe.
+  *
+  * Layout per index root:
+  *   ivf_centroids/    (cent_id, cemb)            — Lloyd-trained, broadcastable
+  *   ivf_cells/        (vec_id, qe) PARTITIONED BY cent_id
+  *   ivfpq_centroids/  (cell_id, cemb)
+  *   ivfpq_codebook/   (cm, cent_id, cq)
+  *   ivfpq_codes/      (n_id, m, code) PARTITIONED BY ncell
+  *   sq8_recon/        (n_id, recon)
+  *   manifest.json     params + corpus dir + format version
+  *
+  * Scale design: the two cell-routed families hive-partition the encoded
+  * corpus BY CELL, so a probe's `cell IN (probed)` filter prunes at the file
+  * listing — probe I/O is NPROBE/NLIST of the store, the inverted-list read
+  * pattern of a native IVF index. Centroids/codebooks are tiny and broadcast.
+  * Probing computes query-side state only (NQUERY rows); no training, no
+  * corpus-wide argmin.
+  *
+  * Every build stage is the SAME code the inline oracle-gated queries run
+  * ([[SimilarityQueries.kmeansTrain]]/[[SimilarityQueries.ivfPqCorpusState]]/
+  * [[SimilarityQueries.sq8Encode]] are shared), and training is deterministic,
+  * so probe results are row-identical to `ann_ivf_kmeans_topk` /
+  * `ann_ivfpq_topk` / `emb_sq8_topk` — which is what lets the probe queries
+  * keep those queries' DuckDB oracles.
+  */
+object AnnIndex {
+  import SimilarityQueries._
+
+  /** Bump when any build-side derivation changes: the default index path is
+    * salted with this, so stale on-disk indexes from older code are never
+    * probed. */
+  private val INDEX_VERSION = 1
+
+  /** Deterministic per-corpus index root (ensure() builds here on first
+    * probe). */
+  def defaultDir(sfDir: String): String = {
+    val slug = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"/tmp/graft_annindex_v$INDEX_VERSION/$slug"
+  }
+
+  private def quantized(s: SparkSession, sfDir: String): DataFrame =
+    emb(s, sfDir).select(col("vec_id"), quantize(col("embedding")).as("qe"))
+
+  // ------------------------------------------------------------------ build
+
+  def buildIvf(s: SparkSession, sfDir: String, indexDir: String): Unit = {
+    val quant = quantized(s, sfDir)
+    val cents = kmeansTrain(quant)
+    cents.write.mode("overwrite").parquet(s"$indexDir/ivf_centroids")
+    val trained = s.read.parquet(s"$indexDir/ivf_centroids")
+    kmeansAssign(quant, trained)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$indexDir/ivf_cells")
+  }
+
+  def buildIvfPq(s: SparkSession, sfDir: String, indexDir: String): Unit = {
+    val quant = quantized(s, sfDir)
+    val (cents, cb, enc) = ivfPqCorpusState(quant)
+    cents.write.mode("overwrite").parquet(s"$indexDir/ivfpq_centroids")
+    cb.write.mode("overwrite").parquet(s"$indexDir/ivfpq_codebook")
+    enc.write.mode("overwrite").partitionBy("ncell").parquet(s"$indexDir/ivfpq_codes")
+  }
+
+  def buildSq8(s: SparkSession, sfDir: String, indexDir: String): Unit =
+    sq8Encode(quantized(s, sfDir))
+      .write.mode("overwrite").parquet(s"$indexDir/sq8_recon")
+
+  def buildAll(s: SparkSession, sfDir: String, indexDir: String): Unit = {
+    buildIvf(s, sfDir, indexDir)
+    buildIvfPq(s, sfDir, indexDir)
+    buildSq8(s, sfDir, indexDir)
+    val manifest =
+      s"""{"format_version":$INDEX_VERSION,"corpus":"$sfDir","dim":$DIM,
+         |"ivf_nlist":$IVF_NLIST,"km_iters":$KM_ITERS,
+         |"pq_m":$PQ_M,"pq_k":$PQ_K,"ivfpq_nprobe":$IVFPQ_NPROBE,
+         |"sq_levels":$SQ_LEVELS,"sq_clip_pm":$SQ_CLIP_PM}""".stripMargin.replace("\n", "")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$indexDir/manifest.json"),
+      manifest.getBytes("UTF-8"))
+  }
+
+  /** Build-if-missing: the manifest is written LAST, so its presence means
+    * every component table landed. Probe-path queries call this so the first
+    * run of a session trains and every later run is probe-only. */
+  def ensure(s: SparkSession, sfDir: String, indexDir: String): Unit =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/manifest.json")))
+      buildAll(s, sfDir, indexDir)
+
+  // ------------------------------------------------------------------ probe
+
+  /** Hive partition columns come back typed by inference — pin them to the
+    * stored key type so joins against freshly-derived (long) keys line up. */
+  private def readCells(s: SparkSession, path: String, partCol: String): DataFrame =
+    s.read.parquet(path).withColumn(partCol, col(partCol).cast("long"))
+
+  /** Probe-only IVF k-means top-k: row-identical to `ann_ivf_kmeans_topk`
+    * (same trained centroids — training is deterministic — same in-cell
+    * exact-cosine re-rank), but reads ONLY the probed cells' files. */
+  def probeIvf(s: SparkSession, sfDir: String, indexDir: String): DataFrame = {
+    val cents = s.read.parquet(s"$indexDir/ivf_centroids")
+    val qAssigned = kmeansAssign(
+      quantized(s, sfDir).filter(col("vec_id") < NQUERY), cents)
+    // bounded collect: ≤ NQUERY cell ids — this is what turns the cell join
+    // into a static partition-pruning filter on the stored layout
+    val probed = qAssigned.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cells = readCells(s, s"$indexDir/ivf_cells", "cent_id")
+      .filter(col("cent_id").isin(probed: _*))
+    val q = qAssigned.select(col("vec_id").as("q_id"), col("qe").as("qq"),
+      col("cent_id").as("qc"))
+    val n = cells.select(col("vec_id").as("n_id"), col("qe").as("nq"),
+      col("cent_id").as("nc"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    broadcast(q).join(n, col("qc") === col("nc") && col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), cosL(col("qq"), col("nq")).as("sim"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= TOPK)
+      .orderBy("q_id", "rk")
+  }
+
+  /** Probe-only IVFPQ ADC top-k: row-identical to `ann_ivfpq_topk`. The
+    * query side ranks cells and PQ-encodes its residuals fresh (NQUERY rows);
+    * the corpus side is the stored code table pruned to the probed cells. */
+  def probeIvfPq(s: SparkSession, sfDir: String, indexDir: String,
+      topK: Int = TOPK): DataFrame = {
+    val cents = broadcast(s.read.parquet(s"$indexDir/ivfpq_centroids"))
+    val cb = broadcast(s.read.parquet(s"$indexDir/ivfpq_codebook"))
+    val qquant = quantized(s, sfDir).filter(col("vec_id") < NQUERY)
+    // probed cell set (bounded: NQUERY × NPROBE ids) for static pruning
+    val wCell = Window.partitionBy("vec_id")
+      .orderBy(l2Full(col("qe"), col("cemb")), col("cell_id"))
+    val probed = qquant.join(cents)
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= IVFPQ_NPROBE)
+      .select("cell_id").distinct().collect().map(_.getLong(0)).toSeq
+    val enc = readCells(s, s"$indexDir/ivfpq_codes", "ncell")
+      .filter(col("ncell").isin(probed: _*))
+      .select("n_id", "ncell", "m", "code")
+    ivfPqProbe(qquant, cents, cb, enc, topK)
+  }
+
+  /** Probe-only SQ8 top-k: row-identical to `emb_sq8_topk` — the quantile
+    * training pass and the corpus encode are replaced by a scan of the stored
+    * reconstructions (SQ8 is a compression tier, not a routing tier, so the
+    * probe still scans all N recon rows — at 4 bytes/dim instead of raw
+    * floats + a two-window quantile pass). */
+  def probeSq8(s: SparkSession, sfDir: String, indexDir: String): DataFrame = {
+    val enc = s.read.parquet(s"$indexDir/sq8_recon")
+    val q = quantized(s, sfDir).filter(col("vec_id") < NQUERY)
+      .select(col("vec_id").as("q_id"), col("qe"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("dist"), col("n_id"))
+    broadcast(q).join(enc, col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), l2Full(col("qe"), col("recon")).as("dist"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= TOPK)
+      .orderBy("q_id", "rk")
+  }
+}

@@ -21,14 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  private val TOPK = 3
-  private val NQUERY = 10  // vec_id < 10 are the query vectors
+  private[functions] val TOPK = 3
+  private[functions] val NQUERY = 10  // vec_id < 10 are the query vectors
   private val SIM_MIN = 0.45
   private val LSH_BITS = 8
   private val LSH_BANDS = 4      // banded sign-LSH for the pair join
   private val LSH_BAND_BITS = 4  // planes per band (16 planes total)
 
-  private def emb(s: SparkSession, dir: String): DataFrame = Tables.dfSpread(s, dir, "embeddings")
+  private[functions] def emb(s: SparkSession, dir: String): DataFrame = Tables.dfSpread(s, dir, "embeddings")
 
   /** dot(a,b): the native codegen kernel [[graft.plans.FloatVectorDot]]
     * (registered by GraftExtensions). Same semantics as the previous
@@ -349,8 +349,44 @@ object SimilarityQueries {
   // broadcast-assign (map-side, NLIST×N tiny cross) + one keyed agg shuffle;
   // rounds are O(1) scans — the standard distributed k-means plan.
 
-  private val KM_ITERS = 2
-  private val DIM = 64
+  private[functions] val KM_ITERS = 2
+  private[functions] val DIM = 64
+
+  /** One Lloyd assign step over integer-quantized vectors: keyed max_by argmax
+    * (not a window — partial aggregation collapses the NLIST candidates
+    * map-side, so N keyed rows shuffle, not N×NLIST vector-wide rows).
+    * Tie-break (sim DESC, cent_id ASC) via max of (sim, −cent_id). Shared by
+    * the gated [[annIvfKmeans]] and the persisted-index build/probe paths
+    * ([[AnnIndex]]) so training and probing are the same code. */
+  private[functions] def kmeansAssign(quant: DataFrame, cents: DataFrame): DataFrame =
+    quant.join(broadcast(cents))
+      .select(col("vec_id"), col("qe"), col("cent_id"),
+        cosL(col("qe"), col("cemb")).as("csim"))
+      .groupBy("vec_id")
+      .agg(first(col("qe")).as("qe"),
+        max_by(col("cent_id"), struct(col("csim"), (-col("cent_id")).as("nc"))).as("cent_id"))
+      .select(col("vec_id"), col("qe"), col("cent_id"))
+
+  /** Lloyd update: exact integer mean per cell (`SUM div COUNT`, identical
+    * floor in Spark and DuckDB) — keeps centroid components at quantization
+    * magnitude so the i64 dot product never overflows at any cluster size. */
+  private[functions] def kmeansUpdate(assigned: DataFrame): DataFrame = {
+    val sums = assigned.groupBy("cent_id").agg(
+      count(lit(1)).as("n_m"),
+      (1 to DIM).map(i => sum(element_at(col("qe"), i)).as(s"s$i")): _*)
+    sums.select(col("cent_id"),
+      array((1 to DIM).map(i => expr(s"s$i div n_m")): _*).as("cemb"))
+  }
+
+  /** KM_ITERS rounds of spherical Lloyd from the deterministic seed (first
+    * NLIST corpus vectors). Returns the trained centroid table (cent_id,
+    * cemb) — tiny, broadcastable, persistable. */
+  private[functions] def kmeansTrain(quant: DataFrame): DataFrame = {
+    var cents = quant.filter(col("vec_id") < IVF_NLIST)
+      .select(col("vec_id").as("cent_id"), col("qe").as("cemb"))
+    (1 to KM_ITERS).foreach(_ => cents = kmeansUpdate(kmeansAssign(quant, cents)))
+    cents
+  }
 
   // the float widens to double BEFORE scaling in both engines — float×int
   // multiplication would round in float precision and drift the quantization
@@ -410,33 +446,7 @@ object SimilarityQueries {
          |WHERE rk <= $TOPK
          |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
       val quant = emb(s, dir).select(col("vec_id"), quantize(col("embedding")).as("qe"))
-
-      def assign(cents: DataFrame): DataFrame = {
-        // keyed max_by argmax (not a window): partial aggregation collapses
-        // the NLIST candidates map-side — N keyed rows shuffle, not N×NLIST
-        // vector-wide rows. Tie-break (sim DESC, cent_id ASC) via (sim, −id).
-        quant.join(broadcast(cents))
-          .select(col("vec_id"), col("qe"), col("cent_id"),
-            cosL(col("qe"), col("cemb")).as("csim"))
-          .groupBy("vec_id")
-          .agg(first(col("qe")).as("qe"),
-            max_by(col("cent_id"), struct(col("csim"), (-col("cent_id")).as("nc"))).as("cent_id"))
-          .select(col("vec_id"), col("qe"), col("cent_id"))
-      }
-      def update(assigned: DataFrame): DataFrame = {
-        // exact integer mean (matches the oracle's `SUM // COUNT`): keeps
-        // centroid components at ~1e6 so dotL stays inside i64 at any N
-        val sums = assigned.groupBy("cent_id").agg(
-          count(lit(1)).as("n_m"),
-          (1 to DIM).map(i => sum(element_at(col("qe"), i)).as(s"s$i")): _*)
-        sums.select(col("cent_id"),
-          array((1 to DIM).map(i => expr(s"s$i div n_m")): _*).as("cemb"))
-      }
-
-      var cents = quant.filter(col("vec_id") < IVF_NLIST)
-        .select(col("vec_id").as("cent_id"), col("qe").as("cemb"))
-      (1 to KM_ITERS).foreach(_ => cents = update(assign(cents)))
-      val fin = assign(cents)
+      val fin = kmeansAssign(quant, kmeansTrain(quant))
 
       val q = fin.filter(col("vec_id") < NQUERY)
         .select(col("vec_id").as("q_id"), col("qe").as("qq"), col("cent_id").as("qc"))
@@ -527,8 +537,8 @@ object SimilarityQueries {
   // broadcast join + per-(vector, subspace) argmin — map-side; ADC joins
   // codes back to the broadcast codebook and sums M rows per (query,
   // candidate) pair — one keyed agg. No all-pairs float work anywhere.
-  private val PQ_M = 4         // subspaces
-  private val PQ_SUB = DIM / PQ_M
+  private[functions] val PQ_M = 4         // subspaces
+  private[functions] val PQ_SUB = DIM / PQ_M
   // 256 codes per subspace = the standard 1-BYTE subquantizer (Jégou 2011
   // §II uses k* = 256 exactly so codes pack into bytes). The earlier toy
   // k* = 8 (3 bits) left a total code space of 8^4 = 4096 — at the 2M-vector
@@ -536,11 +546,11 @@ object SimilarityQueries {
   // recall@3 measured 0.000 even with a 100-wide exact re-rank shortlist.
   // 256^4 ≈ 4.3B code points keeps codes near-unique at any realistic cell
   // population; the codebook stays broadcast-sized (PQ_M × 256 subvectors).
-  private val PQ_K = 256       // codes per subspace (1 byte)
+  private[functions] val PQ_K = 256       // codes per subspace (1 byte)
 
-  private def l2L(a: Column, b: Column): Column =
+  private[functions] def l2L(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
-  private def l2LSql(a: String, b: String): String =
+  private[functions] def l2LSql(a: String, b: String): String =
     s"CAST(list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, ${PQ_SUB + 1})]) AS BIGINT)"
 
   val embPqAdc: Q = Q(
@@ -615,11 +625,11 @@ object SimilarityQueries {
   // distance an i64 sum — bit-identical across engines and aggregation
   // orders. Shape: two broadcast argmins (assign, encode) + one keyed ADC
   // aggregate — no all-pairs work, no float accumulation.
-  private val IVFPQ_NPROBE = 2
+  private[functions] val IVFPQ_NPROBE = 2
 
-  private def l2FullSql(a: String, b: String): String =
+  private[functions] def l2FullSql(a: String, b: String): String =
     s"CAST(list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, ${DIM + 1})]) AS BIGINT)"
-  private def l2Full(a: Column, b: Column): Column =
+  private[functions] def l2Full(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
 
   val annIvfPq: Q = Q(
@@ -676,12 +686,15 @@ object SimilarityQueries {
     * `topK = TOPK`; `AnnRecall` pulls a WIDER shortlist (e.g. 100) and
     * re-ranks it exactly on the raw vectors: the standard two-stage recall
     * recovery once pure-ADC precision (M code bytes) saturates at large N. */
-  private[graft] def ivfPqAdcRanked(
-      s: org.apache.spark.sql.SparkSession, dir: String, topK: Int): DataFrame = {
-    val quant = emb(s, dir).select(col("vec_id"), quantize(col("embedding")).as("qe"))
+  /** IVFPQ corpus-side state from the quantized store: trained-free coarse
+    * centroids, the residual PQ codebook, and the encoded corpus
+    * (n_id, ncell, m, code). Shared by the inline [[ivfPqAdcRanked]] and the
+    * persisted-index build ([[AnnIndex.buildIvfPq]]) so the stored codes are
+    * the exact rows the inline query derives. */
+  private[functions] def ivfPqCorpusState(quant: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val cents = broadcast(quant.filter(col("vec_id") < IVF_NLIST)
       .select(col("vec_id").as("cell_id"), col("qe").as("cemb")))
-    val resid = zip_with(col("qe"), col("cemb"), (x, y) => x - y)
     // corpus cell assignment: keyed min_by argmin (tie-broken by cell_id —
     // unique per group, so no ties), carrying the winning centroid in the
     // min_by payload for the residual. Partial aggregation collapses the
@@ -710,6 +723,15 @@ object SimilarityQueries {
       .agg(min_by(col("cent_id"), col("ord")).as("code"))
       .select(col("vec_id").as("n_id"), col("cell_id").as("ncell"),
         col("m"), col("code"))
+    (cents, cb, enc)
+  }
+
+  /** The ADC probe side against an already-encoded corpus — query cell
+    * ranking, residual sub-vectors, in-cell ADC scoring, top-k. Shared by the
+    * inline path and the persisted-index probe ([[AnnIndex.probeIvfPq]]). */
+  private[functions] def ivfPqProbe(quant: DataFrame, cents: DataFrame,
+      cb: DataFrame, enc: DataFrame, topK: Int): DataFrame = {
+    val resid = zip_with(col("qe"), col("cemb"), (x, y) => x - y)
     // query probes: only the NQUERY query vectors rank ALL cells (they need
     // the top-NPROBE, not the argmin) — the window is fine at 10×NLIST rows
     val wCell = Window.partitionBy("vec_id")
@@ -733,6 +755,13 @@ object SimilarityQueries {
       .filter(col("rk") <= topK)
       .select("q_id", "n_id", "dist", "rk")
       .orderBy("q_id", "rk")
+  }
+
+  private[graft] def ivfPqAdcRanked(
+      s: org.apache.spark.sql.SparkSession, dir: String, topK: Int): DataFrame = {
+    val quant = emb(s, dir).select(col("vec_id"), quantize(col("embedding")).as("qe"))
+    val (cents, cb, enc) = ivfPqCorpusState(quant)
+    ivfPqProbe(quant, cents, cb, enc, topK)
   }
 
   // ---------------------------------------------------------- scalar int8
@@ -764,8 +793,8 @@ object SimilarityQueries {
   // the encode and reconstruct divisions keep non-negative operands (the
   // clamp precedes the division), so integer `div` / `//` floor identically
   // across engines.
-  private val SQ_LEVELS = 255
-  private val SQ_CLIP_PM = 5 // per-mille clipped off each tail (q0.005/q0.995)
+  private[functions] val SQ_LEVELS = 255
+  private[functions] val SQ_CLIP_PM = 5 // per-mille clipped off each tail (q0.005/q0.995)
 
   val embSq8: Q = Q(
     "emb_sq8_topk",
@@ -801,6 +830,22 @@ object SimilarityQueries {
        |  FROM scored) WHERE rk <= $TOPK
        |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
     val quant = emb(s, dir).select(col("vec_id"), quantize(col("embedding")).as("qe"))
+    val enc = sq8Encode(quant)
+    val q = quant.filter(col("vec_id") < NQUERY).select(col("vec_id").as("q_id"), col("qe"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("dist"), col("n_id"))
+    broadcast(q).join(enc, col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), l2Full(col("qe"), col("recon")).as("dist"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= TOPK)
+      .orderBy("q_id", "rk")
+  }
+
+  /** SQ8 train + encode: the exact per-dim quantile band and the map-only
+    * encode/reconstruct projections, returning (n_id, recon). Shared by the
+    * gated [[embSq8]] and the persisted-index build ([[AnnIndex.buildSq8]])
+    * so the stored reconstruction is the exact table the inline query
+    * derives. */
+  private[functions] def sq8Encode(quant: DataFrame): DataFrame = {
     // exact per-dim quantile band: (dim, value) counts (map-side combinable),
     // cumulative sum in value order (64 compact window partitions), then the
     // smallest value reaching rank 1 + ⌊(n−1)·q⌋
@@ -833,13 +878,7 @@ object SimilarityQueries {
         col("mn"))
       .select(col("vec_id").as("n_id"),
         expr("zip_with(off, mn, (o, m) -> m + o)").as("recon"))
-    val q = quant.filter(col("vec_id") < NQUERY).select(col("vec_id").as("q_id"), col("qe"))
-    val wTop = Window.partitionBy("q_id").orderBy(col("dist"), col("n_id"))
-    broadcast(q).join(enc, col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"), l2Full(col("qe"), col("recon")).as("dist"))
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= TOPK)
-      .orderBy("q_id", "rk")
+    enc
   }
 
   val all: Seq[Q] = Seq(annBruteForce, annThresholdPairs, annLshBuckets, annLshPairs,

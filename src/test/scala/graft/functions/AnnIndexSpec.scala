@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted-index contracts: every probe-only query must be ROW-IDENTICAL to
+  * its inline (retrain-per-query) twin — the property that lets the probe
+  * queries reuse the inline oracles — and the cell-routed stores must come
+  * back cell-partitioned so probes prune at the file listing. */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+  private lazy val idx = {
+    val d = java.nio.file.Files.createTempDirectory("graft-annindex").toString
+    AnnIndex.buildAll(spark, sf, d)
+    d
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+
+  test("probe_ivf ≡ ann_ivf_kmeans_topk (stored index answers = retrained answers)") {
+    assert(canon(AnnIndex.probeIvf(spark, sf, idx)) ===
+      canon(SimilarityQueries.annIvfKmeans.run(spark, sf)))
+  }
+
+  test("probe_ivfpq ≡ ann_ivfpq_topk") {
+    assert(canon(AnnIndex.probeIvfPq(spark, sf, idx)) ===
+      canon(SimilarityQueries.annIvfPq.run(spark, sf)))
+  }
+
+  test("probe_sq8 ≡ emb_sq8_topk") {
+    assert(canon(AnnIndex.probeSq8(spark, sf, idx)) ===
+      canon(SimilarityQueries.embSq8.run(spark, sf)))
+  }
+
+  test("cell-routed stores are hive-partitioned by cell (probe prunes at listing)") {
+    for ((sub, partCol) <- Seq("ivf_cells" -> "cent_id", "ivfpq_codes" -> "ncell")) {
+      val dirs = new java.io.File(s"$idx/$sub").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(dirs.nonEmpty && dirs.forall(_.startsWith(s"$partCol=")),
+        s"$sub must be written partitioned by $partCol, got: ${dirs.mkString(",")}")
+    }
+  }
+
+  test("ensure() is idempotent: second call does not rebuild (manifest mtime unchanged)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-annensure").toString
+    AnnIndex.ensure(spark, sf, d)
+    val m = java.nio.file.Paths.get(s"$d/manifest.json")
+    val t1 = java.nio.file.Files.getLastModifiedTime(m)
+    AnnIndex.ensure(spark, sf, d)
+    assert(java.nio.file.Files.getLastModifiedTime(m) === t1,
+      "ensure on a built index must be a no-op")
+  }
+}
