@@ -313,12 +313,121 @@ object MatViews {
       refs.nonEmpty && refs.forall(r => mv.keys.exists(_.equalsIgnoreCase(r)))
     } catch { case _: Exception => false }
 
-  /** WHERE compatibility for the rollup tier: textually identical, or the
-    * query ADDS a key-only predicate on top of the view's own WHERE (it then
-    * filters state rows — subsumption over the grouping lattice). */
+  // --- range-predicate implication (chunk-pruning-style interval logic;
+  // reference: the min/max containment tests of
+  // src/lib/optimizer/strategy/chunk_pruning_rule.cpp, applied here to the
+  // view-subsumption question "does the query's WHERE imply the view's?")
+
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal,
+    EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, And => CAnd}
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case CAnd(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case other => Seq(other)
+  }
+
+  /** One simple comparison `col op literal` (either operand order), with the
+    * literal normalized to a comparable: BigDecimal for numerics, String for
+    * strings (ISO dates as strings compare correctly lexicographically). */
+  private final case class Cmp(column: String, op: String, v: Any)
+
+  private def litValue(l: Literal): Option[Any] = l.value match {
+    case null => None
+    case n: Number => Some(BigDecimal(n.toString))
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+    case s: String => Some(s)
+    case _ => None
+  }
+
+  private def flip(op: String): String = op match {
+    case ">" => "<"
+    case ">=" => "<="
+    case "<" => ">"
+    case "<=" => ">="
+    case o => o
+  }
+
+  private def asCmp(e: Expression): Option[Cmp] = {
+    def mk(a: Expression, op: String, b: Expression, flipped: Boolean): Option[Cmp] =
+      (a, b) match {
+        case (attr: UnresolvedAttribute, l: Literal) =>
+          litValue(l).map(v => Cmp(attr.name.toLowerCase, if (flipped) flip(op) else op, v))
+        case _ => None
+      }
+    e match {
+      case EqualTo(a, b) => mk(a, "=", b, flipped = false).orElse(mk(b, "=", a, flipped = false))
+      case GreaterThan(a, b) => mk(a, ">", b, flipped = false).orElse(mk(b, ">", a, flipped = true))
+      case GreaterThanOrEqual(a, b) => mk(a, ">=", b, flipped = false).orElse(mk(b, ">=", a, flipped = true))
+      case LessThan(a, b) => mk(a, "<", b, flipped = false).orElse(mk(b, "<", a, flipped = true))
+      case LessThanOrEqual(a, b) => mk(a, "<=", b, flipped = false).orElse(mk(b, "<=", a, flipped = true))
+      case _ => None
+    }
+  }
+
+  /** Comparable ordering across the two normalized literal kinds; None when
+    * the kinds differ (number vs string — conservatively incomparable). */
+  private def cmpValues(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** Does the conjunction `qs` imply the single comparison `target`?
+    * Interval logic per column: any q-conjunct on the same column whose
+    * bound is at-least-as-tight. Conservative: unhandled shapes → false. */
+  private def impliesCmp(qs: Seq[Expression], target: Cmp): Boolean =
+    qs.flatMap(asCmp).filter(_.column == target.column).exists { qc =>
+      def ge(strictOk: Boolean) = cmpValues(qc.v, target.v).exists(c =>
+        c > 0 || (c == 0 && strictOk))
+      def le(strictOk: Boolean) = cmpValues(qc.v, target.v).exists(c =>
+        c < 0 || (c == 0 && strictOk))
+      (target.op, qc.op) match {
+        // target X > a: implied by X > b (b>=a), X >= b (b>a), X = b (b>a)
+        case (">", ">") => ge(strictOk = true)
+        case (">", ">=") => ge(strictOk = false)
+        case (">", "=") => ge(strictOk = false)
+        // target X >= a: implied by X > b (b>=a), X >= b (b>=a), X = b (b>=a)
+        case (">=", ">") | (">=", ">=") | (">=", "=") => ge(strictOk = true)
+        case ("<", "<") => le(strictOk = true)
+        case ("<", "<=") => le(strictOk = false)
+        case ("<", "=") => le(strictOk = false)
+        case ("<=", "<") | ("<=", "<=") | ("<=", "=") => le(strictOk = true)
+        // target X = a: only X = a implies it
+        case ("=", "=") => cmpValues(qc.v, target.v).contains(0)
+        case _ => false
+      }
+    }
+
+  /** qWhere ⟹ vWhere: every view conjunct either appears verbatim among the
+    * query's conjuncts (canonical SQL text) or is a range comparison implied
+    * by the query's tighter bounds. Parse failure → false (conservative). */
+  private[graft] def whereImplies(qWhere: String, vWhere: String): Boolean =
+    try {
+      val parser = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      val qs = conjunctsOf(parser.parseExpression(qWhere))
+      val vs = conjunctsOf(parser.parseExpression(vWhere))
+      val qSql = qs.map(_.sql).toSet
+      vs.forall(vc => qSql.contains(vc.sql) ||
+        asCmp(vc).exists(impliesCmp(qs, _)))
+    } catch { case _: Exception => false }
+
+  /** WHERE compatibility for the rollup tier: textually identical; or the
+    * query ADDS a key-only predicate on top of an unfiltered view; or —
+    * range subsumption — the view is filtered and the query's key-only WHERE
+    * IMPLIES the view's (e.g. view `WHERE x > 5`, query `WHERE x > 7`): the
+    * state then contains every base row the query needs, and re-filtering
+    * the state rows with the query's own predicate is exact because σ_q
+    * commutes with γ over key columns and σ_q(base) = σ_q(σ_v(base)). */
   private def whereSubsumed(mv: MatViewDef, q: MatViewDef): Boolean =
     mv.where == q.where ||
-      (mv.where.isEmpty && q.where.exists(keyOnlyPredicate(mv, _)))
+      (mv.where.isEmpty && q.where.exists(keyOnlyPredicate(mv, _))) ||
+      ((mv.where, q.where) match {
+        case (Some(vw), Some(qw)) =>
+          keyOnlyPredicate(mv, qw) && whereImplies(qw, vw)
+        case _ => false
+      })
 
   /** The state-side residual filter [[whereSubsumed]] licenses (None when
     * the WHEREs are textually identical — nothing left to apply). */

@@ -360,7 +360,41 @@ object LifecycleQueries {
     ans.orderBy("nk")
   }
 
+  /** Range-subsumption rollup ([[graft.MatViews]] `whereImplies`): the view
+    * itself is FILTERED (`WHERE grp > 0`) and the query carries a strictly
+    * TIGHTER key-only range (`WHERE grp > 1`) — the query's predicate implies
+    * the view's, so the state contains every needed base row and re-filtering
+    * state with the query's own predicate is exact. Plan-asserted no base
+    * scan; DuckDB recomputes from the base. The negative direction (a LOOSER
+    * query range must fall through to the base) is spec-pinned in
+    * MatViewSpec, not here — it produces a base plan by design. */
+  val dmlMatViewRollupRange: Q = Q(
+    "dml_matview_rollup_range",
+    """CREATE OR REPLACE TEMP TABLE mvrr_base AS
+      |  SELECT s_suppkey AS sk, s_nationkey AS nk, s_suppkey % 4 AS grp FROM supplier;
+      |INSERT INTO mvrr_base VALUES (961, 15, 2), (962, 15, 3);
+      |SELECT nk, COUNT(*) AS cnt, CAST(SUM(sk) AS BIGINT) AS sum_k
+      |FROM mvrr_base WHERE grp > 1 AND grp <= 3 GROUP BY nk ORDER BY nk""".stripMargin) { (s, dir) =>
+    val cat = new Catalog(s)
+    cat.register("mvrr_w", Tables.df(s, dir, "supplier")
+      .selectExpr("s_suppkey AS sk", "s_nationkey AS nk", "s_suppkey % 4 AS grp"))
+    val p = new Pipeline(cat)
+    val rs = p.run(
+      """CREATE MATERIALIZED VIEW mvrr_mv AS
+        |  SELECT nk, grp, COUNT(*) AS n, SUM(sk) AS sum_sk
+        |  FROM mvrr_w WHERE grp > 0 GROUP BY nk, grp;
+        |INSERT INTO mvrr_w VALUES (961, 15, 2), (962, 15, 3)""".stripMargin)
+    rs.foreach(r => require(r.status == p.Ok, s"${r.sql}: ${r.status}"))
+    val ans = p.sql(
+      "SELECT nk, COUNT(*) AS cnt, SUM(sk) AS sum_k FROM mvrr_w WHERE grp > 1 AND grp <= 3 GROUP BY nk")
+    val plan = ans.queryExecution.executedPlan.toString
+    require(!plan.contains("FileScan"),
+      s"expected range-subsumed rollup rewrite, got base scan:\n$plan")
+    ans.orderBy("nk")
+  }
+
   val all: Seq[Q] = Seq(dmlInsert, dmlDelete, dmlUpdate, dmlSnapshot, viewPrepared,
     metaTables, dmlMerge, txnRollbackCommit, dmlAlterTable, dmlMatView,
-    dmlMatViewJoin, dmlMatViewRewrite, dmlMatViewRollup, dmlMatViewRollupWhere)
+    dmlMatViewJoin, dmlMatViewRewrite, dmlMatViewRollup, dmlMatViewRollupWhere,
+    dmlMatViewRollupRange)
 }

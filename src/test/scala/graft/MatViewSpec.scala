@@ -286,6 +286,49 @@ class MatViewSpec extends AnyFunSuite {
     assert(sorted(p.sql(q7)) == sorted(spark.sql(q7)))
   }
 
+  test("range subsumption: tighter query range answered from a filtered view; looser falls through") {
+    // whereImplies unit surface first — the interval logic in isolation
+    assert(MatViews.whereImplies("g3 > 1", "g3 > 0"))
+    assert(MatViews.whereImplies("g3 >= 1", "g3 > 0"))       // X ≥ 1 ⟹ X > 0
+    assert(MatViews.whereImplies("g3 = 2", "g3 > 0"))
+    assert(MatViews.whereImplies("g3 > 1 AND nk < 5", "g3 > 0"))
+    assert(MatViews.whereImplies("g3 > 1 AND g3 < 3", "g3 > 0 AND g3 <= 3"))
+    assert(MatViews.whereImplies("d >= '1996-03-01'", "d >= '1996-01-01'")) // ISO strings
+    assert(!MatViews.whereImplies("g3 >= 0", "g3 > 0"))      // looser bound
+    assert(!MatViews.whereImplies("g3 > 0", "g3 > 1"))       // wrong direction
+    assert(!MatViews.whereImplies("nk > 5", "g3 > 0"))       // different column
+    assert(!MatViews.whereImplies("g3 > 0 OR nk > 5", "g3 > 0")) // OR widens — not implied
+    assert(!MatViews.whereImplies("g3 > 'x'", "g3 > 0"))     // type-incomparable
+
+    val (cat, p) = freshPipeline()
+    cat.register("rs_base", Tables.df(spark, sf, "supplier")
+      .selectExpr("s_suppkey AS sk", "s_nationkey AS nk", "s_suppkey % 3 AS g3"))
+    p.run("CREATE MATERIALIZED VIEW rs_mv AS SELECT nk, g3, COUNT(*) AS n, " +
+      "SUM(sk) AS ssum FROM rs_base WHERE g3 > 0 GROUP BY nk, g3")
+    def planOf(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString
+    // strictly tighter key-only range → state-only answer
+    val q1 = "SELECT nk, COUNT(*) AS cnt, SUM(sk) AS s FROM rs_base WHERE g3 > 1 GROUP BY nk"
+    val df1 = p.sql(q1)
+    assert(!planOf(df1).contains("FileScan"),
+      s"tighter range must re-filter view state, not rescan the base:\n${planOf(df1)}")
+    assert(sorted(df1) == sorted(spark.sql(q1)))
+    // conjunction tighter on the same column, extra key conjunct → still state-only
+    val q2 = "SELECT nk, SUM(sk) AS s FROM rs_base WHERE g3 > 1 AND nk >= 0 GROUP BY nk"
+    val df2 = p.sql(q2)
+    assert(!planOf(df2).contains("FileScan"), planOf(df2))
+    assert(sorted(df2) == sorted(spark.sql(q2)))
+    // LOOSER range needs rows the state never had → must fall through to base
+    val q3 = "SELECT nk, COUNT(*) AS cnt FROM rs_base WHERE g3 >= 0 GROUP BY nk"
+    assert(planOf(p.sql(q3)).contains("FileScan") || planOf(p.sql(q3)).contains("ExistingRDD"),
+      "looser range must fall through to real execution")
+    assert(sorted(p.sql(q3)) == sorted(spark.sql(q3)))
+    // DML keeps the subsumed answer fresh
+    p.run("INSERT INTO rs_base VALUES (997, 88, 2), (998, 88, 0)")
+    val df1b = p.sql(q1)
+    assert(!planOf(df1b).contains("FileScan"), "fresh after DML → still rewritten")
+    assert(sorted(df1b) == sorted(spark.sql(q1)))
+  }
+
   test("streaming ingest maintains a materialized view across micro-batches") {
     import graft.streaming.DocStreams
     val cat = new Catalog(spark)
