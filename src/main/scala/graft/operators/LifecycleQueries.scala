@@ -393,8 +393,44 @@ object LifecycleQueries {
     ans.orderBy("nk")
   }
 
+  /** Dependent-GROUP-BY reduction ([[graft.plans.DependentGroupByReduction]],
+    * reference: optimizer/strategy/dependent_group_by_reduction_rule.cpp),
+    * oracle-gated on the reference's motivating q10 shape: GROUP BY pk +
+    * describing columns. The declared PK licenses grouping by s_suppkey alone
+    * (plan-asserted: the aggregate's grouping list shrinks to 1), the
+    * dependent columns re-attach via FIRST — DuckDB recomputes with the full
+    * GROUP BY list and the results must hash-match. */
+  val aggDependentGroupBy: Q = Q(
+    "agg_dependent_groupby",
+    """CREATE OR REPLACE TEMP TABLE dgbq AS
+      |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier;
+      |SELECT s_suppkey, s_name, s_nationkey, COUNT(*) AS cnt,
+      |  CAST(FLOOR(SUM(CAST(s_acctbal AS DECIMAL(18,2)) * 100)) AS BIGINT) AS bal_cents
+      |FROM dgbq GROUP BY s_suppkey, s_name, s_nationkey
+      |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val cat = new Catalog(s)
+    val p = new Pipeline(cat)
+    val rs = p.run(
+      """CREATE TABLE dgbq (s_suppkey INT PRIMARY KEY, s_name VARCHAR(30),
+        |  s_nationkey INT, s_acctbal DOUBLE)""".stripMargin)
+    rs.foreach(r => require(r.status == p.Ok, s"${r.sql}: ${r.status}"))
+    cat.register("dgbq", Tables.df(s, dir, "supplier")
+      .selectExpr("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+    val ans = p.sql(
+      """SELECT s_suppkey, s_name, s_nationkey, COUNT(*) AS cnt,
+        |  CAST(FLOOR(SUM(CAST(s_acctbal AS DECIMAL(18,2)) * 100)) AS BIGINT) AS bal_cents
+        |FROM dgbq GROUP BY s_suppkey, s_name, s_nationkey""".stripMargin)
+    val shrunk = ans.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions.size
+    }
+    require(shrunk == Seq(1),
+      s"expected the PK to shrink the grouping to [1], got $shrunk")
+    ans.orderBy("s_suppkey")
+  }
+
   val all: Seq[Q] = Seq(dmlInsert, dmlDelete, dmlUpdate, dmlSnapshot, viewPrepared,
     metaTables, dmlMerge, txnRollbackCommit, dmlAlterTable, dmlMatView,
     dmlMatViewJoin, dmlMatViewRewrite, dmlMatViewRollup, dmlMatViewRollupWhere,
-    dmlMatViewRollupRange)
+    dmlMatViewRollupRange, aggDependentGroupBy)
 }

@@ -133,3 +133,103 @@ class JoinToSemiJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 }
+
+/** Shrinks GROUP BY lists via declared PRIMARY KEYs (the reference's
+  * DependentGroupByReductionRule,
+  * optimizer/strategy/dependent_group_by_reduction_rule.cpp): when the
+  * grouping columns include a full PK of some table instance, every OTHER
+  * grouping column from that same instance is functionally dependent — it is
+  * removed from the grouping and re-attached as FIRST over the (constant
+  * within each group) values, keeping the output schema and exprIds intact.
+  * At scale this narrows the shuffle rows of every wide "group by key +
+  * describing columns" aggregation (the reference's motivating TPC-H q10
+  * shape: GROUP BY c_custkey, c_name, c_acctbal, ...).
+  *
+  * PRIMARY KEY only — a UNIQUE constraint admits multiple NULL rows, whose
+  * distinct dependent values a key-only grouping would incorrectly merge.
+  * Outer-join null-extension is safe: an extended row nulls the whole table
+  * side, so dependents stay constant within each (possibly NULL) key group.
+  * Conservative bails: any non-column grouping expression; any dependent
+  * column referenced inside a non-aggregate expression of the select list;
+  * renames (a Project alias drops the source mapping). */
+class DependentGroupByReduction(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{ExprId, NamedExpression}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case a: Aggregate if a.groupingExpressions.size > 1 => reduce(a)
+  }
+
+  /** exprId → (table-instance id, table name) for columns that trace to a
+    * catalog table through row-identity-preserving shapes. Distinct instance
+    * ids keep a self-join's two sides apart: a PK from instance 1 never
+    * licenses dropping columns of instance 2. */
+  private def tableSources(plan: LogicalPlan): Map[ExprId, (Int, String)] = {
+    var nextId = 0
+    def walk(p: LogicalPlan): Map[ExprId, (Int, String)] = p match {
+      case SubqueryAlias(ident, child) =>
+        if (ConstraintRegistry.of(ident.name).nonEmpty) {
+          nextId += 1
+          val me = nextId
+          p.output.map(o => o.exprId -> (me, ident.name.toLowerCase)).toMap
+        } else walk(child) // transparent alias (no constraints at this name)
+      case Project(ps, child) =>
+        val below = walk(child)
+        ps.collect {
+          case ar: AttributeReference if below.contains(ar.exprId) =>
+            ar.exprId -> below(ar.exprId)
+        }.toMap
+      case f: Filter => walk(f.child)
+      case j: Join => walk(j.left) ++ walk(j.right)
+      case _ => Map.empty
+    }
+    walk(plan)
+  }
+
+  /** References of `e` OUTSIDE aggregate functions (an aggregate's argument
+    * may freely read a dropped column — it still sees the group's rows). */
+  private def refsOutsideAgg(e: Expression): Set[ExprId] = e match {
+    case _: AggregateExpression => Set.empty
+    case ar: AttributeReference => Set(ar.exprId)
+    case other => other.children.flatMap(refsOutsideAgg).toSet
+  }
+
+  private def reduce(a: Aggregate): LogicalPlan = {
+    val groupAttrs = a.groupingExpressions.collect { case ar: AttributeReference => ar }
+    if (groupAttrs.size != a.groupingExpressions.size) return a // expression keys: bail
+    val sources = tableSources(a.child)
+    val depIds: Set[ExprId] = groupAttrs
+      .filter(g => sources.contains(g.exprId))
+      .groupBy(g => sources(g.exprId))
+      .flatMap { case ((_, table), attrs) =>
+        val names = attrs.map(_.name.toLowerCase).toSet
+        ConstraintRegistry.of(table)
+          .filter(_.kind == "PRIMARY KEY")
+          .map(_.cols.map(_.toLowerCase).toSet)
+          .find(pk => pk.nonEmpty && pk.subsetOf(names))
+          .map(pk => attrs.filterNot(x => pk.contains(x.name.toLowerCase)).map(_.exprId))
+          .getOrElse(Nil)
+      }.toSet
+    if (depIds.isEmpty) return a
+    // a dependent column read inside a non-aggregate select expression would
+    // dangle once dropped from the grouping — bail unless it is a bare
+    // pass-through entry (which becomes FIRST below)
+    val safe = a.aggregateExpressions.forall {
+      case ar: AttributeReference => true
+      case e => refsOutsideAgg(e).intersect(depIds).isEmpty
+    }
+    val newGroupings = a.groupingExpressions.filter {
+      case ar: AttributeReference => !depIds.contains(ar.exprId)
+      case _ => true
+    }
+    if (!safe || newGroupings.isEmpty) return a
+    val newAggs: Seq[NamedExpression] = a.aggregateExpressions.map {
+      case ar: AttributeReference if depIds.contains(ar.exprId) =>
+        // same name AND same exprId: parents keep resolving unchanged
+        Alias(First(ar, ignoreNulls = false).toAggregateExpression(), ar.name)(
+          exprId = ar.exprId)
+      case other => other
+    }
+    a.copy(groupingExpressions = newGroupings, aggregateExpressions = newAggs)
+  }
+}

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rules run.
     ext.injectPostHocResolutionRule(session => new RemoveRedundantDistinct(session))
     ext.injectPostHocResolutionRule(session => new JoinToSemiJoin(session))
+    ext.injectPostHocResolutionRule(session => new DependentGroupByReduction(session))
     ext.injectFunction((
       FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_vec_dot"),

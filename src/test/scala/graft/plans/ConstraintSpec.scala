@@ -72,6 +72,42 @@ class ConstraintSpec extends AnyFunSuite {
     p.run("DROP TABLE keyed3")
   }
 
+  test("dependent GROUP BY reduction: PK shrinks the grouping, dependents return via FIRST") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val p = freshPipe()
+    p.run("CREATE TABLE dgb (k INT PRIMARY KEY, name VARCHAR(10), v INT); " +
+      "INSERT INTO dgb VALUES (1, 'a', 10); INSERT INTO dgb VALUES (2, 'b', 20); " +
+      "INSERT INTO dgb VALUES (3, 'a', 30)")
+    def groupingSizes(sql: String): Seq[Int] =
+      p.sql(sql).queryExecution.optimizedPlan
+        .collect { case a: Aggregate => a.groupingExpressions.size }
+    val q = "SELECT k, name, SUM(v) AS s FROM dgb GROUP BY k, name"
+    assert(groupingSizes(q) == Seq(1), "PK k makes name dependent → group by k alone")
+    assert(p.sql(q).columns.toSeq == Seq("k", "name", "s"), "output schema unchanged")
+    assert(p.sql(q).orderBy("k").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1, "a", 10L), Seq(2, "b", 20L), Seq(3, "a", 30L)))
+    // blocked: no constraint on the grouping columns
+    p.run("CREATE TABLE dgb_nopk (k INT, name VARCHAR(10), v INT); " +
+      "INSERT INTO dgb_nopk VALUES (1, 'a', 10)")
+    assert(groupingSizes("SELECT k, name, SUM(v) AS s FROM dgb_nopk GROUP BY k, name") == Seq(2))
+    // blocked: UNIQUE is not PK (NULL rows would merge)
+    p.run("CREATE TABLE dgb_u (k INT UNIQUE, name VARCHAR(10), v INT); " +
+      "INSERT INTO dgb_u VALUES (1, 'a', 10)")
+    assert(groupingSizes("SELECT k, name, SUM(v) AS s FROM dgb_u GROUP BY k, name") == Seq(2))
+    // blocked: a dependent column read inside a non-aggregate select expression
+    assert(groupingSizes("SELECT k, upper(name) AS un, SUM(v) AS s FROM dgb GROUP BY k, name")
+      == Seq(2))
+    // join shape: PK side shrinks, other side's column stays a grouping key
+    p.run("CREATE TABLE dgb_f (fk INT, amt INT); " +
+      "INSERT INTO dgb_f VALUES (1, 5); INSERT INTO dgb_f VALUES (1, 6); " +
+      "INSERT INTO dgb_f VALUES (2, 7)")
+    val jq = "SELECT k, name, SUM(amt) AS s FROM dgb JOIN dgb_f ON k = fk GROUP BY k, name"
+    assert(groupingSizes(jq) == Seq(1))
+    assert(p.sql(jq).orderBy("k").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1, "a", 11L), Seq(2, "b", 7L)))
+    p.run("DROP TABLE dgb; DROP TABLE dgb_nopk; DROP TABLE dgb_u; DROP TABLE dgb_f")
+  }
+
   test("existence-probe inner join on a declared unique key becomes a semi join") {
     val p = freshPipe()
     p.run("CREATE TABLE dim_u (dk INT PRIMARY KEY, attr VARCHAR(10)); " +
