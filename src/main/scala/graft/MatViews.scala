@@ -366,11 +366,24 @@ object MatViews {
     }
   }
 
+  private val IsoDateLit = java.util.regex.Pattern.compile("^\\d{4}-\\d{2}-\\d{2}$")
+
   /** Comparable ordering across the two normalized literal kinds; None when
-    * the kinds differ (number vs string — conservatively incomparable). */
+    * the kinds differ (number vs string — conservatively incomparable).
+    * Two STRING literals are comparable only when both are strict ISO dates
+    * (yyyy-MM-dd), where lexicographic = chronological regardless of the
+    * column's type. Any other string pair is conservatively incomparable:
+    * the column's real comparison semantics are unknown at this layer, so a
+    * quoted numeric ('9' vs '10') or a non-padded date ('1996-1-3') would
+    * compare lexicographically in a way that can disagree with the column —
+    * and a wrong Some here makes the range-subsumption tier answer from view
+    * state that silently misses base rows. Incomparable just means the
+    * rewrite falls through to the base (correct, only slower). */
   private def cmpValues(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String)
+        if IsoDateLit.matcher(x).matches() && IsoDateLit.matcher(y).matches() =>
+      Some(x.compareTo(y))
     case _ => None
   }
 

@@ -33,8 +33,12 @@ import org.apache.spark.sql.functions._
   *    half their shingles is covered separately by the naive-replication
   *    sf10 bench.);
   *  - embeddings follow the same rule: 10% exact triples, the rest jittered
-  *    per-component (±0.05, deterministic in (vec_id, copy, i)) so the label
-  *    cluster structure survives while no two copies are bitwise equal.
+  *    per-component with a per-copy SPREAD amplitude (deterministic in
+  *    (vec_id, copy); see [[scaleEmbeddings]]) so each base vector gains a
+  *    few genuine near-duplicates, a mid-range shell, and a far tail — the
+  *    distance structure a real corpus shows — instead of `factor` copies at
+  *    one exactly-tied distance (which makes exact-top-k ground truth
+  *    unrecoverable and recall measurement meaningless).
   *
   * Deterministic end to end (no Random), distributed end to end (broadcast
   * copy fan-out, map-only transforms, multi-file parquet out). Only the two
@@ -74,9 +78,24 @@ object ScaleUpCorpus {
     val keepVerbatim =
       col("copy_k") === 0 ||
         (col("vec_id") % 10 === 0 && col("copy_k") < DupClusterSize)
+    // SPREAD jitter: each copy gets its own deterministic amplitude
+    // amp(vec_id, copy_k) ∈ [0.02, 0.70] — d²(base, copy) ≈ amp²·D/2 then
+    // spans [0.013, ~15.7], so the exact top-k among a base's copies is
+    // WELL-SEPARATED. An earlier fixed-amplitude draft (0.05 for every copy)
+    // made all of a base's ~factor copies an exact L2 tie at d²≈0.079 —
+    // id-tiebroken "exact top-k" truth was unrecoverable by construction and
+    // recall measured tiebreak agreement, not retrieval (the r10 0.067
+    // artifact). sqrt(u) pushes amplitude mass UPWARD so the few nearest
+    // copies are sparse: at factor=1000 the 1st/2nd/3rd-nearest amplitudes
+    // land around 0.04/0.05/0.056 with ≳10% relative d² gaps — resolvable by
+    // the quantized tiers, unlike uniform order statistics whose near-minimum
+    // gaps shrink as range/factor.
     val jittered = expr(
-      "transform(embedding, (x, i) -> cast(x + 0.05d * sin(vec_id * 1.7d + copy_k * 0.61d + i) as float))")
+      "transform(embedding, (x, i) -> cast(x + j_amp * sin(vec_id * 1.7d + copy_k * 0.61d + i) as float))")
     emb.crossJoin(copies)
+      .withColumn("j_u",
+        expr("(abs(sin(vec_id * 12.9898d + copy_k * 78.233d)) * 43758.5453d) % 1.0d"))
+      .withColumn("j_amp", expr("0.02d + 0.68d * sqrt(j_u)"))
       .withColumn("embedding", when(keepVerbatim, col("embedding")).otherwise(jittered))
       .select(
         (col("vec_id") + col("copy_k") * stride).cast("long").as("vec_id"),

@@ -79,27 +79,70 @@ object AnnIndex {
     sq8Encode(quantized(s, sfDir))
       .write.mode("overwrite").parquet(s"$indexDir/sq8_recon")
 
+  /** Fingerprint of the corpus the index was trained on: sorted
+    * (name, size, mtime) of every file under `embeddings.parquet`, hashed.
+    * Regenerating the corpus in place (the bench workflow rebuilds scaled
+    * stores under the same /tmp paths) changes mtimes/sizes, so a stale
+    * index can never silently answer probes for a different corpus. */
+  private def corpusFingerprint(sfDir: String): String = {
+    val dir = java.nio.file.Paths.get(s"$sfDir/embeddings.parquet")
+    if (!java.nio.file.Files.isDirectory(dir)) {
+      if (java.nio.file.Files.exists(dir))
+        s"file:${java.nio.file.Files.size(dir)}:${java.nio.file.Files.getLastModifiedTime(dir).toMillis}"
+      else "missing"
+    } else {
+      val listing = java.nio.file.Files.list(dir)
+      val items =
+        try {
+          val b = Seq.newBuilder[String]
+          listing.forEach(p => b +=
+            s"${p.getFileName}:${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+          b.result().sorted.mkString("|")
+        } finally listing.close()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(items.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+  }
+
+  /** The full build contract: every training constant plus the corpus
+    * fingerprint. ensure() rebuilds whenever the stored manifest differs from
+    * this string — a parameter change without an INDEX_VERSION bump or an
+    * in-place corpus regeneration both invalidate the index. */
+  private def manifestJson(sfDir: String): String =
+    s"""{"format_version":$INDEX_VERSION,"corpus":"$sfDir","dim":$DIM,
+       |"corpus_fp":"${corpusFingerprint(sfDir)}",
+       |"ivf_nlist":$IVF_NLIST,"km_iters":$KM_ITERS,
+       |"pq_m":$PQ_M,"pq_k":$PQ_K,"ivfpq_nprobe":$IVFPQ_NPROBE,
+       |"sq_levels":$SQ_LEVELS,"sq_clip_pm":$SQ_CLIP_PM}""".stripMargin.replace("\n", "")
+
   def buildAll(s: SparkSession, sfDir: String, indexDir: String): Unit = {
+    // fingerprint the corpus BEFORE training reads it, so a concurrent
+    // regeneration mid-build leaves a mismatched manifest (→ rebuild), never
+    // a manifest that blesses a half-old half-new index
+    val manifest = manifestJson(sfDir)
     buildIvf(s, sfDir, indexDir)
     buildIvfPq(s, sfDir, indexDir)
     buildSq8(s, sfDir, indexDir)
-    val manifest =
-      s"""{"format_version":$INDEX_VERSION,"corpus":"$sfDir","dim":$DIM,
-         |"ivf_nlist":$IVF_NLIST,"km_iters":$KM_ITERS,
-         |"pq_m":$PQ_M,"pq_k":$PQ_K,"ivfpq_nprobe":$IVFPQ_NPROBE,
-         |"sq_levels":$SQ_LEVELS,"sq_clip_pm":$SQ_CLIP_PM}""".stripMargin.replace("\n", "")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$indexDir/manifest.json"),
       manifest.getBytes("UTF-8"))
   }
 
-  /** Build-if-missing: the manifest is written LAST, so its presence means
-    * every component table landed. Probe-path queries call this so the first
-    * run of a session trains and every later run is probe-only. */
-  def ensure(s: SparkSession, sfDir: String, indexDir: String): Unit =
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/manifest.json")))
-      buildAll(s, sfDir, indexDir)
+  /** Build-if-missing-or-stale: the manifest is written LAST, so its presence
+    * means every component table landed; its content pins the corpus
+    * fingerprint and every training constant, so a regenerated corpus or
+    * changed parameter forces a retrain instead of probing a stale index.
+    * Probe-path queries call this so the first run of a session trains and
+    * every later run is probe-only. */
+  def ensure(s: SparkSession, sfDir: String, indexDir: String): Unit = {
+    val path = java.nio.file.Paths.get(s"$indexDir/manifest.json")
+    val current =
+      if (java.nio.file.Files.exists(path))
+        new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      else ""
+    if (current != manifestJson(sfDir)) buildAll(s, sfDir, indexDir)
+  }
 
   // ------------------------------------------------------------------ probe
 

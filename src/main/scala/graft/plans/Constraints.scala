@@ -166,12 +166,29 @@ class DependentGroupByReduction(spark: SparkSession) extends Rule[LogicalPlan] {
     * licenses dropping columns of instance 2. */
   private def tableSources(plan: LogicalPlan): Map[ExprId, (Int, String)] = {
     var nextId = 0
+    // An alias that merely SHADOWS a constrained name must not inherit its
+    // constraints: `FROM other_table AS dgbq` or a derived subquery aliased
+    // to `dgbq` resolves to SubqueryAlias(dgbq, ...) over the OTHER source's
+    // plan, and attributing dgbq's PRIMARY KEY there would unsoundly shrink
+    // the grouping list (this rule changes returned rows, unlike the
+    // keyCovered lookups). This rule runs post-hoc in the analyzer, where a
+    // genuine catalog reference still carries its View node — so constraints
+    // attach ONLY when the alias directly wraps the resolved View OF THE SAME
+    // NAME. A shadowing alias wraps the other table's own SubqueryAlias (or a
+    // derived Project/Aggregate), never this view, and stays transparent so
+    // the real tables beneath still resolve their own constraints.
+    def isOwnView(child: LogicalPlan, name: String): Boolean = child match {
+      case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+        v.desc.identifier.table.toLowerCase == name
+      case _ => false
+    }
     def walk(p: LogicalPlan): Map[ExprId, (Int, String)] = p match {
       case SubqueryAlias(ident, child) =>
-        if (ConstraintRegistry.of(ident.name).nonEmpty) {
+        val name = ident.name.toLowerCase
+        if (ConstraintRegistry.of(ident.name).nonEmpty && isOwnView(child, name)) {
           nextId += 1
           val me = nextId
-          p.output.map(o => o.exprId -> (me, ident.name.toLowerCase)).toMap
+          p.output.map(o => o.exprId -> (me, name)).toMap
         } else walk(child) // transparent alias (no constraints at this name)
       case Project(ps, child) =>
         val below = walk(child)
@@ -180,6 +197,7 @@ class DependentGroupByReduction(spark: SparkSession) extends Rule[LogicalPlan] {
             ar.exprId -> below(ar.exprId)
         }.toMap
       case f: Filter => walk(f.child)
+      case v: org.apache.spark.sql.catalyst.plans.logical.View => walk(v.child)
       case j: Join => walk(j.left) ++ walk(j.right)
       case _ => Map.empty
     }

@@ -299,6 +299,14 @@ class MatViewSpec extends AnyFunSuite {
     assert(!MatViews.whereImplies("nk > 5", "g3 > 0"))       // different column
     assert(!MatViews.whereImplies("g3 > 0 OR nk > 5", "g3 > 0")) // OR widens — not implied
     assert(!MatViews.whereImplies("g3 > 'x'", "g3 > 0"))     // type-incomparable
+    // quoted literals whose lexicographic order disagrees with the column's
+    // possible numeric/date semantics are INCOMPARABLE, not lexicographic:
+    // '9' > '10' lexicographically but 9 < 10 numerically — a Some here would
+    // let the rewrite silently drop base rows
+    assert(!MatViews.whereImplies("nk >= '9'", "nk >= '10'"))
+    assert(!MatViews.whereImplies("d >= '1996-1-3'", "d >= '1996-02-01'")) // non-padded date
+    assert(!MatViews.whereImplies("d >= '1996-03-01x'", "d >= '1996-01-01'")) // not strict ISO
+    assert(!MatViews.whereImplies("nk >= 'b'", "nk >= 'a'")) // plain strings: conservative
 
     val (cat, p) = freshPipeline()
     cat.register("rs_base", Tables.df(spark, sf, "supplier")

@@ -97,6 +97,20 @@ class ConstraintSpec extends AnyFunSuite {
     // blocked: a dependent column read inside a non-aggregate select expression
     assert(groupingSizes("SELECT k, upper(name) AS un, SUM(v) AS s FROM dgb GROUP BY k, name")
       == Seq(2))
+    // blocked: a DIFFERENT table aliased to the constrained name must not
+    // inherit dgb's PRIMARY KEY — dgb_nopk has duplicate k values, so
+    // shrinking here would merge distinct (k, name) groups
+    p.run("INSERT INTO dgb_nopk VALUES (1, 'b', 99)")
+    assert(groupingSizes("SELECT k, name, SUM(v) AS s FROM dgb_nopk AS dgb GROUP BY k, name")
+      == Seq(2), "alias shadowing a constrained name stays blocked")
+    // blocked: a derived subquery aliased to the constrained name (columns
+    // swapped, so 'k' is NOT the PK values)
+    assert(groupingSizes(
+      "SELECT k, name, SUM(v) AS s FROM (SELECT name AS k, k AS name, v FROM dgb) AS dgb GROUP BY k, name")
+      == Seq(2), "derived subquery under the constrained name stays blocked")
+    // still fires: the constrained table referenced UNDER a different alias
+    assert(groupingSizes("SELECT k, name, SUM(v) AS s FROM dgb AS z GROUP BY k, name")
+      == Seq(1), "renamed alias over the genuine view still attributes the PK")
     // join shape: PK side shrinks, other side's column stays a grouping key
     p.run("CREATE TABLE dgb_f (fk INT, amt INT); " +
       "INSERT INTO dgb_f VALUES (1, 5); INSERT INTO dgb_f VALUES (1, 6); " +
