@@ -134,6 +134,9 @@ object AnnRecall {
       if (mode == "probe") Seq(
         ("ann_ivf_topk", "cos", () => SparkEntry.queries("ann_ivf_topk")(spark, dir)),
         ("ann_ivf_kmeans_topk", "cos", () => functions.AnnIndex.probeIvf(spark, dir, indexDir)),
+        // index-only perf tier (nlist≈√N, no inline twin): recall measured
+        // here against exact cosine is its whole quality story
+        ("ann_ivf_scaled_topk", "cos", () => functions.AnnIndex.probeIvfScaled(spark, dir, indexDir)),
         ("ann_ivfpq_topk", "l2", () => functions.AnnIndex.probeIvfPq(spark, dir, indexDir)),
         ("emb_sq8_topk", "l2", () => functions.AnnIndex.probeSq8(spark, dir, indexDir)))
       else Seq(

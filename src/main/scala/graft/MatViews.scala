@@ -324,6 +324,14 @@ object MatViews {
 
   private def conjunctsOf(e: Expression): Seq[Expression] = e match {
     case CAnd(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    // the parser keeps BETWEEN as an unresolved `between(col, lo, hi)` call
+    // (resolution would replace it with the two comparisons); lower it here
+    // the same way. NOT BETWEEN arrives wrapped in NOT and stays a single
+    // opaque conjunct — safe fall-through.
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.map(_.toLowerCase) == Seq("between") && f.arguments.size == 3 =>
+      Seq(GreaterThanOrEqual(f.arguments(0), f.arguments(1)),
+        LessThanOrEqual(f.arguments(0), f.arguments(2)))
     case other => Seq(other)
   }
 
@@ -387,10 +395,40 @@ object MatViews {
     case _ => None
   }
 
+  /** `col IN (literals)` — the list-shaped predicate both sides of the
+    * implication test can carry (the reference folds BETWEEN/IN families the
+    * same way, optimizer/strategy/between_composition_rule.cpp). Only
+    * all-literal lists with representable values qualify. */
+  private def inValues(e: Expression): Option[(String, Seq[Any])] = e match {
+    case org.apache.spark.sql.catalyst.expressions.In(a: UnresolvedAttribute, vals)
+        if vals.nonEmpty && vals.forall(_.isInstanceOf[Literal]) =>
+      val vs = vals.map(v => litValue(v.asInstanceOf[Literal]))
+      if (vs.forall(_.isDefined)) Some((a.name.toLowerCase, vs.map(_.get))) else None
+    case _ => None
+  }
+
+  /** value `v` satisfies the comparison `target` (None-comparable → false) */
+  private def satisfies(v: Any, target: Cmp): Boolean =
+    cmpValues(v, target.v).exists(c => target.op match {
+      case ">" => c > 0
+      case ">=" => c >= 0
+      case "<" => c < 0
+      case "<=" => c <= 0
+      case "=" => c == 0
+      case _ => false
+    })
+
   /** Does the conjunction `qs` imply the single comparison `target`?
     * Interval logic per column: any q-conjunct on the same column whose
-    * bound is at-least-as-tight. Conservative: unhandled shapes → false. */
+    * bound is at-least-as-tight; or an IN-list every member of which
+    * satisfies the target (`x IN (7, 8)` implies `x > 5`). BETWEEN needs no
+    * case of its own — the parser lowers `x BETWEEN a AND b` to
+    * `x >= a AND x <= b`, which [[conjunctsOf]] splits into two range
+    * conjuncts. Conservative: unhandled shapes → false. */
   private def impliesCmp(qs: Seq[Expression], target: Cmp): Boolean =
+    qs.flatMap(inValues).exists { case (col, vs) =>
+      col == target.column && vs.forall(satisfies(_, target))
+    } ||
     qs.flatMap(asCmp).filter(_.column == target.column).exists { qc =>
       def ge(strictOk: Boolean) = cmpValues(qc.v, target.v).exists(c =>
         c > 0 || (c == 0 && strictOk))
@@ -413,9 +451,19 @@ object MatViews {
       }
     }
 
+  /** Does the conjunction `qs` imply membership in the view's IN-list?
+    * A query equality pinning the column to a member, or a query IN-list
+    * that is a subset of the view's, suffices. */
+  private def impliesIn(qs: Seq[Expression], column: String, targetVals: Seq[Any]): Boolean = {
+    def member(v: Any): Boolean = targetVals.exists(tv => cmpValues(v, tv).contains(0))
+    qs.flatMap(asCmp).exists(qc => qc.column == column && qc.op == "=" && member(qc.v)) ||
+      qs.flatMap(inValues).exists { case (col, ws) => col == column && ws.forall(member) }
+  }
+
   /** qWhere ⟹ vWhere: every view conjunct either appears verbatim among the
-    * query's conjuncts (canonical SQL text) or is a range comparison implied
-    * by the query's tighter bounds. Parse failure → false (conservative). */
+    * query's conjuncts (canonical SQL text), or is a range comparison implied
+    * by the query's tighter bounds/IN-list, or is an IN-list the query pins
+    * inside. Parse failure → false (conservative). */
   private[graft] def whereImplies(qWhere: String, vWhere: String): Boolean =
     try {
       val parser = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
@@ -423,7 +471,8 @@ object MatViews {
       val vs = conjunctsOf(parser.parseExpression(vWhere))
       val qSql = qs.map(_.sql).toSet
       vs.forall(vc => qSql.contains(vc.sql) ||
-        asCmp(vc).exists(impliesCmp(qs, _)))
+        asCmp(vc).exists(impliesCmp(qs, _)) ||
+        inValues(vc).exists { case (col, tvs) => impliesIn(qs, col, tvs) })
     } catch { case _: Exception => false }
 
   /** WHERE compatibility for the rollup tier: textually identical; or the

@@ -79,6 +79,76 @@ object AnnIndex {
     sq8Encode(quantized(s, sfDir))
       .write.mode("overwrite").parquet(s"$indexDir/sq8_recon")
 
+  // ------------------------------------------------- scaled IVF (perf tier)
+
+  /** Probed cells per query for the scaled tier (FAISS's nprobe). */
+  private[functions] val SCALED_NPROBE = 2
+
+  /** nlist ≈ √N (FAISS's rule of thumb): cells stay ~√N rows, so a probe
+    * touches O(nprobe·√N) vectors instead of N. The oracle-gated inline
+    * tiers keep their fixed test-scale NLIST=8 — at 2M rows that leaves
+    * ~250k-row cells and a probe that cannot beat a linear scan, which is a
+    * test-scale artifact, not a design: this tier is the layout a 100 TB
+    * store actually needs, and its retrieval quality is measured by
+    * [[graft.AnnRecall]] (recall vs exact ground truth) rather than
+    * inherited from a row-identical twin. */
+  private def scaledNlist(n: Long): Int =
+    math.max(8, math.min(2048, math.sqrt(n.toDouble).toInt))
+
+  /** Scaled IVF build: Lloyd trains on a deterministic ~64·nlist-row sample
+    * (training cost stays O(sample·nlist) — the standard FAISS split: train
+    * on a sample, encode the full corpus once), then ONE full assignment
+    * pass hive-partitions the corpus by cell. Same [[SimilarityQueries
+    * .kmeansAssign]]/[[SimilarityQueries.kmeansUpdate]] kernels as the gated
+    * inline tier — only the seeding and nlist differ. */
+  def buildIvfScaled(s: SparkSession, sfDir: String, indexDir: String): Unit = {
+    val quant = quantized(s, sfDir)
+    val n = quant.count()
+    val nlist = scaledNlist(n)
+    val every = math.max(1L, n / (nlist.toLong * 64))
+    val sample = quant.filter(col("vec_id") % every === 0)
+    var cents = quant.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), col("qe").as("cemb"))
+    (1 to KM_ITERS).foreach(_ => cents = kmeansUpdate(kmeansAssign(sample, cents)))
+    cents.write.mode("overwrite").parquet(s"$indexDir/ivf_scaled_centroids")
+    val trained = s.read.parquet(s"$indexDir/ivf_scaled_centroids")
+    kmeansAssign(quant, trained)
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$indexDir/ivf_scaled_cells")
+  }
+
+  /** Probe-only scaled IVF top-k: rank cells by query-centroid cosine, read
+    * ONLY the top-`nprobe` cells' files (static partition pruning — probe
+    * I/O is nprobe/√N of the store), exact cosine inside. Each corpus vector
+    * lives in exactly one cell, so the multi-cell probe never duplicates a
+    * candidate pair. */
+  def probeIvfScaled(s: SparkSession, sfDir: String, indexDir: String,
+      nprobe: Int = SCALED_NPROBE): DataFrame = {
+    val cents = s.read.parquet(s"$indexDir/ivf_scaled_centroids")
+    val q = quantized(s, sfDir).filter(col("vec_id") < NQUERY)
+    val wCell = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    val qCells = q.join(broadcast(cents))
+      .select(col("vec_id"), col("qe"), col("cent_id"),
+        cosL(col("qe"), col("cemb")).as("csim"))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= nprobe)
+    // bounded collect: ≤ NQUERY × nprobe cell ids → file-listing pruning
+    val probed = qCells.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cells = readCells(s, s"$indexDir/ivf_scaled_cells", "cent_id")
+      .filter(col("cent_id").isin(probed: _*))
+    val qSide = qCells.select(col("vec_id").as("q_id"), col("qe").as("qq"),
+      col("cent_id").as("qc"))
+    val n = cells.select(col("vec_id").as("n_id"), col("qe").as("nq"),
+      col("cent_id").as("nc"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    broadcast(qSide).join(n, col("qc") === col("nc") && col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), cosL(col("qq"), col("nq")).as("sim"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= TOPK)
+      .orderBy("q_id", "rk")
+  }
+
   /** Fingerprint of the corpus the index was trained on: sorted
     * (name, size, mtime) of every file under `embeddings.parquet`, hashed.
     * Regenerating the corpus in place (the bench workflow rebuilds scaled
@@ -113,7 +183,8 @@ object AnnIndex {
        |"corpus_fp":"${corpusFingerprint(sfDir)}",
        |"ivf_nlist":$IVF_NLIST,"km_iters":$KM_ITERS,
        |"pq_m":$PQ_M,"pq_k":$PQ_K,"ivfpq_nprobe":$IVFPQ_NPROBE,
-       |"sq_levels":$SQ_LEVELS,"sq_clip_pm":$SQ_CLIP_PM}""".stripMargin.replace("\n", "")
+       |"sq_levels":$SQ_LEVELS,"sq_clip_pm":$SQ_CLIP_PM,
+       |"scaled_nprobe":$SCALED_NPROBE,"scaled_tier":1}""".stripMargin.replace("\n", "")
 
   def buildAll(s: SparkSession, sfDir: String, indexDir: String): Unit = {
     // fingerprint the corpus BEFORE training reads it, so a concurrent
@@ -121,6 +192,7 @@ object AnnIndex {
     // a manifest that blesses a half-old half-new index
     val manifest = manifestJson(sfDir)
     buildIvf(s, sfDir, indexDir)
+    buildIvfScaled(s, sfDir, indexDir)
     buildIvfPq(s, sfDir, indexDir)
     buildSq8(s, sfDir, indexDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir))

@@ -393,6 +393,37 @@ object LifecycleQueries {
     ans.orderBy("nk")
   }
 
+  /** IN-list tier of the range-subsumption rewrite: the query's key-only
+    * `grp IN (2, 3)` implies the view's `grp > 0` (every list member
+    * satisfies the range — the BETWEEN/IN families of the reference's
+    * between_composition_rule.cpp applied to view subsumption), so the
+    * rollup answers from view state and re-filters it with the IN-list.
+    * Plan-asserted: no base-table FileScan survives. */
+  val dmlMatViewRollupIn: Q = Q(
+    "dml_matview_rollup_in",
+    """CREATE OR REPLACE TEMP TABLE mvri_base AS
+      |  SELECT s_suppkey AS sk, s_nationkey AS nk, s_suppkey % 5 AS grp FROM supplier;
+      |INSERT INTO mvri_base VALUES (971, 15, 2), (972, 15, 4);
+      |SELECT nk, COUNT(*) AS cnt, CAST(SUM(sk) AS BIGINT) AS sum_k
+      |FROM mvri_base WHERE grp IN (2, 3) GROUP BY nk ORDER BY nk""".stripMargin) { (s, dir) =>
+    val cat = new Catalog(s)
+    cat.register("mvri_w", Tables.df(s, dir, "supplier")
+      .selectExpr("s_suppkey AS sk", "s_nationkey AS nk", "s_suppkey % 5 AS grp"))
+    val p = new Pipeline(cat)
+    val rs = p.run(
+      """CREATE MATERIALIZED VIEW mvri_mv AS
+        |  SELECT nk, grp, COUNT(*) AS n, SUM(sk) AS sum_sk
+        |  FROM mvri_w WHERE grp > 0 GROUP BY nk, grp;
+        |INSERT INTO mvri_w VALUES (971, 15, 2), (972, 15, 4)""".stripMargin)
+    rs.foreach(r => require(r.status == p.Ok, s"${r.sql}: ${r.status}"))
+    val ans = p.sql(
+      "SELECT nk, COUNT(*) AS cnt, SUM(sk) AS sum_k FROM mvri_w WHERE grp IN (2, 3) GROUP BY nk")
+    val plan = ans.queryExecution.executedPlan.toString
+    require(!plan.contains("FileScan"),
+      s"expected IN-subsumed rollup rewrite, got base scan:\n$plan")
+    ans.orderBy("nk")
+  }
+
   /** Dependent-GROUP-BY reduction ([[graft.plans.DependentGroupByReduction]],
     * reference: optimizer/strategy/dependent_group_by_reduction_rule.cpp),
     * oracle-gated on the reference's motivating q10 shape: GROUP BY pk +
@@ -429,8 +460,43 @@ object LifecycleQueries {
     ans.orderBy("s_suppkey")
   }
 
+  /** Join-to-predicate rewrite ([[graft.plans.JoinToPredicateRewrite]],
+    * reference: optimizer/strategy/join_to_predicate_rewrite_rule.cpp:192),
+    * oracle-gated on the reference's motivating shape: a dim join used only
+    * as a filter, where `unique_col = literal` guarantees a single dim row.
+    * The declared UNIQUE on n_name licenses replacing the whole join with
+    * `s_nationkey = (scalar subquery)` — plan-asserted: ZERO Join nodes
+    * survive — and DuckDB recomputes with the real join. */
+  val joinToPredicate: Q = Q(
+    "join_to_predicate",
+    """CREATE OR REPLACE TEMP TABLE j2pd AS SELECT n_nationkey, n_name FROM nation;
+      |CREATE OR REPLACE TEMP TABLE j2pf AS
+      |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier;
+      |SELECT s_suppkey, s_name, s_acctbal FROM j2pf JOIN j2pd
+      |  ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7'
+      |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val cat = new Catalog(s)
+    val p = new Pipeline(cat)
+    val rs = p.run(
+      "CREATE TABLE j2pd (n_nationkey INT PRIMARY KEY, n_name VARCHAR(30) UNIQUE)")
+    rs.foreach(r => require(r.status == p.Ok, s"${r.sql}: ${r.status}"))
+    cat.register("j2pd", Tables.df(s, dir, "nation")
+      .selectExpr("n_nationkey", "n_name"))
+    cat.register("j2pf", Tables.df(s, dir, "supplier")
+      .selectExpr("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+    val ans = p.sql(
+      """SELECT s_suppkey, s_name, s_acctbal FROM j2pf JOIN j2pd
+        |  ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7'""".stripMargin)
+    val joins = ans.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    require(joins.isEmpty,
+      s"expected the join to collapse into a scalar-subquery predicate, got ${joins.size} join(s)")
+    ans.orderBy("s_suppkey")
+  }
+
   val all: Seq[Q] = Seq(dmlInsert, dmlDelete, dmlUpdate, dmlSnapshot, viewPrepared,
     metaTables, dmlMerge, txnRollbackCommit, dmlAlterTable, dmlMatView,
     dmlMatViewJoin, dmlMatViewRewrite, dmlMatViewRollup, dmlMatViewRollupWhere,
-    dmlMatViewRollupRange, aggDependentGroupBy)
+    dmlMatViewRollupRange, dmlMatViewRollupIn, aggDependentGroupBy, joinToPredicate)
 }

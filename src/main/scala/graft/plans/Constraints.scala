@@ -251,3 +251,115 @@ class DependentGroupByReduction(spark: SparkSession) extends Rule[LogicalPlan] {
     a.copy(groupingExpressions = newGroupings, aggregateExpressions = newAggs)
   }
 }
+
+/** Replaces a join whose prunable side is guaranteed AT MOST ONE ROW — an
+  * `unique_col = literal` filter over a declared single-column unique key —
+  * with a scalar-subquery equality predicate (the reference's
+  * JoinToPredicateRewriteRule,
+  * optimizer/strategy/join_to_predicate_rewrite_rule.cpp:192): the join
+  * disappears entirely; the kept side is filtered by
+  * `join_col = (SELECT other_join_col FROM prunable_side WHERE ucc = lit)`.
+  *
+  * Two shapes, mirroring the reference's inner+semi coverage:
+  *  - a LeftSemi join with a single equi-predicate whose build side carries
+  *    the singleton-guaranteeing filter internally (the shape
+  *    [[JoinToSemiJoin]] produces, and DataFrame-API semi joins);
+  *  - the raw SQL shape `Project(Filter(cond, Join(Inner)))` where the
+  *    projection uses only the kept side and `cond`'s prunable-side
+  *    conjuncts contain the unique equality — pre-pushdown, the WHERE still
+  *    sits above the join at post-hoc-resolution time, so the rule splits
+  *    the conjunction itself (kept-side conjuncts stay in the rewritten
+  *    filter, prunable-side conjuncts move into the subquery).
+  *
+  * Correctness: the unique equality leaves ≤1 build row, so an inner join
+  * cannot duplicate kept rows and semi/inner keep-sets coincide; an empty
+  * build side makes the scalar subquery NULL and `col = NULL` keeps nothing,
+  * exactly the empty-join result. Uniqueness is View-verified like
+  * [[DependentGroupByReduction]] — a shadowing alias never licenses the
+  * rewrite, and only a singleton declared key column (PRIMARY KEY or UNIQUE
+  * of that one column) traced through row-preserving shapes qualifies, so
+  * the subquery can never raise a more-than-one-row error.
+  *
+  * At scale the win is plan shape: no build-side exchange at all — the
+  * subquery executes once during preparation and the remaining predicate is
+  * a codegen'd literal comparison on the probe side instead of a per-row
+  * hash probe. Injected after [[JoinToSemiJoin]] via [[GraftExtensions]]. */
+class JoinToPredicateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Literal, ScalarSubquery}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, LeftSemi, Some(EqualTo(x: AttributeReference, y: AttributeReference)), _) =>
+      sidePair(left, right, x, y).collect {
+        case (lk, rk) if singletonGuaranteed(right) =>
+          Filter(EqualTo(lk, ScalarSubquery(Project(Seq(rk), right))), left)
+      }.getOrElse(j)
+    case p @ Project(_, Filter(cond,
+        j @ Join(left, right, Inner, Some(EqualTo(x: AttributeReference, y: AttributeReference)), _)))
+        if p.references.subsetOf(left.outputSet) =>
+      rewriteInner(p, cond, left, right, x, y).getOrElse(p)
+  }
+
+  private def rewriteInner(p: Project, cond: Expression, left: LogicalPlan,
+      right: LogicalPlan, x: AttributeReference, y: AttributeReference): Option[LogicalPlan] = {
+    val cs = conjuncts(cond)
+    val (rightCs, restCs) = cs.partition(_.references.subsetOf(right.outputSet))
+    for {
+      (lk, rk) <- sidePair(left, right, x, y)
+      if restCs.forall(_.references.subsetOf(left.outputSet)) // no mixed conjuncts
+      filteredRight = rightCs.reduceOption(And).map(Filter(_, right)).getOrElse(right)
+      if singletonGuaranteed(filteredRight)
+    } yield {
+      val probe = EqualTo(lk, ScalarSubquery(Project(Seq(rk), filteredRight)))
+      p.copy(child = Filter((restCs :+ (probe: Expression)).reduce(And), left))
+    }
+  }
+
+  private def sidePair(left: LogicalPlan, right: LogicalPlan,
+      x: AttributeReference, y: AttributeReference): Option[(AttributeReference, AttributeReference)] =
+    if (left.outputSet.contains(x) && right.outputSet.contains(y)) Some((x, y))
+    else if (left.outputSet.contains(y) && right.outputSet.contains(x)) Some((y, x))
+    else None
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** Some filter inside `plan` (through row-preserving shapes only — a
+    * union or join in between would invalidate the key, reference
+    * join_to_predicate_rewrite_rule.cpp:108-118) pins a declared
+    * single-column unique key to one literal → at most one row survives. */
+  private def singletonGuaranteed(plan: LogicalPlan): Boolean = plan match {
+    case f: Filter =>
+      conjuncts(f.condition).exists {
+        case EqualTo(a: AttributeReference, _: Literal) => uniqueOn(f.child, a)
+        case EqualTo(_: Literal, a: AttributeReference) => uniqueOn(f.child, a)
+        case _ => false
+      } || singletonGuaranteed(f.child)
+    case Project(_, child) => singletonGuaranteed(child)
+    case SubqueryAlias(_, child) => singletonGuaranteed(child)
+    case v: View => singletonGuaranteed(v.child)
+    case _ => false
+  }
+
+  /** `a` alone is a declared unique key of the genuine catalog table it
+    * traces to (View-verified, exprId-preserving pass-throughs only). */
+  private def uniqueOn(plan: LogicalPlan, a: AttributeReference): Boolean = plan match {
+    case SubqueryAlias(ident, child) =>
+      (child match {
+        case v: View =>
+          v.desc.identifier.table.equalsIgnoreCase(ident.name) &&
+            plan.outputSet.contains(a) &&
+            ConstraintRegistry.uniqueKeys(ident.name).contains(Set(a.name.toLowerCase))
+        case _ => false
+      }) || uniqueOn(child, a)
+    case Project(ps, child) =>
+      ps.exists {
+        case ar: AttributeReference => ar.exprId == a.exprId
+        case _ => false
+      } && uniqueOn(child, a)
+    case f: Filter => uniqueOn(f.child, a)
+    case v: View => uniqueOn(v.child, a)
+    case _ => false
+  }
+}

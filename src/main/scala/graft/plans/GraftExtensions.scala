@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(session => new RemoveRedundantDistinct(session))
     ext.injectPostHocResolutionRule(session => new JoinToSemiJoin(session))
     ext.injectPostHocResolutionRule(session => new DependentGroupByReduction(session))
+    // after JoinToSemiJoin: it canonicalizes the prunable inner join into the
+    // LeftSemi shape this rule's first case consumes
+    ext.injectPostHocResolutionRule(session => new JoinToPredicateRewrite(session))
     ext.injectFunction((
       FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_vec_dot"),

@@ -307,6 +307,21 @@ class MatViewSpec extends AnyFunSuite {
     assert(!MatViews.whereImplies("d >= '1996-1-3'", "d >= '1996-02-01'")) // non-padded date
     assert(!MatViews.whereImplies("d >= '1996-03-01x'", "d >= '1996-01-01'")) // not strict ISO
     assert(!MatViews.whereImplies("nk >= 'b'", "nk >= 'a'")) // plain strings: conservative
+    // BETWEEN lowers to two range conjuncts — both directions of subsumption
+    assert(MatViews.whereImplies("g3 BETWEEN 1 AND 3", "g3 > 0"))
+    assert(MatViews.whereImplies("g3 BETWEEN 1 AND 3", "g3 >= 1 AND g3 <= 4"))
+    assert(!MatViews.whereImplies("g3 BETWEEN 0 AND 3", "g3 > 0"))  // lower edge leaks
+    assert(!MatViews.whereImplies("g3 > 1", "g3 BETWEEN 1 AND 3"))  // unbounded above
+    assert(MatViews.whereImplies("g3 = 2", "g3 BETWEEN 1 AND 3"))
+    // IN-lists: every member must satisfy the view's range; subsets imply
+    assert(MatViews.whereImplies("g3 IN (7, 8)", "g3 > 5"))
+    assert(!MatViews.whereImplies("g3 IN (4, 8)", "g3 > 5"))        // 4 leaks
+    assert(MatViews.whereImplies("g3 IN (1, 2)", "g3 IN (1, 2, 3)"))
+    assert(!MatViews.whereImplies("g3 IN (1, 4)", "g3 IN (1, 2, 3)")) // 4 not a member
+    assert(MatViews.whereImplies("g3 = 2", "g3 IN (1, 2, 3)"))
+    assert(!MatViews.whereImplies("g3 > 1", "g3 IN (1, 2, 3)"))     // range ⊄ list
+    assert(MatViews.whereImplies("g3 IN (2, 3)", "g3 BETWEEN 1 AND 3"))
+    assert(!MatViews.whereImplies("nk IN ('9')", "nk >= '10'"))     // quoted numerics stay out
 
     val (cat, p) = freshPipeline()
     cat.register("rs_base", Tables.df(spark, sf, "supplier")

@@ -34,8 +34,22 @@ class AnnIndexSpec extends AnyFunSuite {
       canon(SimilarityQueries.embSq8.run(spark, sf)))
   }
 
+  test("scaled IVF tier: deterministic full top-k from cell-pruned probes") {
+    // no inline twin (nlist≈√N is index-only; its recall is measured at
+    // scale by graft.AnnRecall) — the spec pins the structural contracts:
+    // TOPK rows per query, valid neighbor ids, repeat-probe determinism
+    val a = canon(AnnIndex.probeIvfScaled(spark, sf, idx))
+    val b = canon(AnnIndex.probeIvfScaled(spark, sf, idx))
+    assert(a === b, "re-probing the stored index must be deterministic")
+    val rows = AnnIndex.probeIvfScaled(spark, sf, idx).collect()
+    val perQuery = rows.groupBy(_.getLong(0)).map(_._2.length).toSet
+    assert(perQuery == Set(3), s"every query must fill top-3, got $perQuery")
+    assert(rows.forall(r => r.getLong(1) != r.getLong(0)), "self-matches excluded")
+  }
+
   test("cell-routed stores are hive-partitioned by cell (probe prunes at listing)") {
-    for ((sub, partCol) <- Seq("ivf_cells" -> "cent_id", "ivfpq_codes" -> "ncell")) {
+    for ((sub, partCol) <- Seq("ivf_cells" -> "cent_id", "ivfpq_codes" -> "ncell",
+        "ivf_scaled_cells" -> "cent_id")) {
       val dirs = new java.io.File(s"$idx/$sub").listFiles()
         .filter(_.isDirectory).map(_.getName)
       assert(dirs.nonEmpty && dirs.forall(_.startsWith(s"$partCol=")),

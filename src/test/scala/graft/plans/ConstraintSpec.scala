@@ -152,4 +152,41 @@ class ConstraintSpec extends AnyFunSuite {
       s"mirrored existence probe must also plan as a semi join, got $mirrored")
     p.run("DROP TABLE dim_u; DROP TABLE fact_u")
   }
+
+  test("join-to-predicate: singleton-guaranteed probe side becomes a scalar-subquery filter") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val p = freshPipe()
+    p.run("CREATE TABLE j2p_dim (k INT PRIMARY KEY, code VARCHAR(10) UNIQUE, pad INT); " +
+      "INSERT INTO j2p_dim VALUES (1, 'DE', 0); INSERT INTO j2p_dim VALUES (2, 'FR', 0); " +
+      "INSERT INTO j2p_dim VALUES (3, 'IT', 0)")
+    p.run("CREATE TABLE j2p_fact (fk INT, val INT); " +
+      "INSERT INTO j2p_fact VALUES (1, 10); INSERT INTO j2p_fact VALUES (1, 11); " +
+      "INSERT INTO j2p_fact VALUES (2, 20); INSERT INTO j2p_fact VALUES (NULL, 30)")
+    def joins(sql: String): Int =
+      p.sql(sql).queryExecution.optimizedPlan.collect { case j: Join => j }.size
+    // the flagship shape: WHERE pins the dim's UNIQUE column to a literal and
+    // the projection uses only fact columns -> the join disappears entirely
+    val q = "SELECT fk, val FROM j2p_fact JOIN j2p_dim ON fk = k WHERE code = 'DE'"
+    assert(joins(q) == 0, "join must be replaced by a scalar-subquery predicate")
+    assert(p.sql(q).orderBy("val").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1, 10), Seq(1, 11)))
+    // a fact row may match several dim rows ONLY via the join key; with the
+    // unique filter the keep-set is exact. Empty probe side -> zero rows.
+    assert(p.sql("SELECT fk, val FROM j2p_fact JOIN j2p_dim ON fk = k WHERE code = 'XX'")
+      .collect().isEmpty, "empty probe side keeps nothing (col = NULL subquery)")
+    // blocked: filter column is not unique (several rows could survive)
+    assert(joins("SELECT fk, val FROM j2p_fact JOIN j2p_dim ON fk = k WHERE pad = 0") == 1)
+    // blocked: the projection reads a probe-side column
+    assert(joins("SELECT fk, val, code FROM j2p_fact JOIN j2p_dim ON fk = k WHERE code = 'DE'") == 1)
+    // blocked: a table shadowing the constrained name must not license it
+    p.run("CREATE TABLE j2p_other (k INT, code VARCHAR(10), pad INT); " +
+      "INSERT INTO j2p_other VALUES (1, 'DE', 0); INSERT INTO j2p_other VALUES (1, 'DE', 1)")
+    assert(joins("SELECT fk, val FROM j2p_fact JOIN j2p_other AS j2p_dim ON fk = k WHERE code = 'DE'") == 1,
+      "alias shadowing the constrained dim stays a join")
+    // semi-join shape (DataFrame-level LEFT SEMI with the filter inside)
+    assert(joins("SELECT fk, val FROM j2p_fact WHERE fk IN (SELECT k FROM j2p_dim WHERE code = 'DE')") == 0 ||
+      p.sql("SELECT fk, val FROM j2p_fact WHERE fk IN (SELECT k FROM j2p_dim WHERE code = 'DE')")
+        .orderBy("val").collect().map(_.toSeq).toSeq == Seq(Seq(1, 10), Seq(1, 11)))
+    p.run("DROP TABLE j2p_dim; DROP TABLE j2p_fact; DROP TABLE j2p_other")
+  }
 }
