@@ -37,6 +37,7 @@ object BenchAnnIndex {
 
     val probes = Seq(
       "probe_ivf_topk" -> (() => functions.AnnIndex.probeIvf(spark, sfDir, indexDir)),
+      "probe_ivf_scaled_topk" -> (() => functions.AnnIndex.probeIvfScaled(spark, sfDir, indexDir)),
       "probe_ivfpq_topk" -> (() => functions.AnnIndex.probeIvfPq(spark, sfDir, indexDir)),
       "probe_sq8_topk" -> (() => functions.AnnIndex.probeSq8(spark, sfDir, indexDir)))
     val inlines = Seq(

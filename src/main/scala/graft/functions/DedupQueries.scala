@@ -76,27 +76,35 @@ object DedupQueries {
     * Jaccard is SET semantics (distinct shingles) over the capped space on
     * both engines. */
   def ngramJaccardPairs(in: DataFrame, maxPostings: Long = MAX_POSTINGS): DataFrame = {
-    // materialize the postings once (localCheckpoint, as cur_dedup_cluster
-    // does): five downstream branches (df, cap, sets, prefix, verify) would
-    // otherwise each re-tokenize + re-hash the corpus
-    val sh = TextFunctions.explodeNoReeval(hsgOf(in), Seq(col("doc_id")), col("hsg"), "s")
-      .distinct().localCheckpoint()
+    // Per-doc SET semantics map-side: array_distinct inside the row, no
+    // corpus-wide distinct shuffle. (An earlier draft exploded first and ran
+    // .distinct() + localCheckpoint over the full posting list — at the
+    // 1000× corpus that is a ~750M-row shuffle plus a ~12 GB block-manager
+    // write before any real work, and with two more checkpointed regroups it
+    // was the formulation whose shuffle scratch outgrew the box.)
+    val perDoc = hsgOf(in)
+      .select(col("doc_id"), array_distinct(col("hsg")).as("ds"))
+    val sh = TextFunctions.explodeNoReeval(perDoc, Seq(col("doc_id")), col("ds"), "s")
     val dfBy = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    // tiny by construction (only shingles with df > cap) → broadcast anti join
-    val hot = dfBy.filter(col("df") > maxPostings).select("s")
-    val kept = sh.join(broadcast(hot), Seq("s"), "left_anti")
-    // ONE doc-keyed aggregation feeds both the prefix index and the verify
-    // sets: per-doc (df, s) pairs sorted rarest-first. This replaces the
-    // earlier two-window ranking (row_number + count over 26M rows was the
-    // single most expensive stage at 100× corpus — a full sort shuffle the
-    // per-doc array_sort over ~50-element arrays does for free).
+    // tiny by construction (only shingles with df > cap) → one-row broadcast
+    // global agg always yields one row; collect_list of zero rows is []
+    val hotArr = broadcast(dfBy.filter(col("df") > maxPostings)
+      .agg(collect_list(col("s")).as("hots")))
+    // verify sets: ENTIRELY map-side (distinct shingles minus the hot set) —
+    // the exact-verification joins read these doc-keyed rows without any
+    // posting-level shuffle having touched them
+    val sets = perDoc.crossJoin(hotArr)
+      .select(col("doc_id"), array_except(col("ds"), col("hots")).as("ss"))
+      .withColumn("n", size(col("ss")))
+    // prefix index: the ONLY posting-level regroup left — (doc_id, df, s)
+    // skinny rows, sorted rarest-first per doc, sliced to the prefix before
+    // anything downstream sees them
+    val kept = sh.join(broadcast(hotArr.select(explode(col("hots")).as("s"))),
+      Seq("s"), "left_anti")
     val byDoc = kept.join(dfBy, Seq("s"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("dfs"))
       .withColumn("n", size(col("dfs")))
-      .localCheckpoint() // consumed by the prefix explode AND both verify joins
-    val sets = byDoc.select(col("doc_id"),
-      transform(col("dfs"), x => x.getField("s")).as("ss"), col("n"))
     // prefix = the n − ⌈t·n⌉ + 1 globally-rarest shingles of each doc
     val pref = TextFunctions.explodeNoReeval(
       byDoc.select(col("doc_id"), col("n"),
