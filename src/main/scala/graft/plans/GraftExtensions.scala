@@ -30,5 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, s"graft_vec_dot expects 2 arguments, got ${args.length}")
         FloatVectorDot(args.head, args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_dotl"),
+      new ExpressionInfo(classOf[LongVectorDot].getName, "graft_vec_dotl"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, s"graft_vec_dotl expects 2 arguments, got ${args.length}")
+        LongVectorDot(args.head, args(1))
+      }))
   }
 }
