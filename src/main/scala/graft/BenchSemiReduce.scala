@@ -175,12 +175,20 @@ object BenchSemiReduce {
     def canon(df: DataFrame): Seq[String] =
       df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
 
+    // SPARK_GRAFT_SEMIREDUCE_CHECK=0 skips the value-identity pre-check AND
+    // the warmup pass: at SF100 each costs a full extra naive execution
+    // (q9's naive variant alone runs ~10 min there), and the identity is
+    // scale-invariant logic already proven by this bench at sf0.1/SF10 and
+    // pinned by SemiJoinReductionSpec.
+    val check = sys.env.getOrElse("SPARK_GRAFT_SEMIREDUCE_CHECK", "1") != "0"
     val entries = naive.toSeq.sortBy(_._1).map { case (name, nv) =>
       val red = SparkEntry.queries(name) // the SHIPPING (pre-reduced) query
-      // value-identity guard: the rewrite must be an equivalence, not a tweak
-      val (bv, rv) = (canon(nv(spark, sfDir)), canon(red(spark, sfDir)))
-      require(bv == rv, s"$name: reduced variant changed the result!\n$bv\nvs\n$rv")
-      time(nv(spark, sfDir)); time(red(spark, sfDir)) // warmup both
+      if (check) {
+        // value-identity guard: the rewrite must be an equivalence, not a tweak
+        val (bv, rv) = (canon(nv(spark, sfDir)), canon(red(spark, sfDir)))
+        require(bv == rv, s"$name: reduced variant changed the result!\n$bv\nvs\n$rv")
+        time(nv(spark, sfDir)); time(red(spark, sfDir)) // warmup both
+      }
       val b = (1 to nRuns).map(_ => time(nv(spark, sfDir))).min
       val r = (1 to nRuns).map(_ => time(red(spark, sfDir))).min
       (name, b, r)

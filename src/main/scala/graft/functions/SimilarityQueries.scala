@@ -364,15 +364,26 @@ object SimilarityQueries {
     // arithmetic is bit-identical to cosL's (same dotL, same sqrt, same
     // multiply), so assignments — and the gated k-means oracle hashes — are
     // unchanged; only the per-pair work drops from 3 dot products to 1.
+    //
+    // TWO-PASS argmax, not max_by: a struct-ordered max_by has an immutable
+    // aggregation buffer, which drops the whole agg to SortAggregateExec —
+    // at the scaled index's √N centroids that SORTED the N×nlist joined
+    // stream (~2.8B rows, ~60 GB spill at the 2M store; the measured
+    // ENOSPC). Pass 1 takes plain MAX(csim) (primitive buffer → codegen'd
+    // hash agg, partial map-side); pass 2 re-streams the scored pairs and
+    // keeps rows hitting their vector's max (MAX is comparison-only, so the
+    // recomputed csim is bit-equal), tie-breaking by MIN(cent_id) — the
+    // exact (csim DESC, cent_id ASC) order max_by enforced. Nothing sorts.
     val q = quant.withColumn("qn", sqrt(dotL(col("qe"), col("qe")).cast("double")))
     val c = cents.withColumn("cn", sqrt(dotL(col("cemb"), col("cemb")).cast("double")))
-    q.join(broadcast(c))
-      .select(col("vec_id"), col("qe"), col("cent_id"),
+    def scored = q.join(broadcast(c))
+      .select(col("vec_id"), col("cent_id"),
         (dotL(col("qe"), col("cemb")).cast("double") / (col("qn") * col("cn"))).as("csim"))
-      .groupBy("vec_id")
-      .agg(first(col("qe")).as("qe"),
-        max_by(col("cent_id"), struct(col("csim"), (-col("cent_id")).as("nc"))).as("cent_id"))
-      .select(col("vec_id"), col("qe"), col("cent_id"))
+    val best = broadcast(scored.groupBy("vec_id").agg(max(col("csim")).as("mx")))
+    val win = scored.join(best, "vec_id")
+      .filter(col("csim") === col("mx"))
+      .groupBy("vec_id").agg(min(col("cent_id")).as("cent_id"))
+    quant.join(win, "vec_id").select(col("vec_id"), col("qe"), col("cent_id"))
   }
 
   /** Lloyd update: exact integer mean per cell (`SUM div COUNT`, identical
@@ -569,8 +580,13 @@ object SimilarityQueries {
   // population; the codebook stays broadcast-sized (PQ_M × 256 subvectors).
   private[functions] val PQ_K = 256       // codes per subspace (1 byte)
 
+  /** integer L2² via the codegen'd dot kernel: Σ(x−y)² = a·a − 2a·b + b·b
+    * holds EXACTLY in 64-bit integer arithmetic (no rounding, wrap-free at
+    * the quantization magnitudes), so results are bit-identical to the
+    * direct fold while the 4-dim sub-distance of the N×M×K PQ encode runs
+    * inside whole-stage codegen instead of an interpreted per-pair lambda. */
   private[functions] def l2L(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    dotL(a, a) - lit(2L) * dotL(a, b) + dotL(b, b)
   private[functions] def l2LSql(a: String, b: String): String =
     s"CAST(list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, ${PQ_SUB + 1})]) AS BIGINT)"
 
@@ -609,17 +625,22 @@ object SimilarityQueries {
         slice(col("qe"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("sq"))
     val cb = broadcast(subs.filter(col("vec_id") < PQ_K)
       .select(col("m").as("cm"), col("vec_id").as("cent_id"), col("sq").as("cq")))
-    // keyed min_by argmin (not a window): with K=256 codes the joined set is
-    // N×M×K rows — a window rank would shuffle ALL of them carrying the
-    // sub-vectors; min_by partial-aggregates each map partition down to one
-    // row per (vector, subspace) before the exchange. cent_id is unique per
-    // group, so the (dist, cent_id) ordering pair has no ties.
+    // keyed PACKED-LONG argmin (not a window, not a struct min_by): the
+    // joined set is N×M×K rows — a window would shuffle all of them, and a
+    // struct-ordered min_by has an immutable buffer that drops the agg to
+    // SortAggregateExec, which SORTS the full joined stream (measured: the
+    // M=16 encode spilled >60 GB and hit ENOSPC at the 2M store). Packing
+    // (d, cent_id) into one long — d·256 + cent_id, exact because cent_id
+    // < 256 and d ≤ M·(2·2.4e6)² ≪ 2⁶³/256 — makes the argmin a plain
+    // MIN(long): primitive buffer, codegen'd hash agg, map-side partials.
+    // Lexicographic (d, cent_id) order ≡ packed numeric order, so codes are
+    // bit-identical to the struct formulation (and the DuckDB twin).
     val enc = subs.join(cb, col("cm") === col("m"))
-      .select(col("vec_id"), col("m"), col("cent_id"),
-        struct(l2L(col("sq"), col("cq")).as("d"), col("cent_id").as("c")).as("ord"))
+      .select(col("vec_id"), col("m"),
+        (l2L(col("sq"), col("cq")) * lit(256L) + col("cent_id")).as("packed"))
       .groupBy("vec_id", "m")
-      .agg(min_by(col("cent_id"), col("ord")).as("code"))
-      .select(col("vec_id"), col("m"), col("code"))
+      .agg(min(col("packed")).as("p"))
+      .select(col("vec_id"), col("m"), (col("p") % 256).as("code"))
     val q = subs.filter(col("vec_id") < NQUERY)
       .select(col("vec_id").as("q_id"), col("m").as("qm"), col("sq"))
     val wTop = Window.partitionBy("q_id").orderBy(col("dist"), col("n_id"))
@@ -651,7 +672,7 @@ object SimilarityQueries {
   private[functions] def l2FullSql(a: String, b: String): String =
     s"CAST(list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, ${DIM + 1})]) AS BIGINT)"
   private[functions] def l2Full(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    dotL(a, a) - lit(2L) * dotL(a, b) + dotL(b, b) // same exact-integer identity as l2L
 
   val annIvfPq: Q = Q(
     "ann_ivfpq_topk",
@@ -716,18 +737,22 @@ object SimilarityQueries {
       : (DataFrame, DataFrame, DataFrame) = {
     val cents = broadcast(quant.filter(col("vec_id") < IVF_NLIST)
       .select(col("vec_id").as("cell_id"), col("qe").as("cemb")))
-    // corpus cell assignment: keyed min_by argmin (tie-broken by cell_id —
-    // unique per group, so no ties), carrying the winning centroid in the
-    // min_by payload for the residual. Partial aggregation collapses the
-    // NLIST candidates map-side — N keyed rows shuffle, not N×NLIST.
-    val assigned = quant.join(cents)
-      .select(col("vec_id"), col("qe"), col("cell_id"), col("cemb"),
-        struct(l2Full(col("qe"), col("cemb")).as("d"), col("cell_id").as("c")).as("ord"))
+    // corpus cell assignment: PACKED-LONG argmin (d·256 + cell_id — exact
+    // for NLIST < 256 and integer d ≤ 64·(2·2.4e6)² ≪ 2⁶³/256), then the
+    // winning centroid re-joined from the broadcast table for the residual.
+    // A struct-payload min_by here (carrying cemb through the buffer) drops
+    // the agg to SortAggregateExec and sorts the N×NLIST joined stream with
+    // 1 KB rows; the packed form is a primitive-buffer hash agg with
+    // map-side partials — N skinny keyed rows shuffle, nothing sorts.
+    val bestCell = quant.join(cents)
+      .select(col("vec_id"),
+        (l2Full(col("qe"), col("cemb")) * lit(256L) + col("cell_id")).as("packed"))
       .groupBy("vec_id")
-      .agg(first(col("qe")).as("qe"),
-        min_by(struct(col("cell_id"), col("cemb")), col("ord")).as("best"))
-      .select(col("vec_id"), col("best.cell_id").as("cell_id"),
-        zip_with(col("qe"), col("best.cemb"), (x, y) => x - y).as("r"))
+      .agg(min(col("packed")).as("p"))
+      .select(col("vec_id"), (col("p") % 256).as("cell_id"))
+    val assigned = quant.join(bestCell, "vec_id").join(cents, "cell_id")
+      .select(col("vec_id"), col("cell_id"),
+        zip_with(col("qe"), col("cemb"), (x, y) => x - y).as("r"))
     val rsubs = assigned
       .select(col("vec_id"), col("cell_id"),
         explode(sequence(lit(0), lit(PQ_M - 1))).as("m"), col("r"))
