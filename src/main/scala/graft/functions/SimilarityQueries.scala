@@ -760,15 +760,17 @@ object SimilarityQueries {
         slice(col("r"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("sq"))
     val cb = broadcast(rsubs.filter(col("vec_id") < PQ_K)
       .select(col("m").as("cm"), col("vec_id").as("cent_id"), col("sq").as("cq")))
-    // residual PQ encode: same keyed min_by argmin as emb_pq_adc — at K=256
-    // a window rank would shuffle the whole N×M×K joined set
+    // residual PQ encode: same PACKED-LONG argmin as emb_pq_adc (struct
+    // min_by = immutable buffer = SortAggregateExec, which sorts the full
+    // N×M×K joined stream — the measured >60 GB ENOSPC at M=16 on the 2M
+    // store). Residual sub-distances fit the same d·256 + cent_id packing.
     val enc = rsubs.join(cb, col("cm") === col("m"))
-      .select(col("vec_id"), col("cell_id"), col("m"), col("cent_id"),
-        struct(l2L(col("sq"), col("cq")).as("d"), col("cent_id").as("c")).as("ord"))
+      .select(col("vec_id"), col("cell_id"), col("m"),
+        (l2L(col("sq"), col("cq")) * lit(256L) + col("cent_id")).as("packed"))
       .groupBy("vec_id", "cell_id", "m")
-      .agg(min_by(col("cent_id"), col("ord")).as("code"))
+      .agg(min(col("packed")).as("p"))
       .select(col("vec_id").as("n_id"), col("cell_id").as("ncell"),
-        col("m"), col("code"))
+        col("m"), (col("p") % 256).as("code"))
     (cents, cb, enc)
   }
 
