@@ -97,7 +97,10 @@ object AnnRecall {
           |/ (sqrt(aggregate(transform(qe3, x -> cast(x * x as double)), 0D, (acc, x) -> acc + x))
           |  * sqrt(aggregate(transform(ne3, x -> cast(x * x as double)), 0D, (acc, x) -> acc + x)))"""
           .stripMargin.replace("\n", " "))
-    broadcast(res.select(col("q_id").cast("long"), col("n_id").cast("long")))
+    // distinct so both metrics are set-based: strict recall dedups via its
+    // pair Set, and a probe tier emitting duplicate (q_id, n_id) rows must
+    // not inflate the row-based tie_recall numerator relative to it.
+    broadcast(res.select(col("q_id").cast("long"), col("n_id").cast("long")).distinct())
       .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qe3")), "q_id")
       .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne3")), "n_id")
       .select(col("q_id"), d.as("td"))

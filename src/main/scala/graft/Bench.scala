@@ -65,8 +65,11 @@ object Bench {
     val names = sys.env.get("SPARK_GRAFT_BENCH_NAMES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(SparkEntry.benchNames)
-    // warmup pass, in declared order
-    names.foreach(n => try once(n) catch { case _: Throwable => () })
+    // warmup pass, in declared order (SPARK_GRAFT_BENCH_WARMUP=0 skips it —
+    // for single-shot evidence runs of heavy items where a warmup execution
+    // would double the run's cost without changing the reported best-of)
+    if (!sys.env.get("SPARK_GRAFT_BENCH_WARMUP").contains("0"))
+      names.foreach(n => try once(n) catch { case _: Throwable => () })
 
     // timed rounds; shuffled mode permutes each round deterministically
     val rng = new scala.util.Random(42)

@@ -328,8 +328,14 @@ object MatViews {
     // (resolution would replace it with the two comparisons); lower it here
     // the same way. NOT BETWEEN arrives wrapped in NOT and stays a single
     // opaque conjunct — safe fall-through.
+    // guards: exactly the parser's shape — single-part name, 3 args, no
+    // DISTINCT/FILTER decoration (an explicit call to some udf named
+    // `between(x, a, b)` with those decorations must stay opaque).
+    // MatViewSpec's "parser still lowers BETWEEN" test fails loudly if a
+    // Spark upgrade stops producing this form.
     case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-        if f.nameParts.map(_.toLowerCase) == Seq("between") && f.arguments.size == 3 =>
+        if f.nameParts.map(_.toLowerCase) == Seq("between") && f.arguments.size == 3 &&
+          !f.isDistinct && f.filter.isEmpty =>
       Seq(GreaterThanOrEqual(f.arguments(0), f.arguments(1)),
         LessThanOrEqual(f.arguments(0), f.arguments(2)))
     case other => Seq(other)

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *   ivf_cells/        (vec_id, qe) PARTITIONED BY cent_id
   *   ivfpq_centroids/  (cell_id, cemb)
   *   ivfpq_codebook/   (cm, cent_id, cq)
-  *   ivfpq_codes/      (n_id, m, code) PARTITIONED BY ncell
+  *   ivfpq_codes/      (n_id, codes[M]) PARTITIONED BY ncell
   *   sq8_recon/        (n_id, recon)
   *   manifest.json     params + corpus dir + format version
   *
@@ -44,7 +44,7 @@ object AnnIndex {
   /** Bump when any build-side derivation changes: the default index path is
     * salted with this, so stale on-disk indexes from older code are never
     * probed. */
-  private val INDEX_VERSION = 1
+  private val INDEX_VERSION = 2
 
   /** Deterministic per-corpus index root (ensure() builds here on first
     * probe). */
@@ -83,10 +83,19 @@ object AnnIndex {
 
   /** Probed cells per query for the scaled tier (FAISS's nprobe) — a
     * SEARCH-TIME knob, deliberately NOT part of the index manifest: changing
-    * it must never trigger a retrain. nprobe=4 of √N cells reads ~4/√N of
-    * the store; measured at 2M it lifted recall@3 past the nprobe=2 runs
-    * while staying well under the exact-scan latency. */
+    * it must never trigger a retrain. The FLOOR is 4; the effective default
+    * scales with the cell count ([[effectiveNprobe]]): a fixed nprobe over
+    * √N cells probes a vanishing fraction of the store as N grows — measured
+    * at 2M (nlist=1414), nprobe=4 plateaued at recall 0.87 while the
+    * nlist/64 rule (22 cells ≈ 1.6 % of the store) recovers the tail at
+    * probe cost still far under the exact scan. */
   private[functions] val SCALED_NPROBE = 4
+
+  /** nprobe ≈ max(4, nlist/64) — FAISS-style guidance (probe ~1-2 % of the
+    * cells for ≥0.95 recall on mid-dim embeddings), kept integer and
+    * engine-portable so the DuckDB twin computes the identical value. */
+  private[functions] def effectiveNprobe(nlist: Long): Int =
+    math.max(SCALED_NPROBE.toLong, nlist / 64).toInt
 
   /** nlist ≈ √N (FAISS's rule of thumb): cells stay ~√N rows, so a probe
     * touches O(nprobe·√N) vectors instead of N. The oracle-gated inline
@@ -132,8 +141,11 @@ object AnnIndex {
     * lives in exactly one cell, so the multi-cell probe never duplicates a
     * candidate pair. */
   def probeIvfScaled(s: SparkSession, sfDir: String, indexDir: String,
-      nprobe: Int = SCALED_NPROBE): DataFrame = {
+      nprobeOverride: Int = 0): DataFrame = {
     val cents = s.read.parquet(s"$indexDir/ivf_scaled_centroids")
+    // tiny count (≤2048 centroid rows) → the scale-aware default nprobe
+    val nprobe =
+      if (nprobeOverride > 0) nprobeOverride else effectiveNprobe(cents.count())
     val q = quantized(s, sfDir).filter(col("vec_id") < NQUERY)
     val wCell = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
     val qCells = q.join(broadcast(cents))
@@ -274,7 +286,7 @@ object AnnIndex {
       .select("cell_id").distinct().collect().map(_.getLong(0)).toSeq
     val enc = readCells(s, s"$indexDir/ivfpq_codes", "ncell")
       .filter(col("ncell").isin(probed: _*))
-      .select("n_id", "ncell", "m", "code")
+      .select("n_id", "ncell", "codes")
     ivfPqProbe(qquant, cents, cb, enc, topK)
   }
 

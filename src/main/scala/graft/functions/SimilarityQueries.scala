@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over the `embeddings` table (`embedding: array<float>`,
   * dim 64). Two paths, as a production corpus needs both:
@@ -365,24 +366,36 @@ object SimilarityQueries {
     // multiply), so assignments — and the gated k-means oracle hashes — are
     // unchanged; only the per-pair work drops from 3 dot products to 1.
     //
-    // TWO-PASS argmax, not max_by: a struct-ordered max_by has an immutable
-    // aggregation buffer, which drops the whole agg to SortAggregateExec —
-    // at the scaled index's √N centroids that SORTED the N×nlist joined
-    // stream (~2.8B rows, ~60 GB spill at the 2M store; the measured
-    // ENOSPC). Pass 1 takes plain MAX(csim) (primitive buffer → codegen'd
-    // hash agg, partial map-side); pass 2 re-streams the scored pairs and
-    // keeps rows hitting their vector's max (MAX is comparison-only, so the
-    // recomputed csim is bit-equal), tie-breaking by MIN(cent_id) — the
-    // exact (csim DESC, cent_id ASC) order max_by enforced. Nothing sorts.
+    // SINGLE-PASS packed argmax, not max_by and not a two-pass rejoin: a
+    // struct-ordered max_by has an immutable aggregation buffer, which drops
+    // the whole agg to SortAggregateExec — at the scaled index's √N
+    // centroids that SORTED the N×nlist joined stream (~2.8B rows, ~60 GB
+    // spill at the 2M store; the measured ENOSPC). The earlier two-pass
+    // MAX-then-rejoin fix kept the hash agg but broadcast an O(N)-row
+    // per-vector max table (a driver-memory cliff past ~100M vectors) and
+    // re-evaluated the N×nlist scored stream a second time. This form does
+    // neither: [[graft.plans.DoubleOrderBits]] maps csim to order-preserving
+    // long bits (BIT-EXACT — every comparison outcome identical to comparing
+    // the doubles, so assignments and the gated k-means oracle hashes are
+    // unchanged), and (bits, −cent_id) packs into one DECIMAL(31,0) whose
+    // plain MAX is a codegen'd hash aggregate with map-side partials —
+    // max bits ≡ max csim, ties → max (2³²−1−cent_id) ≡ min cent_id, the
+    // exact (csim DESC, cent_id ASC) order max_by enforced. The scored
+    // stream is evaluated ONCE; N skinny keyed rows shuffle; nothing sorts
+    // and nothing data-sized broadcasts.
     val q = quant.withColumn("qn", sqrt(dotL(col("qe"), col("qe")).cast("double")))
     val c = cents.withColumn("cn", sqrt(dotL(col("cemb"), col("cemb")).cast("double")))
-    def scored = q.join(broadcast(c))
-      .select(col("vec_id"), col("cent_id"),
-        (dotL(col("qe"), col("cemb")).cast("double") / (col("qn") * col("cn"))).as("csim"))
-    val best = broadcast(scored.groupBy("vec_id").agg(max(col("csim")).as("mx")))
-    val win = scored.join(best, "vec_id")
-      .filter(col("csim") === col("mx"))
-      .groupBy("vec_id").agg(min(col("cent_id")).as("cent_id"))
+    val csim = dotL(col("qe"), col("cemb")).cast("double") / (col("qn") * col("cn"))
+    val bits = call_function("graft_dbits", csim).cast(DecimalType(19, 0))
+    val shift = lit(new java.math.BigDecimal(4294967296L)).cast(DecimalType(10, 0))
+    val idMax = lit(new java.math.BigDecimal(4294967295L)).cast(DecimalType(10, 0))
+    val win = q.join(broadcast(c))
+      .select(col("vec_id"),
+        (bits * shift + (idMax - col("cent_id").cast(DecimalType(10, 0)))).as("packed"))
+      .groupBy("vec_id")
+      .agg(max(col("packed")).as("p"))
+      .select(col("vec_id"),
+        (lit(4294967295L) - pmod(col("p"), lit(4294967296L))).cast("long").as("cent_id"))
     quant.join(win, "vec_id").select(col("vec_id"), col("qe"), col("cent_id"))
   }
 
@@ -635,20 +648,36 @@ object SimilarityQueries {
     // MIN(long): primitive buffer, codegen'd hash agg, map-side partials.
     // Lexicographic (d, cent_id) order ≡ packed numeric order, so codes are
     // bit-identical to the struct formulation (and the DuckDB twin).
+    // ADC scoring via the codegen'd LUT kernel ([[graft.plans.AdcLookupSum]]):
+    // corpus codes pack into ONE array row per vector (M primitive
+    // min-aggregates over the same packed-long argmin — still a codegen hash
+    // agg, and the shuffle carries N rows instead of N×M), the query's M×K
+    // distance table is built once per query from query-side rows only, and
+    // each candidate costs one expression eval — no per-subspace join
+    // against the codebook and NO scoring aggregate over candidates×M rows
+    // (that aggregate was the measured wall of the 2M pure-ADC probe:
+    // 83.5 s vs the 4.2 s exact scan it exists to undercut). Integer sums
+    // are order-independent, so `dist` is bit-identical to the per-subspace
+    // SUM the DuckDB oracle still computes.
     val enc = subs.join(cb, col("cm") === col("m"))
       .select(col("vec_id"), col("m"),
         (l2L(col("sq"), col("cq")) * lit(256L) + col("cent_id")).as("packed"))
-      .groupBy("vec_id", "m")
-      .agg(min(col("packed")).as("p"))
-      .select(col("vec_id"), col("m"), (col("p") % 256).as("code"))
-    val q = subs.filter(col("vec_id") < NQUERY)
-      .select(col("vec_id").as("q_id"), col("m").as("qm"), col("sq"))
+      .groupBy("vec_id")
+      .agg(array((0 until PQ_M).map(m =>
+        min(when(col("m") === m, col("packed"))) % 256): _*).as("codes"))
+      .withColumnRenamed("vec_id", "n_id")
+    val qlut = subs.filter(col("vec_id") < NQUERY)
+      .join(cb, col("cm") === col("m"))
+      .select(col("vec_id").as("q_id"),
+        (col("m") * PQ_K + col("cent_id")).as("idx"),
+        l2L(col("sq"), col("cq")).as("d"))
+      .groupBy("q_id")
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("d")))),
+        x => x.getField("d")).as("lut"))
     val wTop = Window.partitionBy("q_id").orderBy(col("dist"), col("n_id"))
-    q.join(enc.withColumnRenamed("vec_id", "n_id"),
-        col("qm") === col("m") && col("n_id") =!= col("q_id"))
-      .join(cb, col("cm") === col("m") && col("cent_id") === col("code"))
-      .groupBy("q_id", "n_id")
-      .agg(sum(l2L(col("sq"), col("cq"))).as("dist"))
+    broadcast(qlut).join(enc, col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        call_function("graft_adc_sum", col("codes"), col("lut")).as("dist"))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= TOPK)
       .select("q_id", "n_id", "dist", "rk")
@@ -730,7 +759,7 @@ object SimilarityQueries {
     * recovery once pure-ADC precision (M code bytes) saturates at large N. */
   /** IVFPQ corpus-side state from the quantized store: trained-free coarse
     * centroids, the residual PQ codebook, and the encoded corpus
-    * (n_id, ncell, m, code). Shared by the inline [[ivfPqAdcRanked]] and the
+    * (n_id, ncell, codes[M]). Shared by the inline [[ivfPqAdcRanked]] and the
     * persisted-index build ([[AnnIndex.buildIvfPq]]) so the stored codes are
     * the exact rows the inline query derives. */
   private[functions] def ivfPqCorpusState(quant: DataFrame)
@@ -764,13 +793,17 @@ object SimilarityQueries {
     // min_by = immutable buffer = SortAggregateExec, which sorts the full
     // N×M×K joined stream — the measured >60 GB ENOSPC at M=16 on the 2M
     // store). Residual sub-distances fit the same d·256 + cent_id packing.
+    // Codes land as ONE array row per vector (M primitive min-aggregates in
+    // a single codegen hash agg): the stored index is N rows of M codes —
+    // the FAISS code-table layout — and the ADC probe consumes it directly
+    // with the [[graft.plans.AdcLookupSum]] kernel, no per-subspace rows.
     val enc = rsubs.join(cb, col("cm") === col("m"))
       .select(col("vec_id"), col("cell_id"), col("m"),
         (l2L(col("sq"), col("cq")) * lit(256L) + col("cent_id")).as("packed"))
-      .groupBy("vec_id", "cell_id", "m")
-      .agg(min(col("packed")).as("p"))
-      .select(col("vec_id").as("n_id"), col("cell_id").as("ncell"),
-        col("m"), (col("p") % 256).as("code"))
+      .groupBy("vec_id", "cell_id")
+      .agg(array((0 until PQ_M).map(m =>
+        min(when(col("m") === m, col("packed"))) % 256): _*).as("codes"))
+      .select(col("vec_id").as("n_id"), col("cell_id").as("ncell"), col("codes"))
     (cents, cb, enc)
   }
 
@@ -792,13 +825,23 @@ object SimilarityQueries {
         explode(sequence(lit(0), lit(PQ_M - 1))).as("qm"), col("qr"))
       .select(col("q_id"), col("qcell"), col("qm"),
         slice(col("qr"), col("qm") * PQ_SUB + 1, lit(PQ_SUB)).as("qsq"))
+    // per-(query, probed-cell) ADC table — M×K rows per probe, query-side
+    // only — then one codegen'd AdcLookupSum eval per candidate code row.
+    // Each corpus vector lives in exactly one cell, so the equi-join on the
+    // probed cell never duplicates a candidate; integer sums make `dist`
+    // bit-identical to the per-subspace SUM the DuckDB oracle computes.
+    val qlut = qsubs.join(cb, col("cm") === col("qm"))
+      .select(col("q_id"), col("qcell"),
+        (col("qm") * PQ_K + col("cent_id")).as("idx"),
+        l2L(col("qsq"), col("cq")).as("d"))
+      .groupBy("q_id", "qcell")
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("d")))),
+        x => x.getField("d")).as("lut"))
     val wTop = Window.partitionBy("q_id").orderBy(col("dist"), col("n_id"))
-    qsubs
-      .join(enc, col("ncell") === col("qcell") && col("m") === col("qm") &&
-        col("n_id") =!= col("q_id"))
-      .join(cb, col("cm") === col("m") && col("cent_id") === col("code"))
-      .groupBy("q_id", "n_id")
-      .agg(sum(l2L(col("qsq"), col("cq"))).as("dist"))
+    broadcast(qlut)
+      .join(enc, col("ncell") === col("qcell") && col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        call_function("graft_adc_sum", col("codes"), col("lut")).as("dist"))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= topK)
       .select("q_id", "n_id", "dist", "rk")

@@ -207,7 +207,13 @@ object TpchFullQueries {
       |ORDER BY part_value DESC, l_partkey""".stripMargin) { (s, dir) =>
     val l = t(s, dir, "lineitem")
     val perPart = l.groupBy("l_partkey").agg(sum(net).as("value_dec"))
-    val threshold = l.agg((sum(net) * lit(0.0007).cast("decimal(5,4)")).as("thr"))
+    // Re-sum the per-part sums instead of re-aggregating raw lineitem:
+    // decimal addition is exact, so the threshold is value-identical, and the
+    // two branches share an identical scan + partial-agg + exchange subtree
+    // that ReuseExchange executes ONCE — at SF100 this halves the scan/agg
+    // work of the #2 heavy-tail query.
+    val threshold = perPart
+      .agg((sum(col("value_dec")) * lit(0.0007).cast("decimal(5,4)")).as("thr"))
     perPart.join(broadcast(threshold)) // 1-row scalar → broadcast nested loop
       .filter(col("value_dec") > col("thr"))
       .select(col("l_partkey"), asDouble(col("value_dec")).as("part_value"))

@@ -12,7 +12,13 @@ import scala.collection.concurrent.TrieMap
   * src/lib/storage/constraints/table_key_constraint.hpp,
   * optimizer/strategy/dependent_group_by_reduction_rule.cpp). Constraints are
   * TRUSTED, not enforced — same contract as the reference (and as
-  * warehouse-grade `RELY` constraints): they exist to license rewrites. */
+  * warehouse-grade `RELY` constraints): they exist to license rewrites.
+  * Consequence of a FALSE declaration: uniqueness-licensed rewrites can
+  * change results — [[RemoveRedundantDistinct]] keeps duplicates, and
+  * [[JoinToPredicateRewrite]] surfaces the violation loudly (its scalar
+  * subquery throws "more than one row" where the join returned rows). Callers
+  * registering data-backed tables can check a declaration once with
+  * [[ConstraintRegistry.holdsFor]] before trusting it. */
 final case class KeyConstraint(
     table: String, kind: String, cols: Seq[String],
     refTable: Option[String] = None, refCols: Seq[String] = Nil)
@@ -30,6 +36,17 @@ object ConstraintRegistry {
   def uniqueKeys(table: String): Seq[Set[String]] =
     of(table).filter(c => c.kind == "PRIMARY KEY" || c.kind == "UNIQUE")
       .map(_.cols.map(_.toLowerCase).toSet)
+
+  /** One-scan check that a declared unique key actually holds on `df` —
+    * opt-in validation for callers that register data they did not produce
+    * (declarations are otherwise trusted axioms, see [[KeyConstraint]]).
+    * Distributed: a single hash aggregate, no collect of data rows. */
+  def holdsFor(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Boolean = {
+    import org.apache.spark.sql.functions.{count, lit, max}
+    val top = df.groupBy(cols.map(df.col): _*).agg(count(lit(1)).as("c"))
+      .agg(max("c")).head
+    top.isNullAt(0) || top.getLong(0) <= 1L
+  }
 }
 
 /** Removes DISTINCT when the input is already provably unique via a declared
@@ -288,20 +305,33 @@ class JoinToPredicateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{Literal, ScalarSubquery}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, LeftSemi, Some(EqualTo(x: AttributeReference, y: AttributeReference)), _) =>
+    case j @ Join(left, right, LeftSemi, Some(EqualTo(x: AttributeReference, y: AttributeReference)), _)
+        if planDeterministic(right) =>
       sidePair(left, right, x, y).collect {
         case (lk, rk) if singletonGuaranteed(right) =>
           Filter(EqualTo(lk, ScalarSubquery(Project(Seq(rk), right))), left)
       }.getOrElse(j)
     case p @ Project(_, Filter(cond,
         j @ Join(left, right, Inner, Some(EqualTo(x: AttributeReference, y: AttributeReference)), _)))
-        if p.references.subsetOf(left.outputSet) =>
+        if p.references.subsetOf(left.outputSet) && planDeterministic(right) =>
       rewriteInner(p, cond, left, right, x, y).getOrElse(p)
   }
+
+  /** No node in the subtree evaluates a nondeterministic expression — the
+    * rewrite changes how many times the build side's predicates run (once in
+    * the scalar subquery vs once per materialized build row), which is only
+    * sound when every expression is deterministic. Mirrors the `.deterministic`
+    * guard Spark's own pushdown rules apply. */
+  private def planDeterministic(p: LogicalPlan): Boolean =
+    p.find(n => !n.expressions.forall(_.deterministic)).isEmpty
 
   private def rewriteInner(p: Project, cond: Expression, left: LogicalPlan,
       right: LogicalPlan, x: AttributeReference, y: AttributeReference): Option[LogicalPlan] = {
     val cs = conjuncts(cond)
+    if (!cs.forall(_.deterministic)) return None // a rand()<0.5 conjunct must
+    // keep filtering per joined row; moving it into a once-evaluated scalar
+    // subquery (or leaving it beside the probe predicate with a different
+    // evaluation count) would keep all-or-none of the fact rows instead.
     val (rightCs, restCs) = cs.partition(_.references.subsetOf(right.outputSet))
     for {
       (lk, rk) <- sidePair(left, right, x, y)

@@ -37,5 +37,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, s"graft_vec_dotl expects 2 arguments, got ${args.length}")
         LongVectorDot(args.head, args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_adc_sum"),
+      new ExpressionInfo(classOf[AdcLookupSum].getName, "graft_adc_sum"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, s"graft_adc_sum expects 2 arguments, got ${args.length}")
+        AdcLookupSum(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dbits"),
+      new ExpressionInfo(classOf[DoubleOrderBits].getName, "graft_dbits"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 1, s"graft_dbits expects 1 argument, got ${args.length}")
+        DoubleOrderBits(args.head)
+      }))
   }
 }

@@ -352,6 +352,22 @@ class MatViewSpec extends AnyFunSuite {
     assert(sorted(df1b) == sorted(spark.sql(q1)))
   }
 
+  test("parser shape pin: BETWEEN arrives as unresolved between(x, lo, hi)") {
+    // MatViews.conjunctsOf lowers exactly this shape; if a Spark upgrade
+    // changes what the parser emits, range/IN subsumption silently stops
+    // firing — this test turns that into a loud failure.
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression("x BETWEEN 1 AND 3")
+    e match {
+      case f: UnresolvedFunction =>
+        assert(f.nameParts.map(_.toLowerCase) == Seq("between"), f.nameParts)
+        assert(f.arguments.size == 3 && !f.isDistinct && f.filter.isEmpty)
+      case other =>
+        fail(s"BETWEEN no longer lowers to unresolved between(); got $other — update MatViews.conjunctsOf")
+    }
+  }
+
   test("streaming ingest maintains a materialized view across micro-batches") {
     import graft.streaming.DocStreams
     val cat = new Catalog(spark)

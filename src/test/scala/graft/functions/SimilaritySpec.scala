@@ -103,6 +103,34 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"SQ8 top-3 recall at sf0.001: $hits/$total")
   }
 
+  test("kmeansAssign plans as one hash agg, one tiny broadcast, nothing sorts") {
+    import org.apache.spark.sql.functions._
+    val quant = graft.Tables.df(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000 + lit(0.5)).cast("long")).as("qe"))
+    val cents = quant.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("qe").as("cemb"))
+    val qe = SimilarityQueries.kmeansAssign(quant, cents).queryExecution
+    // exactly ONE broadcast HINT — the nlist-row centroid table. The earlier
+    // two-pass argmax also forced a broadcast of an O(N)-row per-vector max
+    // table (a driver-memory cliff past ~100M vectors); the packed-decimal
+    // argmax must never reintroduce a forced broadcast of a corpus-sized
+    // aggregate. (Stats-driven auto-broadcasts at this toy scale are fine —
+    // they vanish with size — so the assert targets the demanded hints.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.catalyst.plans.logical.BROADCAST
+    val forced = qe.optimizedPlan.collect { case j: LJoin =>
+      Seq(j.hint.leftHint, j.hint.rightHint).flatten.count(_.strategy.contains(BROADCAST))
+    }.sum
+    assert(forced === 1, s"expected only the centroid broadcast hint, got $forced")
+    // and the argmax must stay a hash aggregate — a struct-ordered max_by
+    // here silently plans as SortAggregateExec and sorts the N×nlist stream
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), s"assign argmax fell to SortAggregate:\n$plan")
+    assert(plan.contains("HashAggregate"), s"assign argmax lost its hash agg:\n$plan")
+  }
+
   test("simhash pigeonhole pairs equal the quadratic formulation") {
     import org.apache.spark.sql.functions._
     val sims = DedupQueries.dedupSimhash.run(spark, sf)

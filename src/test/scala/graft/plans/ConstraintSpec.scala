@@ -183,6 +183,12 @@ class ConstraintSpec extends AnyFunSuite {
       "INSERT INTO j2p_other VALUES (1, 'DE', 0); INSERT INTO j2p_other VALUES (1, 'DE', 1)")
     assert(joins("SELECT fk, val FROM j2p_fact JOIN j2p_other AS j2p_dim ON fk = k WHERE code = 'DE'") == 1,
       "alias shadowing the constrained dim stays a join")
+    // blocked: a nondeterministic conjunct (empty references, so it would
+    // otherwise land on the build side) must keep filtering per joined row —
+    // moving it into a once-evaluated scalar subquery would keep all-or-none
+    assert(joins("SELECT fk, val FROM j2p_fact JOIN j2p_dim ON fk = k " +
+      "WHERE code = 'DE' AND rand() < 2.0") == 1,
+      "nondeterministic conjunct must block the rewrite")
     // semi-join shape (DataFrame-level LEFT SEMI with the filter inside)
     assert(joins("SELECT fk, val FROM j2p_fact WHERE fk IN (SELECT k FROM j2p_dim WHERE code = 'DE')") == 0 ||
       p.sql("SELECT fk, val FROM j2p_fact WHERE fk IN (SELECT k FROM j2p_dim WHERE code = 'DE')")
