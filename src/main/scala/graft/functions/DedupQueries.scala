@@ -76,19 +76,36 @@ object DedupQueries {
     * Jaccard is SET semantics (distinct shingles) over the capped space on
     * both engines. */
   def ngramJaccardPairs(in: DataFrame, maxPostings: Long = MAX_POSTINGS): DataFrame = {
-    // Per-doc SET semantics map-side: array_distinct inside the row, no
-    // corpus-wide distinct shuffle. (An earlier draft exploded first and ran
-    // .distinct() + localCheckpoint over the full posting list — at the
-    // 1000× corpus that is a ~750M-row shuffle plus a ~12 GB block-manager
-    // write before any real work, and with two more checkpointed regroups it
-    // was the formulation whose shuffle scratch outgrew the box.)
+    // SHUFFLE BUDGET (the thing that actually kills this query at scale):
+    // every posting-level operation here moves the ~N·|doc| posting stream
+    // through a shuffle, so the formulation is organized to need exactly
+    // THREE posting-level shuffles and NO posting-level sort-merge join —
+    // measured on the 1000× corpus (260M postings), the previous shape (df
+    // computed in one agg, then JOINED back onto the postings, then the
+    // prefix index SELF-JOINED on the shingle) planned both joins as SMJ
+    // once the df table outgrew the broadcast threshold: 6 posting-sized
+    // shuffles plus two full-stream sorts, whose cumulative scratch (>63 GB)
+    // outgrew the box's disk twice. The three shuffles that remain:
+    //   1. postings → per-shingle POSTING LISTS (df = list length) — the df
+    //      attach is a map-side explode of the list, not a join;
+    //   2. (doc, s, df) → per-doc rarest-first arrays (the PPJoin order);
+    //   3. prefix entries → per-shingle prefix lists, with the candidate
+    //      pairs enumerated INSIDE each list row (nested higher-order
+    //      functions + the length filter), not by a stream×stream self-join.
+    // Per-doc SET semantics stay map-side: array_distinct inside the row, no
+    // corpus-wide distinct shuffle.
     val perDoc = hsgOf(in)
       .select(col("doc_id"), array_distinct(col("hsg")).as("ds"))
     val sh = TextFunctions.explodeNoReeval(perDoc, Seq(col("doc_id")), col("ds"), "s")
-    val dfBy = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    // shuffle 1 of 3: the inverted index rows themselves. df ≡ size(docs)
+    // because ds is already distinct per doc. Lists are bounded in the KEPT
+    // branch by the df cap; a pathological >cap shingle collects its list
+    // once here and is dropped by the filter before anything explodes it.
+    val posts = sh.groupBy("s")
+      .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("docs"))
     // tiny by construction (only shingles with df > cap) → one-row broadcast
     // global agg always yields one row; collect_list of zero rows is []
-    val hotArr = broadcast(dfBy.filter(col("df") > maxPostings)
+    val hotArr = broadcast(posts.filter(col("df") > maxPostings)
       .agg(collect_list(col("s")).as("hots")))
     // verify sets: ENTIRELY map-side (distinct shingles minus the hot set) —
     // the exact-verification joins read these doc-keyed rows without any
@@ -96,12 +113,11 @@ object DedupQueries {
     val sets = perDoc.crossJoin(hotArr)
       .select(col("doc_id"), array_except(col("ds"), col("hots")).as("ss"))
       .withColumn("n", size(col("ss")))
-    // prefix index: the ONLY posting-level regroup left — (doc_id, df, s)
-    // skinny rows, sorted rarest-first per doc, sliced to the prefix before
-    // anything downstream sees them
-    val kept = sh.join(broadcast(hotArr.select(explode(col("hots")).as("s"))),
-      Seq("s"), "left_anti")
-    val byDoc = kept.join(dfBy, Seq("s"))
+    // shuffle 2 of 3: re-key the capped postings by doc, df carried along
+    // from the list row (map-side explode — the old kept⋈dfBy SMJ is gone),
+    // into the per-doc rarest-first (df, s) arrays the prefix slices from
+    val byDoc = posts.filter(col("df") <= maxPostings)
+      .select(col("s"), col("df"), explode(col("docs")).as("doc_id"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("dfs"))
       .withColumn("n", size(col("dfs")))
@@ -111,14 +127,23 @@ object DedupQueries {
         slice(col("dfs"), lit(1),
           (col("n") - ceil(col("n") * lit(JACCARD_MIN)) + 1).cast("int")).as("pfx")),
       Seq(col("doc_id"), col("n")), transform(col("pfx"), x => x.getField("s")), "s")
-    // candidate pairs from prefix collisions, pruned by the PPJoin LENGTH
-    // filter before the dedup shuffle: J ≥ t forces t·na ≤ nb ≤ na/t, so
-    // wildly different-sized docs never reach verification
-    val cand = pref.as("pa")
-      .join(pref.as("pb"), col("pa.s") === col("pb.s") && col("pa.doc_id") < col("pb.doc_id")
-        && col("pb.n") * lit(JACCARD_MIN) <= col("pa.n")
-        && col("pa.n") * lit(JACCARD_MIN) <= col("pb.n"))
-      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+    // shuffle 3 of 3: prefix entries grouped per shingle; candidate pairs
+    // from prefix collisions are enumerated INSIDE the row (each list is
+    // ≤ cap entries by construction), pruned by the PPJoin LENGTH filter in
+    // the same lambda: J ≥ t forces t·na ≤ nb ≤ na/t, so wildly
+    // different-sized docs never materialize even as in-row pairs
+    val t = lit(JACCARD_MIN)
+    val cand = pref.groupBy("s")
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), a =>
+        transform(
+          filter(col("ps"), b =>
+            a.getField("doc_id") < b.getField("doc_id")
+              && b.getField("n") * t <= a.getField("n")
+              && a.getField("n") * t <= b.getField("n")),
+          b => struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b")))))).as("pr"))
+      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
       .distinct()
     // exact verification on the candidate pairs only (doc_id-keyed joins)
     val jac = col("c").cast("double") / (col("na") + col("nb") - col("c"))
