@@ -77,81 +77,81 @@ object DedupQueries {
     * both engines. */
   def ngramJaccardPairs(in: DataFrame, maxPostings: Long = MAX_POSTINGS): DataFrame = {
     // SHUFFLE BUDGET (the thing that actually kills this query at scale):
-    // every posting-level operation here moves the ~N·|doc| posting stream
-    // through a shuffle, so the formulation is organized to need exactly
-    // THREE posting-level shuffles and NO posting-level sort-merge join —
-    // measured on the 1000× corpus (260M postings), the previous shape (df
-    // computed in one agg, then JOINED back onto the postings, then the
-    // prefix index SELF-JOINED on the shingle) planned both joins as SMJ
-    // once the df table outgrew the broadcast threshold: 6 posting-sized
-    // shuffles plus two full-stream sorts, whose cumulative scratch (>63 GB)
-    // outgrew the box's disk twice. The three shuffles that remain:
-    //   1. postings → per-shingle POSTING LISTS (df = list length) — the df
-    //      attach is a map-side explode of the list, not a join;
-    //   2. (doc, s, df) → per-doc rarest-first arrays (the PPJoin order);
-    //   3. prefix entries → per-shingle prefix lists, with the candidate
-    //      pairs enumerated INSIDE each list row (nested higher-order
-    //      functions + the length filter), not by a stream×stream self-join.
+    // every posting-level operation moves the ~N·|doc| posting stream through
+    // a shuffle, so the formulation is the MapReduce set-similarity-join
+    // kernel of Vernica, Carey & Li (SIGMOD 2010): count per-pair posting
+    // collisions — the collision count over the capped shingle space IS the
+    // exact intersection size |sa ∩ sb|, so counting is also verification —
+    // with each posting carrying its doc's capped set size, packed into the
+    // doc key, so the Jaccard threshold applies INSIDE the aggregate and
+    // nothing doc-sized or array-valued ever joins or shuffles.
+    //
+    // Why not the earlier shapes (both measured on the 1000× corpus, 260M
+    // postings, and both ENOSPC'd >63 GB of cumulative scratch):
+    //  - df-join + prefix SELF-JOIN: once the df table outgrew the broadcast
+    //    threshold both joins planned as SMJ — six posting-sized shuffles
+    //    plus two full-stream sorts (at 100× the small sides broadcast,
+    //    hiding the cliff);
+    //  - prefix filter with in-row candidate pairs: at this family's t=0.2
+    //    the prefix keeps ~80 % of each doc, so prefix collisions produced
+    //    232M candidate PAIRS (events log, stage 34) — and exact array
+    //    verification then carries a ~450 B shingle array per candidate
+    //    through a pair-keyed shuffle, ~100 GB for 0.25M true pairs. Prefix
+    //    filtering earns its keep at t ≥ 0.7 where prefixes are short; at
+    //    low thresholds counting collisions outright is strictly leaner.
+    //
+    // The shape that remains needs THREE posting-level shuffles and no
+    // posting-level join of any kind:
+    //   1. per-shingle df (skinny codegen count agg) → the >cap hot set,
+    //      tiny by construction, broadcast;
+    //   2. hot-filtered postings (map-side array_except, sizes attached
+    //      map-side from the same row) → per-shingle posting LISTS;
+    //   3. in-row ordered pairs from each list (≤ cap entries) → one
+    //      count aggregate keyed by the packed pair, J-thresholded in the
+    //      same stage — emitted rows are FINAL results, ~|true pairs|.
     // Per-doc SET semantics stay map-side: array_distinct inside the row, no
     // corpus-wide distinct shuffle.
     val perDoc = hsgOf(in)
       .select(col("doc_id"), array_distinct(col("hsg")).as("ds"))
     val sh = TextFunctions.explodeNoReeval(perDoc, Seq(col("doc_id")), col("ds"), "s")
-    // shuffle 1 of 3: the inverted index rows themselves. df ≡ size(docs)
-    // because ds is already distinct per doc. Lists are bounded in the KEPT
-    // branch by the df cap; a pathological >cap shingle collects its list
-    // once here and is dropped by the filter before anything explodes it.
-    val posts = sh.groupBy("s")
-      .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("docs"))
+    val dfBy = sh.groupBy("s").agg(count(lit(1)).as("df"))
     // tiny by construction (only shingles with df > cap) → one-row broadcast
     // global agg always yields one row; collect_list of zero rows is []
-    val hotArr = broadcast(posts.filter(col("df") > maxPostings)
+    val hotArr = broadcast(dfBy.filter(col("df") > maxPostings)
       .agg(collect_list(col("s")).as("hots")))
-    // verify sets: ENTIRELY map-side (distinct shingles minus the hot set) —
-    // the exact-verification joins read these doc-keyed rows without any
-    // posting-level shuffle having touched them
-    val sets = perDoc.crossJoin(hotArr)
+    // capped per-doc sets, ENTIRELY map-side (distinct shingles minus the
+    // broadcast hot set); the capped size rides along on every posting,
+    // packed with the doc id into one long — packed order ≡ doc_id order
+    // (same doc ⇒ same n), so the in-row `a < b` below orders pairs exactly
+    // as the unpacked doc ids would. doc_id < 2³⁹ and n < 2²⁴ hold with nine
+    // orders of magnitude of headroom at 100 TB (n is shingles-per-document).
+    val PACK = 16777216L // 2^24
+    val pairs = perDoc.crossJoin(hotArr)
       .select(col("doc_id"), array_except(col("ds"), col("hots")).as("ss"))
-      .withColumn("n", size(col("ss")))
-    // shuffle 2 of 3: re-key the capped postings by doc, df carried along
-    // from the list row (map-side explode — the old kept⋈dfBy SMJ is gone),
-    // into the per-doc rarest-first (df, s) arrays the prefix slices from
-    val byDoc = posts.filter(col("df") <= maxPostings)
-      .select(col("s"), col("df"), explode(col("docs")).as("doc_id"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("dfs"))
-      .withColumn("n", size(col("dfs")))
-    // prefix = the n − ⌈t·n⌉ + 1 globally-rarest shingles of each doc
-    val pref = TextFunctions.explodeNoReeval(
-      byDoc.select(col("doc_id"), col("n"),
-        slice(col("dfs"), lit(1),
-          (col("n") - ceil(col("n") * lit(JACCARD_MIN)) + 1).cast("int")).as("pfx")),
-      Seq(col("doc_id"), col("n")), transform(col("pfx"), x => x.getField("s")), "s")
-    // shuffle 3 of 3: prefix entries grouped per shingle; candidate pairs
-    // from prefix collisions are enumerated INSIDE the row (each list is
-    // ≤ cap entries by construction), pruned by the PPJoin LENGTH filter in
-    // the same lambda: J ≥ t forces t·na ≤ nb ≤ na/t, so wildly
-    // different-sized docs never materialize even as in-row pairs
-    val t = lit(JACCARD_MIN)
-    val cand = pref.groupBy("s")
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ps"))
+      .select(col("doc_id"), size(col("ss")).cast("long").as("n"), explode(col("ss")).as("s"))
+      .select(col("s"), (col("doc_id").cast("long") * PACK + col("n")).as("p"))
+      .groupBy("s").agg(collect_list(col("p")).as("ps"))
+      // the df cap, applied on the LIST row before anything explodes it:
+      // same kept-set as the broadcast hot filter, and no list ever
+      // enumerates more than cap² in-row pairs
+      .filter(size(col("ps")) <= maxPostings)
       .select(explode(flatten(transform(col("ps"), a =>
-        transform(
-          filter(col("ps"), b =>
-            a.getField("doc_id") < b.getField("doc_id")
-              && b.getField("n") * t <= a.getField("n")
-              && a.getField("n") * t <= b.getField("n")),
-          b => struct(a.getField("doc_id").as("doc_a"),
-            b.getField("doc_id").as("doc_b")))))).as("pr"))
-      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
-      .distinct()
-    // exact verification on the candidate pairs only (doc_id-keyed joins)
-    val jac = col("c").cast("double") / (col("na") + col("nb") - col("c"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa"), col("n").as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb"), col("n").as("nb")), "doc_b")
-      .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        transform(filter(col("ps"), b => a < b),
+          b => struct(a.as("pa"), b.as("pb")))))).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+    // one count aggregate keyed by the packed pair: c = exact |sa ∩ sb| over
+    // the capped shingle space (each shared kept shingle contributes exactly
+    // one collision); sizes unpack from the keys and the threshold applies in
+    // the same stage — the aggregate's output IS the result set (~true
+    // pairs), never the collision superset
+    // bit unpack (exact at any doc_id, unlike a double-rounding division)
+    val na = col("pa").bitwiseAND(PACK - 1)
+    val nb = col("pb").bitwiseAND(PACK - 1)
+    val jac = col("c").cast("double") / (na + nb - col("c"))
+    pairs.groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+      .select(shiftright(col("pa"), 24).as("doc_a"),
+        shiftright(col("pb"), 24).as("doc_b"),
+        jac.as("jaccard"))
       .filter(col("jaccard") >= JACCARD_MIN)
   }
 
