@@ -86,16 +86,19 @@ object AnnIndex {
     * it must never trigger a retrain. The FLOOR is 4; the effective default
     * scales with the cell count ([[effectiveNprobe]]): a fixed nprobe over
     * √N cells probes a vanishing fraction of the store as N grows — measured
-    * at 2M (nlist=1414), nprobe=4 plateaued at recall 0.87 while the
-    * nlist/64 rule (22 cells ≈ 1.6 % of the store) recovers the tail at
-    * probe cost still far under the exact scan. */
+    * at 2M (nlist=1414), nprobe=4 plateaued at recall@3 0.87 and nlist/64
+    * (22 cells) at 0.90; nlist/16 (88 cells ≈ 6 % of the store) recovers the
+    * routing tail past 0.95 at probe cost still under the exact scan —
+    * probe latency here is fixed-overhead-dominated (cell ranking + file
+    * listing), so 4× the cells costs almost nothing while the candidate
+    * compute stays ~nprobe·√N rows. */
   private[functions] val SCALED_NPROBE = 4
 
-  /** nprobe ≈ max(4, nlist/64) — FAISS-style guidance (probe ~1-2 % of the
-    * cells for ≥0.95 recall on mid-dim embeddings), kept integer and
-    * engine-portable so the DuckDB twin computes the identical value. */
+  /** nprobe ≈ max(4, nlist/16) — measured at the 2M spread store (see
+    * above); kept integer and engine-portable so the DuckDB twin computes
+    * the identical value. */
   private[functions] def effectiveNprobe(nlist: Long): Int =
-    math.max(SCALED_NPROBE.toLong, nlist / 64).toInt
+    math.max(SCALED_NPROBE.toLong, nlist / 16).toInt
 
   /** nlist ≈ √N (FAISS's rule of thumb): cells stay ~√N rows, so a probe
     * touches O(nprobe·√N) vectors instead of N. The oracle-gated inline

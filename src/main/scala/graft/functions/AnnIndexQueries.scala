@@ -43,7 +43,7 @@ object AnnIndexQueries {
     * the twin below recomputes the ENTIRE scaled derivation in SQL: the
     * √N/64-bounded cell count and sample stride from COUNT(*), the seeded
     * sample-trained Lloyd rounds, the full-corpus assignment, per-query cell
-    * ranking at the same max(4, nlist/64) nprobe, and the exact in-cell
+    * ranking at the same max(4, nlist/16) nprobe, and the exact in-cell
     * cosine top-k. Training is deterministic, so the stored index must answer
     * row-identically — which makes "the scaled index answers exactly what the
     * scaled derivation defines" the gated property (recall quality vs exact
@@ -69,7 +69,7 @@ object AnnIndexQueries {
          |  SELECT vec_id, ${quantizeSql("embedding")} AS qe FROM embeddings
          |), prm AS (
          |  SELECT nlist, GREATEST(1, n // (nlist * 64)) AS ev,
-         |         GREATEST(4, nlist // 64) AS np
+         |         GREATEST(4, nlist // 16) AS np
          |  FROM (SELECT COUNT(*) AS n,
          |          GREATEST(8, LEAST(2048, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) AS nlist
          |        FROM quant)
