@@ -217,7 +217,16 @@ object TpchFullQueries {
     perPart.join(broadcast(threshold)) // 1-row scalar → broadcast nested loop
       .filter(col("value_dec") > col("thr"))
       .select(col("l_partkey"), asDouble(col("value_dec")).as("part_value"))
-      .orderBy(col("part_value").desc, col("l_partkey"))
+      // presentation sort WITHOUT RangePartitioning: a global orderBy here
+      // samples its child to pick range bounds, and the child is the whole
+      // BNLJ + 20M-group final aggregate — measured at SF100, the sampling
+      // pass re-read the 7.9 GB per-part exchange and re-ran the aggregate a
+      // second time just to place ~100 rows. The survivor count is PROVABLY
+      // ≤ ⌈1/0.0007⌉ = 1429 at any scale (at most that many parts can exceed
+      // a 0.0007-of-total threshold), so a single-partition sort is the
+      // scale-safe plan: one tiny exchange, one in-memory sort, no sampling.
+      .repartition(1)
+      .sortWithinPartitions(col("part_value").desc, col("l_partkey"))
   }
 
   /** Q12 — shipping-priority classes for late lines (shipmode → linestatus,
