@@ -41,8 +41,9 @@ object AnnIndexQueries {
     * cells, scale-aware nprobe) — the production retrieval tier. Unlike its
     * fixed-NLIST siblings it has no inline twin to borrow an oracle from, so
     * the twin below recomputes the ENTIRE scaled derivation in SQL: the
-    * √N/64-bounded cell count and sample stride from COUNT(*), the seeded
-    * sample-trained Lloyd rounds, the full-corpus assignment, per-query cell
+    * [8, 2048]-bounded √N cell count and the 64·nlist sample stride from
+    * COUNT(*), the seeded sample-trained Lloyd rounds, the full-corpus
+    * assignment, per-query cell
     * ranking at the same max(4, nlist/16) nprobe, and the exact in-cell
     * cosine top-k. Training is deterministic, so the stored index must answer
     * row-identically — which makes "the scaled index answers exactly what the
