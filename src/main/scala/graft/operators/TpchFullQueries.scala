@@ -51,7 +51,16 @@ object TpchFullQueries {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .select("s_suppkey", "s_name")
     val l = t(s, dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    // Semi-reduce by the filtered part dimension BEFORE the per-part min and
+    // the self-join: only p_size=15 partkeys (~2 % of parts) can reach the
+    // final result, and restricting the group-by input to those keys cannot
+    // change their per-key minima — the other 98 % of groups were computed
+    // only to be discarded. Cuts both big inputs ~50× (same broadcast-dim
+    // convention as `sup`: part is an SF-proportional dimension, the 2 %
+    // slice stays broadcastable wherever supplier/5 is).
     val europeLines = l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(p.select("p_partkey").withColumnRenamed("p_partkey", "sr_partkey")),
+        col("l_partkey") === col("sr_partkey"), "left_semi")
     // decorrelated scalar-min: one aggregate per part, reused by the equi join
     val minPrice = europeLines.groupBy("l_partkey")
       .agg(min(col("l_extendedprice")).as("min_price"))

@@ -65,7 +65,15 @@ object TpchQueries {
     val o = t(s, dir, "orders")
       .filter(col("o_orderdate") >= "1996-01-01 00:00:00" && col("o_orderdate") < "1997-01-01 00:00:00")
     val l = t(s, dir, "lineitem")
-    o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"), "left_semi")
+    // EXISTS(line with l_shipdate > o_orderdate) ⇔ per-order MAX(l_shipdate)
+    // exceeds o_orderdate: the max is itself a shipdate of some line, and any
+    // qualifying line bounds the max from below. Pre-aggregating turns the
+    // semi join's full-lineitem shuffle (~600 M (orderkey, shipdate) rows at
+    // SF100) into a partial-agg exchange the map side combines ~4× (lines of
+    // an order are file-adjacent), with the orders join reusing the agg's
+    // orderkey partitioning.
+    val lastShip = l.groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("max_ship"))
+    o.join(lastShip, o("o_orderkey") === col("l_orderkey") && col("max_ship") > o("o_orderdate"), "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
       .orderBy("o_orderpriority")
@@ -149,15 +157,26 @@ object TpchQueries {
       |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+    // Eager aggregation: revenue is summed per o_custkey BEFORE the customer
+    // join. c_custkey is unique in customer, so (c_custkey, c_name, n_name)
+    // groups are 1:1 with custkeys and the post-join aggregate is redundant;
+    // exact-decimal addition keeps the double hash-identical. This turns the
+    // custkey exchange from ~60 M wide rows (revenue terms + customer strings
+    // at SF100) into ≤|custkey| narrow (key, decimal) pairs, and the final
+    // top-20 is a TakeOrderedAndProject over a 1:1 join.
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders").filter(col("o_orderdate") >= "1997-01-01 00:00:00")
+      .select("o_orderkey", "o_custkey")
     val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
     val n = t(s, dir, "nation")
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
+    val perCust = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("rev_dec"))
+    perCust.join(c, col("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .groupBy("c_custkey", "c_name", "n_name")
-      .agg(asDouble(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        asDouble(col("rev_dec")).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -184,8 +203,19 @@ object TpchQueries {
   }
 
   /** Q18 — large volume customers: HAVING over a fact-side group-by joined back.
-    * The groupBy(l_orderkey) and the join to orders share the orderkey hash
-    * partitioning — one shuffle serves both at scale. */
+    *
+    * Eager aggregation: lineitem is pre-aggregated per l_orderkey BEFORE any
+    * join, so the HAVING filter (≈1.5 % of orders qualify at the measured
+    * selectivity) shrinks the stream to two narrow columns before orders or
+    * customer are touched. Sound because o_orderkey is unique in orders (the
+    * 1:N join cannot change per-order sums) and exact-decimal addition is
+    * join-order invariant, so the hash-compared doubles are bit-identical.
+    * The old join-first plan shuffled every lineitem row (with order/customer
+    * attributes riding along) into a compound-key aggregate — at SF100 that
+    * was the #1 heavy-tail query (112 s); this shape leaves one partial-agg
+    * shuffle of lineitem and one orders-side exchange, both narrow. No
+    * broadcast hints: the qualifying set grows with SF (~2.3 M keys at
+    * SF100), so AQE decides broadcast-vs-shuffle from runtime sizes. */
   val q18LargeVolume: Q = Q(
     "tpch_q18_large_volume",
     """SELECT c_custkey, o_orderkey,
@@ -200,11 +230,11 @@ object TpchQueries {
     val o = t(s, dir, "orders")
     val l = t(s, dir, "lineitem")
     val c = t(s, dir, "customer")
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
-      .groupBy(col("c_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val qualifying = l.groupBy(col("l_orderkey"))
       .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
       .filter(col("qty_dec") > 250)
+    qualifying.join(o, col("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .select(col("c_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
         asDouble(col("qty_dec")).as("total_qty"))
