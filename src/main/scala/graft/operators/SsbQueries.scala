@@ -131,11 +131,27 @@ object SsbQueries {
        |WHERE $geoCondSql AND $dateCondSql
        |GROUP BY c_nation, s_nation, d_year
        |ORDER BY d_year, revenue DESC, c_nation, s_nation""".stripMargin) { (s, dir) =>
-    lineorder(s, dir).filter(dateF)
-      .join(custF(custNation(s, dir)), col("o_custkey") === col("c_custkey"))
+    // Eager aggregation ahead of the customer join: c_custkey is unique in
+    // customer and only c_nation comes from it, so revenue can be summed per
+    // (custkey, s_nation, year) BEFORE the custkey exchange — the supplier
+    // side resolves first via the broadcast dim, then the per-customer
+    // pre-agg collapses the surviving join rows (~4 lines/order × several
+    // orders/customer-year) so the customer join shuffles narrow (key,
+    // nation, year, decimal) rows instead of every joined lineitem. The
+    // customer side itself is SF-proportional (15 M rows at SF100) and must
+    // shuffle — shrinking the fact side is what's available. Exact-decimal
+    // re-summation keeps the double bit-identical.
+    val lines = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(supF(supNation(s, dir)), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("c_nation"), col("s_nation"), year(col("o_orderdate")).as("d_year"))
-      .agg(netRevenue.as("revenue"))
+    val perCust = lines
+      .join(t(s, dir, "orders").filter(dateF).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("s_nation"), year(col("o_orderdate")).as("d_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("rev_dec"))
+    perCust.join(custF(custNation(s, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nation"), col("s_nation"), col("d_year"))
+      .agg(asDouble(sum(col("rev_dec"))).as("revenue"))
       .orderBy(col("d_year"), col("revenue").desc, col("c_nation"), col("s_nation"))
   }
 
@@ -175,15 +191,32 @@ object SsbQueries {
        |WHERE c_region = 'AMERICA' AND s_region = 'AMERICA'
        |  AND p_type IN ('ECONOMY','STANDARD')
        |GROUP BY d_year, c_nation ORDER BY d_year, c_nation""".stripMargin) { (s, dir) =>
-    lineorder(s, dir)
-      .join(broadcast(t(s, dir, "part").filter(col("p_type").isin("ECONOMY", "STANDARD"))),
+    // Same eager-aggregation shape as flight 3: both broadcast dims resolve
+    // per-line profit terms first, profit is pre-summed per (custkey, year)
+    // after the orderkey join, and only then does the SF-proportional
+    // customer dim join — on a collapsed narrow stream instead of every
+    // joined lineitem row. Exact-decimal re-summation, bit-identical double.
+    val lines = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity")
+      .join(broadcast(t(s, dir, "part").filter(col("p_type").isin("ECONOMY", "STANDARD"))
+          .select("p_partkey", "p_retailprice")),
         col("l_partkey") === col("p_partkey"))
-      .join(custNation(s, dir).filter(col("c_region") === "AMERICA"),
-        col("o_custkey") === col("c_custkey"))
       .join(supNation(s, dir).filter(col("s_region") === "AMERICA"),
         col("l_suppkey") === col("s_suppkey"))
-      .groupBy(year(col("o_orderdate")).as("d_year"), col("c_nation"))
-      .agg(profit.as("profit"))
+      .select(col("l_orderkey"),
+        (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          - lit("0.6").cast("decimal(2,1)") * dec(col("p_retailprice")) * dec(col("l_quantity")))
+          .as("profit_term"))
+    val perCust = lines
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("d_year"))
+      .agg(sum(col("profit_term")).as("profit_dec"))
+    perCust.join(custNation(s, dir).filter(col("c_region") === "AMERICA"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("d_year"), col("c_nation"))
+      .agg(asDouble(sum(col("profit_dec"))).as("profit"))
       .orderBy("d_year", "c_nation")
   }
 
@@ -198,11 +231,19 @@ object SsbQueries {
        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
        |GROUP BY d_year, s_nation, p_type ORDER BY d_year, s_nation, p_type""".stripMargin) { (s, dir) =>
-    lineorder(s, dir)
+    // No customer COLUMN reaches the output — the customer join is a pure
+    // region filter, and c_custkey's uniqueness means inner ≡ semi. Semi-
+    // reducing ORDERS (the narrow 2-column side) by the AMERICA custkeys
+    // replaces the old plan's custkey exchange of every joined lineitem row;
+    // the fact join then runs once on the pre-filtered orders.
+    val americaOrders = t(s, dir, "orders")
       .filter(col("o_orderdate") >= "1997-01-01 00:00:00" && col("o_orderdate") < "1999-01-01 00:00:00")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(custNation(s, dir).filter(col("c_region") === "AMERICA").select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+    t(s, dir, "lineitem")
+      .join(americaOrders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
-      .join(custNation(s, dir).filter(col("c_region") === "AMERICA"),
-        col("o_custkey") === col("c_custkey"))
       .join(supNation(s, dir).filter(col("s_region") === "AMERICA"),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("d_year"), col("s_nation"), col("p_type"))

@@ -65,15 +65,13 @@ object TpchQueries {
     val o = t(s, dir, "orders")
       .filter(col("o_orderdate") >= "1996-01-01 00:00:00" && col("o_orderdate") < "1997-01-01 00:00:00")
     val l = t(s, dir, "lineitem")
-    // EXISTS(line with l_shipdate > o_orderdate) ⇔ per-order MAX(l_shipdate)
-    // exceeds o_orderdate: the max is itself a shipdate of some line, and any
-    // qualifying line bounds the max from below. Pre-aggregating turns the
-    // semi join's full-lineitem shuffle (~600 M (orderkey, shipdate) rows at
-    // SF100) into a partial-agg exchange the map side combines ~4× (lines of
-    // an order are file-adjacent), with the orders join reusing the agg's
-    // orderkey partitioning.
-    val lastShip = l.groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("max_ship"))
-    o.join(lastShip, o("o_orderkey") === col("l_orderkey") && col("max_ship") > o("o_orderdate"), "left_semi")
+    // Deliberately NOT pre-aggregated: an eager per-order MAX(l_shipdate)
+    // would have to aggregate the FULL fact (no filter reaches lineitem),
+    // while the semi join benefits from the runtime bloom filter built off
+    // the 1/7-filtered orders side, which prunes most lineitem rows before
+    // the exchange. Measured at SF100 (same layout/data, solo best-of-2):
+    // semi join 22.5 s vs eager-agg variant 53.6 s.
+    o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"), "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
       .orderBy("o_orderpriority")
