@@ -131,27 +131,18 @@ object SsbQueries {
        |WHERE $geoCondSql AND $dateCondSql
        |GROUP BY c_nation, s_nation, d_year
        |ORDER BY d_year, revenue DESC, c_nation, s_nation""".stripMargin) { (s, dir) =>
-    // Eager aggregation ahead of the customer join: c_custkey is unique in
-    // customer and only c_nation comes from it, so revenue can be summed per
-    // (custkey, s_nation, year) BEFORE the custkey exchange — the supplier
-    // side resolves first via the broadcast dim, then the per-customer
-    // pre-agg collapses the surviving join rows (~4 lines/order × several
-    // orders/customer-year) so the customer join shuffles narrow (key,
-    // nation, year, decimal) rows instead of every joined lineitem. The
-    // customer side itself is SF-proportional (15 M rows at SF100) and must
-    // shuffle — shrinking the fact side is what's available. Exact-decimal
-    // re-summation keeps the double bit-identical.
-    val lines = t(s, dir, "lineitem")
-      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    // Deliberately NOT eager-aggregated (unlike q4_1): a pre-agg keyed on
+    // (custkey, s_nation, d_year) barely collapses — a customer's handful of
+    // orders spread across nation×year cells leave ~1-2 lines per group, so
+    // the extra ~70M-group hash agg is pure overhead. Measured at SF100
+    // (same layout/data, solo best-of-2): join-first 45.1 s vs eager-agg
+    // variant 100.9 s. Eager aggregation pays only when the group count is
+    // far below the input row count (see q4_1, where it wins 3.4×).
+    lineorder(s, dir).filter(dateF)
+      .join(custF(custNation(s, dir)), col("o_custkey") === col("c_custkey"))
       .join(supF(supNation(s, dir)), col("l_suppkey") === col("s_suppkey"))
-    val perCust = lines
-      .join(t(s, dir, "orders").filter(dateF).select("o_orderkey", "o_custkey", "o_orderdate"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey"), col("s_nation"), year(col("o_orderdate")).as("d_year"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("rev_dec"))
-    perCust.join(custF(custNation(s, dir)), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_nation"), col("s_nation"), col("d_year"))
-      .agg(asDouble(sum(col("rev_dec"))).as("revenue"))
+      .groupBy(col("c_nation"), col("s_nation"), year(col("o_orderdate")).as("d_year"))
+      .agg(netRevenue.as("revenue"))
       .orderBy(col("d_year"), col("revenue").desc, col("c_nation"), col("s_nation"))
   }
 

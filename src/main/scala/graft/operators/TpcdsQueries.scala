@@ -133,31 +133,28 @@ object TpcdsQueries {
        |ORDER BY channel NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
     // TPC-DS unions per-channel SCANS because its channels are distinct
     // tables; here both channels derive from one fact, so the Spark-first
-    // plan reads it ONCE and derives the channel column (the oracle keeps
-    // the spec-shaped UNION ALL and hash-matches).
-    // Eager aggregation: only o_orderpriority comes from orders, and
-    // o_orderkey is unique there, so summing rev/count per (orderkey,
-    // channel) BEFORE the join cannot change any rollup cell — it collapses
-    // the fact side of the orderkey exchange ~4× (avg lines/order) to two
-    // narrow decimal columns, and exact-decimal re-summation keeps the
-    // final doubles bit-identical. The join-first shape made this the #1
-    // SF100 item (~109 s solo): every lineitem row shuffled with the order
-    // attribute riding along.
+    // plan reads and joins it ONCE and derives the channel column — half the
+    // scan and shuffle cost for identical rows (the oracle keeps the
+    // spec-shaped UNION ALL and hash-matches).
+    // Deliberately NOT eager-aggregated: a per-(orderkey, channel) pre-agg
+    // makes ~250M groups from 600M rows (≈2.4× collapse) — the giant hash
+    // agg costs more than it saves when the join-first plan aggregates the
+    // narrow joined stream straight down to ~12 rollup cells. Measured at
+    // SF100 (same layout/data, solo best-of-2): join-first 87.8 s vs
+    // eager-agg variant 130.5 s. Contrast ssb_q4_1, where selective
+    // broadcast dims shrink the fact BEFORE a low-cardinality pre-agg and
+    // eager aggregation wins 3.4×.
     // rollup takes Column args, not names: the String overload resolves via
     // Dataset.col whose dataset-id tag falsely triggers the ambiguous-self-
     // join check under Expand when the input contains a join (Spark 4.1.2);
     // toDF after agg re-keys the attributes so the final sort resolves clean
-    val perOrderChannel = t(s, dir, "lineitem")
-      .select(col("l_orderkey"),
+    lineorder(s, dir)
+      .select(
         when(col("l_returnflag") === "R", "returns").otherwise("catalog").as("channel"),
+        col("o_orderpriority"),
         when(col("l_returnflag") === "R", -netRev).otherwise(netRev).as("rev"))
-      .groupBy(col("l_orderkey"), col("channel"))
-      .agg(sum(col("rev")).as("rev_dec"), count(lit(1)).as("n_lines"))
-    perOrderChannel
-      .join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-        col("l_orderkey") === col("o_orderkey"))
       .rollup(col("channel"), col("o_orderpriority"))
-      .agg(asDouble(sum(col("rev_dec"))).as("revenue"), sum(col("n_lines")).as("n"))
+      .agg(asDouble(sum(col("rev"))).as("revenue"), count(lit(1)).as("n"))
       .toDF("channel", "o_orderpriority", "revenue", "n")
       .orderBy(col("channel").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
