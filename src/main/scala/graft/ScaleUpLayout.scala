@@ -82,14 +82,88 @@ object ScaleUpLayout {
     println(s"done: ${dirBytes(dst) >> 20}MiB total at $dst")
   }
 
+  /** Facts that get the durable bucketed layout, with their bucket key. */
+  private val bucketFactsSpec = Seq("lineitem" -> "l_orderkey", "orders" -> "o_orderkey")
+
+  /** PRODUCTION post-pass: persist lineitem+orders hash-bucketed (and
+    * per-bucket sorted) by orderkey, registered for any session via
+    * `_layout/<table>.sql` (consumed by [[Tables.df]]). Both facts share ONE
+    * bucket count so every orderkey fact⋈fact join — q18/q12/q4/q21, the
+    * entire SF100 heavy tail — runs with zero data-sized exchanges, and the
+    * per-order aggregations above those joins reuse the same partitioning
+    * (HashPartitioning on a subset of the grouping keys satisfies the
+    * clustered distribution). Proven at sf1 in round 7 (q18 −49 %, zero hash
+    * exchanges, BENCH_r7_bucketed_sf1.json); this promotes it into the layout
+    * every scale build ships. The hive partitioning of the flat layout
+    * (returnflag / orderpriority) is kept when the source carries it, so
+    * static partition pruning (e.g. q10's l_returnflag = 'R') survives the
+    * move. Bucket count scales with data (~256 MiB of source parquet per
+    * bucket, power of two, min 32): at 100 TB that's thousands of buckets,
+    * exactly what a 1000-executor scan wants; scan-only queries are NOT
+    * capped at the bucket count because Spark's auto-bucketed-scan rule
+    * splits files normally when no operator needs the bucket partitioning. */
+  def bucketFacts(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  buckets0: Int = 0): Int = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StructType
+    import java.nio.charset.StandardCharsets.UTF_8
+    val liBytes = dirBytes(s"$dir/lineitem.parquet")
+    val buckets = if (buckets0 > 0) buckets0 else {
+      val ideal = math.max(1L, liBytes / (256L << 20))
+      var b = 32; while (b < ideal && b < 4096) b <<= 1; b
+    }
+    bucketFactsSpec.foreach { case (t, key) =>
+      val flat = spark.read.parquet(s"$dir/$t.parquet")
+      // keep the flat layout's hive partitioning iff the source has it
+      val partCol = partCols.get(t).filter { c =>
+        val d = Paths.get(s"$dir/$t.parquet")
+        Files.isDirectory(d) && {
+          val s = Files.list(d)
+          try s.anyMatch(p => p.getFileName.toString.startsWith(s"$c="))
+          finally s.close()
+        }
+      }
+      val tbl = Tables.bucketTableName(dir, t)
+      val path = s"$dir/_bucketed/$t"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val w0 = flat.repartition(buckets, col(key)).write.mode("overwrite")
+        .option("path", path).bucketBy(buckets, key).sortBy(key).format("parquet")
+      partCol.fold(w0)(w0.partitionBy(_)).saveAsTable(tbl)
+      // cross-session DDL: partition columns must come last in the declared
+      // schema (that is where saveAsTable put them in the files' layout)
+      val dataFields = flat.schema.fields.filterNot(f => partCol.contains(f.name))
+      val schema = StructType(dataFields ++ flat.schema.fields.filter(f => partCol.contains(f.name)))
+      val ddl = s"CREATE TABLE IF NOT EXISTS $tbl (${schema.toDDL}) USING PARQUET" +
+        partCol.fold("")(c => s" PARTITIONED BY ($c)") +
+        s" CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS" +
+        s" LOCATION '$path'"
+      val stmts = Seq(ddl) ++ partCol.map(_ => s"MSCK REPAIR TABLE $tbl")
+      Files.createDirectories(Paths.get(dir, "_layout"))
+      Files.write(Paths.get(dir, "_layout", s"$t.sql"),
+        stmts.mkString(";\n").getBytes(UTF_8))
+      println(s"bucketed $t: $buckets buckets on $key" +
+        partCol.fold("")(c => s", hive-partitioned by $c") +
+        s" -> ${dirBytes(path) >> 20}MiB at $path")
+    }
+    buckets
+  }
+
   def main(args: Array[String]): Unit = {
-    val (src, dst) = (args(0), args(1))
-    val factor = args.lift(2).map(_.toInt).getOrElse(1000)
+    // --bucket-only <dir> [buckets]: add the bucketed layout to an EXISTING
+    // scaled dir without rebuilding it
+    val bucketOnly = args.headOption.contains("--bucket-only")
     val spark = GraftSession.tuned(
       SparkSession.builder().master("local[32]").appName("graft-scale-up-layout"),
       shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    writeScaled(spark, src, dst, factor)
+    if (bucketOnly) {
+      bucketFacts(spark, args(1), args.lift(2).map(_.toInt).getOrElse(0))
+    } else {
+      val (src, dst) = (args(0), args(1))
+      val factor = args.lift(2).map(_.toInt).getOrElse(1000)
+      writeScaled(spark, src, dst, factor)
+      bucketFacts(spark, dst) // the bucketed facts ARE the production layout
+    }
     spark.stop()
   }
 }

@@ -15,6 +15,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Catalog name for a bucketed fact table under `dir` — suffixed with a
+    * hash of the absolute dataset path so two dataset dirs read in one
+    * session never collide in the session catalog. */
+  def bucketTableName(dir: String, name: String): String = {
+    val abs = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+    f"graft_buck_${name}%s_${abs.hashCode & 0x7fffffff}%08x"
+  }
+
   def df(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet has shipped with two physical types for `ts`:
     // TIMESTAMP(NANOS) (rejected by Spark's reader unless read as a
@@ -23,8 +31,36 @@ object Tables {
     // long, `ts DIV 1000` == DuckDB's `epoch_us(ts)` — so normalize here.
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val raw = bucketed(spark, dir, name)
+      .getOrElse(spark.read.parquet(s"$dir/$name.parquet"))
     if (name == "events") normalizeEventTs(raw) else raw
+  }
+
+  /** Bucketed-layout hook: a dataset dir built by [[ScaleUpLayout]] carries
+    * `_layout/<table>.sql` — an idempotent DDL script registering the
+    * hash-bucketed copy of the table as an EXTERNAL catalog table (bucket
+    * metadata lives in the catalog, not in parquet, so a fresh session must
+    * replay the DDL before the zero-exchange bucketed join kicks in). The
+    * driver's fixture dirs carry no manifest and fall through to the flat
+    * path unchanged; `SPARK_GRAFT_FLAT=1` forces the flat read for layout
+    * A/Bs on a manifest-carrying dir. At 100 TB this is the production
+    * co-location story: both fact tables bucketed by orderkey join and
+    * pre-aggregate with ZERO data-sized exchanges, paying the partitioning
+    * shuffle once at ingest instead of once per query (the durable-storage
+    * answer to the reference's per-execution radix partitioning,
+    * reference: src/lib/operators/join_hash_steps.hpp:59-100). */
+  private def bucketed(spark: SparkSession, dir: String, name: String): Option[DataFrame] = {
+    import java.nio.file.{Files, Paths}
+    val ddlPath = Paths.get(dir, "_layout", s"$name.sql")
+    if (!Files.exists(ddlPath) || sys.env.get("SPARK_GRAFT_FLAT").contains("1")) None
+    else {
+      val tbl = bucketTableName(dir, name)
+      if (!spark.catalog.tableExists(tbl)) {
+        val script = new String(Files.readAllBytes(ddlPath), java.nio.charset.StandardCharsets.UTF_8)
+        script.split(";\n").map(_.trim).filter(_.nonEmpty).foreach(spark.sql(_))
+      }
+      Some(spark.table(tbl))
+    }
   }
 
   /** Rewrite `ts` to a nanosecond-epoch long whatever the file carried.
