@@ -1,0 +1,411 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+
+/** Eager aggregation (Yan & Larson, VLDB '94): push a group-by below a
+  * PK-side join so the fact stream collapses BEFORE the join's exchange
+  * moves it. The reference packages every such rewrite as an optimizer rule
+  * (reference: src/lib/optimizer/strategy/, e.g.
+  * dependent_group_by_reduction_rule.cpp follows the same strategy-rule
+  * shape); round 12 established the firing condition empirically with eight
+  * same-session SF100 A/Bs — this rule encodes the measured heuristic so the
+  * 1.75–4× wins apply to arbitrary user SQL, not just the hand-tuned query
+  * bodies.
+  *
+  * Soundness (why the rewrite cannot change results):
+  *  - the join is INNER with a single `fact.k = other.k'` equi-conjunct and
+  *    the other side is provably UNIQUE on `k'` (declared PRIMARY KEY/UNIQUE
+  *    traced through row-identity-preserving shapes, including PK–FK joins
+  *    that cannot duplicate rows) — so each pre-aggregated group matches at
+  *    most one other-side row, and matches it for ALL of its rows or none
+  *    (group key ⊇ join key). Pre-aggregation therefore commutes with the
+  *    join.
+  *  - every aggregate is a decomposable SUM/MIN/MAX/COUNT without DISTINCT
+  *    or FILTER, over fact-side columns only; the final aggregate re-merges
+  *    partials (SUM of sums cast back to the original type, SUM of counts,
+  *    MIN of mins, MAX of maxes), which is exact for MIN/MAX/COUNT and for
+  *    SUM over exact types (Spark sums DECIMAL/integral exactly in any
+  *    order; for floats the pre-agg only fixes one particular addition
+  *    order, which Spark's partial aggregation does not promise anyway).
+  *  - all grouping and aggregate expressions are deterministic, and each
+  *    grouping expression belongs wholly to one join side.
+  *
+  * The measured firing condition (round 12, SF100, solo best-of-2 A/Bs):
+  * pre-aggregation pays iff the estimated GROUP COUNT is far below the
+  * input row count AND no selective filter sits on the unique side — a
+  * filtered unique side feeds the join a runtime bloom/DPP filter that
+  * prunes the un-aggregated stream for free, which a pre-aggregate placed
+  * below the join forfeits (tpch_q4: bloom-pruned semi join 22.5 s vs
+  * eager variant 53.6 s). Estimates come from declared keys + catalog row
+  * counts (ANALYZE TABLE), so the rule is CBO-gated like the reference's
+  * cost-based strategies and stays silent when statistics are absent:
+  *
+  *  - input rows: catalog rowCount at the leaves, a documented 1/3
+  *    selectivity per data predicate, and fact-row preservation through
+  *    unique-side joins (scaled by the unique side's own filter
+  *    selectivity).
+  *  - group count: per table instance whose PRIMARY KEY is among the keys,
+  *    the instance's row count bounds ALL its key columns (the dependent-
+  *    group-by argument); a lone FK key is bounded by its referenced
+  *    table's row count; datetime extractions get small constant NDVs;
+  *    anything else refuses (conservative).
+  *  - fire iff estimated collapse = input / groups ≥ 3.0 and the unique
+  *    side carries no data filter.
+  *
+  * Calibration against the round-12 ground truth (sf0.01 fixtures; ratios
+  * are scale-free because the decade scale-up preserves per-key
+  * cardinality): tpch_q18 fires at both join levels (true collapse 4.07),
+  * tpch_q10 fires below its nation join (true collapse 9.35) and correctly
+  * refuses the l⋈o level (1.81, and orders is filtered); ssb_q3_1 (1.25)
+  * and tpcds_q5 (rollup over a near-key grouping) refuse on stats;
+  * tpch_q4's EXISTS shape never matches (semi join). Deliberate
+  * conservative divergence: ssb_q4_1's hand-kept pre-agg (true collapse
+  * 1.42 — BELOW ssb_q3_1-adjacent noise) is refused; its measured 3.4× win
+  * is row-width/plan-structure-driven, which no honest row-count gate can
+  * see, so that query keeps its hand-written shape instead
+  * (operators/SsbQueries.scala). */
+class EagerAggregation(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private val MinCollapse = 3.0
+  private val DefaultFilterSel = 0.33
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!spark.sessionState.conf.cboEnabled) plan
+    else plan.transformUp { case a: Aggregate => tryRewrite(a).getOrElse(a) }
+
+  // ------------------------------------------------------------ rewrite
+
+  /** Matches the aggregate directly over the join, and the pre-pushdown SQL
+    * shape where the WHERE still sits between them: fact-side conjuncts are
+    * pushed into the pre-aggregate's input (the pushdown the optimizer would
+    * do anyway); an other-side conjunct above the join means the unique side
+    * is effectively filtered — the forfeited-runtime-prune bail — and a
+    * mixed conjunct is not pushable, so both refuse. */
+  private def tryRewrite(a: Aggregate): Option[LogicalPlan] = a.child match {
+    case j: Join => tryJoin(a, j, None)
+    case Filter(cond, j: Join) => tryJoin(a, j, Some(cond))
+    case _ => None
+  }
+
+  private def tryJoin(a: Aggregate, j: Join, where: Option[Expression]): Option[LogicalPlan] =
+    j match {
+      case Join(l, r, Inner, Some(EqualTo(x: AttributeReference, y: AttributeReference)), _) =>
+        val exprsOk = (a.groupingExpressions ++ a.aggregateExpressions).forall(_.deterministic) &&
+          where.forall(_.deterministic)
+        if (!exprsOk) return None
+        val (lk, rk) =
+          if (j.left.outputSet.contains(x) && j.right.outputSet.contains(y)) (x, y)
+          else if (j.left.outputSet.contains(y) && j.right.outputSet.contains(x)) (y, x)
+          else return None
+        // try fact-on-left (unique side right), then mirrored
+        rewriteSide(a, j, fact0 = l, other = r, factKey = lk, otherKey = rk,
+            factIsLeft = true, where)
+          .orElse(rewriteSide(a, j, fact0 = r, other = l, factKey = rk, otherKey = lk,
+            factIsLeft = false, where))
+      case _ => None
+    }
+
+  private def rewriteSide(a: Aggregate, j: Join, fact0: LogicalPlan, other: LogicalPlan,
+      factKey: AttributeReference, otherKey: AttributeReference,
+      factIsLeft: Boolean, where: Option[Expression]): Option[LogicalPlan] = {
+    // WHERE above the join: push fact-side conjuncts, refuse the rest
+    val whereCs = where.map(splitConjuncts).getOrElse(Nil)
+    val (factCs, rest) = whereCs.partition(_.references.subsetOf(fact0.outputSet))
+    if (rest.nonEmpty) return None
+    val fact = factCs.reduceOption(And).map(Filter(_, fact0)).getOrElse(fact0)
+    // every aggregate decomposable over fact columns only
+    val aggFns = a.aggregateExpressions.flatMap(_.collect { case ae: AggregateExpression => ae })
+    val decomposable = aggFns.forall { ae =>
+      !ae.isDistinct && ae.filter.isEmpty &&
+        ae.references.subsetOf(fact.outputSet) &&
+        (ae.aggregateFunction match {
+          case _: Sum | _: Min | _: Max | _: Count => true
+          case _ => false
+        })
+    }
+    if (aggFns.isEmpty || !decomposable) return None
+    // each grouping expression wholly on one side
+    val (gFact, gOther) = a.groupingExpressions.partition(_.references.subsetOf(fact.outputSet))
+    if (!gOther.forall(_.references.subsetOf(other.outputSet))) return None
+    // no non-agg select expression may mix fact refs outside grouping exprs —
+    // Spark's analyzer already guarantees select exprs are grouping exprs or
+    // aggregates, so matching grouping exprs below is enough
+    if (!uniqueOnKey(other, otherKey)) return None
+    if (hasDataFilter(other)) return None // forfeit no runtime prune (q4 lesson)
+
+    // ---- stats gate
+    val inputRows = estRows(fact).getOrElse(return None)
+    val preKeys: Seq[Expression] =
+      if (gFact.exists(_.semanticEquals(factKey))) gFact else gFact :+ factKey
+    val groups = estGroups(preKeys, fact).getOrElse(return None)
+    if (inputRows / math.max(1.0, groups) < MinCollapse) return None
+
+    // ---- build the pre-aggregate
+    val preNamed: Seq[NamedExpression] = preKeys.map {
+      case ar: AttributeReference => ar
+      case ne: NamedExpression => ne
+      case e => Alias(e, "eager_key")()
+    }
+    val aggFnsU = aggFns.distinct
+    val partialAliases = aggFnsU.map(ae => Alias(ae, "eager_partial")())
+    val preAgg0 = Aggregate(preNamed.map {
+      case al: Alias => al.child // group by the expression, emit the alias
+      case e => e
+    }, preNamed ++ partialAliases, fact)
+    // recurse: the pre-aggregate may itself push through fact's top join
+    val preAgg = tryRewrite(preAgg0).getOrElse(preAgg0)
+
+    // ---- rebind the final aggregate over Join(preAgg, other)
+    val keyAttr: Seq[(Expression, Attribute)] = preNamed.zip(preAgg0.output.take(preNamed.size))
+      .map { case (ne, out) => ((ne match { case al: Alias => al.child; case e => e }), out) }
+    def rebindGroup(e: Expression): Expression =
+      keyAttr.find { case (k, _) => k.semanticEquals(e) }.map(_._2)
+        .getOrElse(e.mapChildren(rebindGroup))
+    val partialAttr: Seq[(AggregateExpression, Attribute)] =
+      aggFnsU.zip(preAgg0.output.drop(preNamed.size))
+    def merge(e: Expression): Expression = e match {
+      case ae: AggregateExpression =>
+        val p = partialAttr.find(_._1 == ae).get._2
+        ae.aggregateFunction match {
+          case _: Min => ae.copy(aggregateFunction = Min(p))
+          case _: Max => ae.copy(aggregateFunction = Max(p))
+          case _: Count => ae.copy(aggregateFunction = Sum(p)) // long, exact
+          case s: Sum =>
+            // re-sum widens decimal precision: cast back to the original type
+            Cast(ae.copy(aggregateFunction = Sum(p)), s.dataType)
+          case _ => ae
+        }
+      case other => other.mapChildren(merge)
+    }
+    // preserve original grouping arity/order: rebind each original grouping expr
+    val finalGrouping = a.groupingExpressions.map(rebindGroup)
+    val finalAggs = a.aggregateExpressions.map { ne =>
+      rebindGroup(merge(ne)) match {
+        case n: NamedExpression => n
+        case e => Alias(e, ne.name)(exprId = ne.exprId)
+      }
+    }
+    val newJoin =
+      if (factIsLeft) j.copy(left = preAgg, right = other)
+      else j.copy(left = other, right = preAgg)
+    Some(a.copy(groupingExpressions = finalGrouping,
+      aggregateExpressions = finalAggs, child = newJoin))
+  }
+
+  // ------------------------------------------------ uniqueness licensing
+
+  /** `plan` is provably unique on `key`: a declared PK/UNIQUE of the genuine
+    * catalog object it traces to, through row-identity-preserving shapes —
+    * including Inner PK–FK joins, which cannot duplicate the preserved
+    * side's rows when the OTHER side is unique on its own join key. */
+  private def uniqueOnKey(plan: LogicalPlan, key: AttributeReference): Boolean = plan match {
+    case SubqueryAlias(ident, child) =>
+      ownNamed(ident.name, child, key) || uniqueOnKey(child, key)
+    case Project(ps, child) =>
+      ps.exists { case ar: AttributeReference => ar.exprId == key.exprId; case _ => false } &&
+        uniqueOnKey(child, key)
+    case f: Filter => uniqueOnKey(f.child, key)
+    case v: View => uniqueOnKey(v.child, key)
+    case Join(l, r, Inner, Some(EqualTo(x: AttributeReference, y: AttributeReference)), _) =>
+      val (xs, ys) = (x, y)
+      def side(k: AttributeReference) =
+        if (l.outputSet.contains(k)) Some(true) else if (r.outputSet.contains(k)) Some(false) else None
+      (side(key), side(xs), side(ys)) match {
+        case (Some(true), Some(true), Some(false)) =>
+          uniqueOnKey(l, key) && uniqueOnKey(r, ys)
+        case (Some(true), Some(false), Some(true)) =>
+          uniqueOnKey(l, key) && uniqueOnKey(r, xs)
+        case (Some(false), Some(true), Some(false)) =>
+          uniqueOnKey(r, key) && uniqueOnKey(l, xs)
+        case (Some(false), Some(false), Some(true)) =>
+          uniqueOnKey(r, key) && uniqueOnKey(l, ys)
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /** Declared unique key at a NAME that genuinely owns its child (a resolved
+    * View of the same name, or a catalog relation of the same name) — the
+    * shadow-alias discipline of [[DependentGroupByReduction]]. */
+  private def ownNamed(name: String, child: LogicalPlan, key: AttributeReference): Boolean = {
+    val owns = child match {
+      case v: View => v.desc.identifier.table.equalsIgnoreCase(name)
+      case lr: LogicalRelation =>
+        lr.catalogTable.exists(_.identifier.table.equalsIgnoreCase(name))
+      case _ => false
+    }
+    owns && child.outputSet.contains(key) &&
+      ConstraintRegistry.uniqueKeys(name).exists(_ == Set(key.name.toLowerCase))
+  }
+
+  /** A filter with a DATA predicate (not just null guards) sits in the
+    * subtree — joining this side will hand the fact a runtime prune that a
+    * pre-aggregate below the join would forfeit. */
+  private def hasDataFilter(plan: LogicalPlan): Boolean = plan.exists {
+    case f: Filter => splitConjuncts(f.condition).exists {
+      case _: IsNotNull => false
+      case _ => true
+    }
+    case _ => false
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  // -------------------------------------------------------- cardinality
+
+  /** Catalog row count of `table` (set by ANALYZE TABLE). */
+  private def catalogRows(table: String): Option[Double] = {
+    val cat = spark.sessionState.catalog
+    val id = TableIdentifier(table)
+    if (!cat.tableExists(id)) None
+    else cat.getTableMetadata(id).stats.flatMap(_.rowCount).map(_.toDouble)
+  }
+
+  /** Row estimate through row-shape-preserving nodes: leaf catalog counts,
+    * 1/3 per data predicate, fact-preservation through unique-side joins
+    * scaled by the unique side's own selectivity. */
+  private def estRows(plan: LogicalPlan): Option[Double] = plan match {
+    case lr: LogicalRelation =>
+      lr.catalogTable.flatMap(_.stats).flatMap(_.rowCount).map(_.toDouble)
+    case SubqueryAlias(_, child) => estRows(child)
+    case v: View => estRows(v.child)
+    case Project(_, child) => estRows(child)
+    case f: Filter =>
+      val dataPreds = splitConjuncts(f.condition).count {
+        case _: IsNotNull => false
+        case _ => true
+      }
+      estRows(f.child).map(_ * math.pow(DefaultFilterSel, dataPreds.toDouble))
+    case Join(l, r, Inner, Some(EqualTo(x: AttributeReference, y: AttributeReference)), _) =>
+      def keyOf(side: LogicalPlan) =
+        if (side.outputSet.contains(x)) Some(x) else if (side.outputSet.contains(y)) Some(y) else None
+      (keyOf(l), keyOf(r)) match {
+        case (Some(_), Some(rKey)) if uniqueOnKey(r, rKey) =>
+          for (fl <- estRows(l); sel <- sideSelectivity(r)) yield fl * sel
+        case (Some(lKey), Some(_)) if uniqueOnKey(l, lKey) =>
+          for (fr <- estRows(r); sel <- sideSelectivity(l)) yield fr * sel
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Fraction of a unique side's BASE rows that survive its own filters —
+    * the factor by which a PK–FK join scales the fact side. */
+  private def sideSelectivity(plan: LogicalPlan): Option[Double] =
+    for (filtered <- estRows(plan); base <- estRowsNoFilter(plan))
+      yield math.min(1.0, filtered / math.max(1.0, base))
+
+  private def estRowsNoFilter(plan: LogicalPlan): Option[Double] = plan match {
+    case f: Filter => estRowsNoFilter(f.child)
+    case lr: LogicalRelation =>
+      lr.catalogTable.flatMap(_.stats).flatMap(_.rowCount).map(_.toDouble)
+    case SubqueryAlias(_, child) => estRowsNoFilter(child)
+    case v: View => estRowsNoFilter(v.child)
+    case Project(_, child) => estRowsNoFilter(child)
+    case j: Join => estRows(j) // joins keep their filtered estimate
+    case _ => None
+  }
+
+  /** Group-count bound for the pre-aggregation keys: table instances whose
+    * full PRIMARY KEY is among the key attributes bound all their columns
+    * at the instance's row count; a lone FK is bounded by its referenced
+    * table; datetime extractions by small constants; anything else refuses. */
+  private def estGroups(keys: Seq[Expression], fact: LogicalPlan): Option[Double] = {
+    val attrs = keys.collect { case ar: AttributeReference => ar }
+    val exprs = keys.filterNot(_.isInstanceOf[AttributeReference])
+    val sources = attributeTables(fact)
+    val byInstance = attrs.groupBy(a => sources.get(a.exprId))
+    var bound = 1.0
+    byInstance.foreach {
+      case (Some((_, table)), as) =>
+        val names = as.map(_.name.toLowerCase).toSet
+        val pkCovered = ConstraintRegistry.of(table)
+          .filter(_.kind == "PRIMARY KEY")
+          .exists(_.cols.map(_.toLowerCase).toSet.subsetOf(names))
+        if (pkCovered) {
+          bound *= catalogRows(table).getOrElse(return None)
+        } else {
+          // every attribute needs its own bound: FK → referenced table rows;
+          // a declared single-column unique key → own table rows
+          as.foreach { a =>
+            val n = a.name.toLowerCase
+            val fk = ConstraintRegistry.of(table).find(c =>
+              c.kind == "FOREIGN KEY" && c.cols.map(_.toLowerCase) == Seq(n))
+            val viaFk = fk.flatMap(f => f.refTable.flatMap(catalogRows))
+            val viaUnique =
+              if (ConstraintRegistry.uniqueKeys(table).contains(Set(n))) catalogRows(table) else None
+            bound *= viaFk.orElse(viaUnique).getOrElse(return None)
+          }
+        }
+      case (None, _) => return None // untraceable attribute: refuse
+    }
+    exprs.foreach { e =>
+      bound *= exprNdv(e).getOrElse(return None)
+    }
+    Some(bound)
+  }
+
+  /** Small constant NDVs for datetime extractions over a date/timestamp
+    * column — the only non-attribute keys the gate accepts. */
+  private def exprNdv(e: Expression): Option[Double] = {
+    def isTemporal(c: Expression) = c.dataType match {
+      case DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    e match {
+      case al: Alias => exprNdv(al.child)
+      case c: Cast => exprNdv(c.child)
+      case f if f.prettyName == "year" && f.children.forall(isTemporal) => Some(16.0)
+      case f if f.prettyName == "quarter" && f.children.forall(isTemporal) => Some(4.0)
+      case f if f.prettyName == "month" && f.children.forall(isTemporal) => Some(12.0)
+      case f if f.prettyName == "dayofmonth" && f.children.forall(isTemporal) => Some(31.0)
+      case f if f.prettyName == "dayofweek" && f.children.forall(isTemporal) => Some(7.0)
+      case f if f.prettyName == "hour" && f.children.forall(isTemporal) => Some(24.0)
+      case _ => None
+    }
+  }
+
+  /** exprId → (instance id, table name) for attributes tracing to a genuine
+    * catalog object (View-of-same-name or catalog relation), through
+    * row-identity-preserving shapes — [[DependentGroupByReduction]]'s
+    * instance discipline, extended to catalog relations. */
+  private def attributeTables(plan: LogicalPlan): Map[ExprId, (Int, String)] = {
+    var nextId = 0
+    def walk(p: LogicalPlan): Map[ExprId, (Int, String)] = p match {
+      case SubqueryAlias(ident, child) =>
+        val name = ident.name.toLowerCase
+        val owns = child match {
+          case v: View => v.desc.identifier.table.equalsIgnoreCase(name)
+          case lr: LogicalRelation =>
+            lr.catalogTable.exists(_.identifier.table.equalsIgnoreCase(name))
+          case _ => false
+        }
+        if (owns && ConstraintRegistry.of(name).nonEmpty) {
+          nextId += 1
+          val me = nextId
+          p.output.map(o => o.exprId -> (me, name)).toMap
+        } else walk(child)
+      case Project(ps, child) =>
+        val below = walk(child)
+        ps.collect {
+          case ar: AttributeReference if below.contains(ar.exprId) => ar.exprId -> below(ar.exprId)
+        }.toMap
+      case f: Filter => walk(f.child)
+      case v: View => walk(v.child)
+      case j: Join => walk(j.left) ++ walk(j.right)
+      case _ => Map.empty
+    }
+    walk(plan)
+  }
+}

@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // after JoinToSemiJoin: it canonicalizes the prunable inner join into the
     // LeftSemi shape this rule's first case consumes
     ext.injectPostHocResolutionRule(session => new JoinToPredicateRewrite(session))
+    // after the key-driven rewrites: a shrunk grouping list gives the eager
+    // pre-aggregate fewer keys, and the stats gate sees the final shape
+    ext.injectPostHocResolutionRule(session => new EagerAggregation(session))
     ext.injectFunction((
       FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_vec_dot"),
