@@ -182,6 +182,14 @@ object AnnRecall {
     val (cosPairs, cosKth) = truthOf(exactCosDf)
     val (euPairs, euKth) = truthOf(exactEuDf)
 
+    // Oracle-gated capability probes with FIXED test-scale parameters
+    // (NLIST=8 / nprobe=1, sized for the sf fixtures so DuckDB can recompute
+    // the exact derivation): their recall DEGRADES by design as the store
+    // grows — the oracle gates the math, not retrieval quality. The scaled
+    // √N tier (ann_ivf_scaled_topk) is the production retrieval-quality
+    // number; this flag keeps the two unmistakable in the evidence JSON.
+    val testScaleOnly = Set("ann_ivf_topk", "ann_ivf_kmeans_topk")
+
     def score(name: String, metric: String, res: DataFrame, sec: Double): String = {
       val truth = if (metric == "cos") cosPairs else euPairs
       val kth = if (metric == "cos") cosKth else euKth
@@ -191,7 +199,8 @@ object AnnRecall {
         kth.get(q).exists(dk => td <= dk * (1 + TIE_REL) + TIE_ABS)
       }
       val tie = hits.toDouble / truth.size
-      s""""$name":{"recall":$strict,"tie_recall":$tie,"sec":$sec,"truth":"$metric"}"""
+      val flag = if (testScaleOnly(name)) ""","test_scale_only":true""" else ""
+      s""""$name":{"recall":$strict,"tie_recall":$tie,"sec":$sec,"truth":"$metric"$flag}"""
     }
 
     val entries = approx.map { case (n, gt, f) =>

@@ -117,7 +117,7 @@ object AnnIndex {
     * pass hive-partitions the corpus by cell. Same [[SimilarityQueries
     * .kmeansAssign]]/[[SimilarityQueries.kmeansUpdate]] kernels as the gated
     * inline tier — only the seeding and nlist differ. */
-  def buildIvfScaled(s: SparkSession, sfDir: String, indexDir: String): Unit = {
+  def buildIvfScaled(s: SparkSession, sfDir: String, indexDir: String): Long = {
     val quant = quantized(s, sfDir)
     val n = quant.count()
     val nlist = scaledNlist(n)
@@ -136,7 +136,78 @@ object AnnIndex {
       .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$indexDir/ivf_scaled_cells")
+    n
   }
+
+  // -------------------------------------------------------------- append
+
+  /** Assign-only ingest — FAISS's `add` vs `train` split. A production
+    * corpus grows daily; a full rebuild re-runs Lloyd + the full assignment
+    * pass (192.5 s at 2M, hours at 10⁹), while appending a delta only needs
+    * the delta ASSIGNED: with the centroids held fixed, per-row assignment
+    * is a deterministic pure function, so
+    * `assign(old ∪ delta) = assign(old) ∪ assign(delta)` — appending the
+    * delta's cells to the stored layout is EXACTLY the index a from-scratch
+    * assignment of the grown corpus at the same centroids would produce
+    * (spec-proven in AnnIndexSpec). Probes are unchanged: each vector still
+    * lives in exactly one cell.
+    *
+    * The manifest is re-pinned to the GROWN corpus fingerprint (so ensure()
+    * keeps trusting the index) and `append_state.json` accumulates the
+    * appended row count against the trained base.
+    *
+    * Drift policy (documented, FAISS-practice): fixed centroids stay valid
+    * while the data distribution holds, but nlist was sized √N at train
+    * time — growth erodes both the cell balance and the √N sizing. A full
+    * retrain is recommended once appended rows exceed
+    * [[RETRAIN_GROWTH_FRACTION]] of the trained base ([[retrainRecommended]];
+    * callers can also force one by deleting manifest.json). Returns the
+    * number of vectors appended. */
+  def appendIvfScaled(s: SparkSession, sfDir: String, indexDir: String,
+      delta: DataFrame): Long = {
+    val trained = s.read.parquet(s"$indexDir/ivf_scaled_centroids")
+    val dq = delta.select(col("vec_id"), quantize(col("embedding")).as("qe"))
+    val assigned = kmeansAssign(dq, trained)
+    assigned
+      .repartition(col("cent_id"))
+      .write.mode("append").partitionBy("cent_id")
+      .parquet(s"$indexDir/ivf_scaled_cells")
+    val appended = dq.count()
+    val (trainedRows, priorAppended) = appendState(indexDir)
+    writeAppendState(indexDir, trainedRows, priorAppended + appended)
+    // re-pin the grown corpus: ensure() must keep trusting this index, while
+    // any OTHER corpus change still mismatches and forces a rebuild
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$indexDir/manifest.json"),
+      manifestJson(sfDir).getBytes("UTF-8"))
+    appended
+  }
+
+  /** Retrain once the appended mass reaches 30 % of the trained base: past
+    * that, √N-sized nlist and the trained cell balance have both drifted. */
+  val RETRAIN_GROWTH_FRACTION = 0.3
+
+  def retrainRecommended(indexDir: String): Boolean = {
+    val (trained, appended) = appendState(indexDir)
+    trained > 0 && appended.toDouble / trained > RETRAIN_GROWTH_FRACTION
+  }
+
+  /** (trained_rows, appended_rows) from append_state.json (0, 0 if absent). */
+  def appendState(indexDir: String): (Long, Long) = {
+    val p = java.nio.file.Paths.get(s"$indexDir/append_state.json")
+    if (!java.nio.file.Files.exists(p)) (0L, 0L)
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      def field(n: String): Long =
+        s""""$n":(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+      (field("trained_rows"), field("appended_rows"))
+    }
+  }
+
+  private def writeAppendState(indexDir: String, trained: Long, appended: Long): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$indexDir/append_state.json"),
+      s"""{"trained_rows":$trained,"appended_rows":$appended}""".getBytes("UTF-8"))
 
   /** Probe-only scaled IVF top-k: rank cells by query-centroid cosine, read
     * ONLY the top-`nprobe` cells' files (static partition pruning — probe
@@ -216,10 +287,11 @@ object AnnIndex {
     // a manifest that blesses a half-old half-new index
     val manifest = manifestJson(sfDir)
     buildIvf(s, sfDir, indexDir)
-    buildIvfScaled(s, sfDir, indexDir)
+    val trainedRows = buildIvfScaled(s, sfDir, indexDir)
     buildIvfPq(s, sfDir, indexDir)
     buildSq8(s, sfDir, indexDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir))
+    writeAppendState(indexDir, trainedRows, 0L)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$indexDir/manifest.json"),
       manifest.getBytes("UTF-8"))
