@@ -42,20 +42,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // SPARK_GRAFT_BENCH_GC=1: System.gc() after each item, OUTSIDE the timed
-    // window. Spark's ContextCleaner only deletes finished queries' shuffle
-    // files when their references get collected — on a large heap GC may not
-    // run for the whole suite, so a long bench sequence ACCUMULATES every
-    // item's spill on local disk (hit at the 1000× corpus: the suite's
-    // cumulative scratch outgrew the disk even though no single query's
-    // working set did). Off by default to keep official numbers comparable.
-    val gcEachItem = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
+    // SPARK_GRAFT_BENCH_GC=1|0: per-item hygiene OUTSIDE the timed window.
+    // Spark's ContextCleaner only deletes finished queries' shuffle files and
+    // broadcasts when their references get collected — on a large heap GC may
+    // not run for the whole suite, so a long sequence ACCUMULATES every
+    // item's shuffle scratch on disk (the 1000×-corpus ENOSPC) and its
+    // old-gen debt in the heap (SF100 shuffled: q18 240 s mid-suite vs
+    // 91.9 s ordered on IDENTICAL plans — the r12 verdict's 2.6×
+    // degradation). Two GC passes with a short gap let the first collection
+    // enqueue reference-tracked cleanups and the ContextCleaner drain them
+    // before the second pass returns the heap. Default ON for shuffled mode
+    // (that is where adjacency stacks the heavy items); default OFF for
+    // ordered so official numbers stay comparable with prior rounds.
+    val gcEachItem = sys.env.get("SPARK_GRAFT_BENCH_GC")
+      .map(_ == "1").getOrElse(mode == "shuffled")
+    def hygiene(): Unit = {
+      System.gc()
+      Thread.sleep(200) // let ContextCleaner process the reference queue
+      System.gc()
+    }
     val queries = SparkEntry.queries
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
-      if (gcEachItem) System.gc()
+      if (gcEachItem) hygiene()
       dt
     }
 

@@ -495,8 +495,55 @@ object LifecycleQueries {
     ans.orderBy("s_suppkey")
   }
 
+  /** Eager-aggregation rule ([[graft.plans.EagerAggregation]] — the Yan-Larson
+    * rewrite packaged the way the reference packages its rewrites, reference:
+    * src/lib/optimizer/strategy/), oracle-gated on the q18 motivating shape:
+    * a per-order HAVING sum over a PK-side join. Catalog tables carry ANALYZE
+    * row counts and declared PK/FK keys, so the stats gate licenses pushing
+    * the SUM/COUNT below the orders join (estimated collapse 60k/15k = 4 ≥ 3)
+    * — plan-asserted: the analyzed plan holds TWO aggregates (pre-agg per
+    * l_orderkey + final) — and DuckDB recomputes the unrewritten SQL; results
+    * must hash-match (exact-decimal sums are join-order invariant). */
+  val aggEagerPush: Q = Q(
+    "agg_eager_push",
+    """SELECT o_orderkey,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      |  COUNT(*) AS n_lines
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderkey
+      |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    import graft.plans.{ConstraintRegistry, KeyConstraint}
+    Seq("orders", "lineitem").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS eagq_$t")
+      s.sql(s"CREATE TABLE eagq_$t USING PARQUET LOCATION '$dir/$t.parquet'")
+      s.sql(s"ANALYZE TABLE eagq_$t COMPUTE STATISTICS")
+    }
+    ConstraintRegistry.put("eagq_orders",
+      Seq(KeyConstraint("eagq_orders", "PRIMARY KEY", Seq("o_orderkey"))))
+    ConstraintRegistry.put("eagq_lineitem", Seq(
+      KeyConstraint("eagq_lineitem", "PRIMARY KEY", Seq("l_orderkey", "l_linenumber")),
+      KeyConstraint("eagq_lineitem", "FOREIGN KEY", Seq("l_orderkey"),
+        Some("eagq_orders"), Seq("o_orderkey"))))
+    val ans = s.sql(
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |  COUNT(*) AS n_lines
+        |FROM eagq_orders JOIN eagq_lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey
+        |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100
+        |ORDER BY o_orderkey""".stripMargin)
+    val aggs = ans.queryExecution.analyzed.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    require(aggs.size == 2,
+      s"expected the eager pre-aggregate below the orders join (2 aggregates), got ${aggs.size}")
+    ans
+  }
+
   val all: Seq[Q] = Seq(dmlInsert, dmlDelete, dmlUpdate, dmlSnapshot, viewPrepared,
     metaTables, dmlMerge, txnRollbackCommit, dmlAlterTable, dmlMatView,
     dmlMatViewJoin, dmlMatViewRewrite, dmlMatViewRollup, dmlMatViewRollupWhere,
-    dmlMatViewRollupRange, dmlMatViewRollupIn, aggDependentGroupBy, joinToPredicate)
+    dmlMatViewRollupRange, dmlMatViewRollupIn, aggDependentGroupBy, joinToPredicate,
+    aggEagerPush)
 }
