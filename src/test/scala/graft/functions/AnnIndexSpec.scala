@@ -67,6 +67,48 @@ class AnnIndexSpec extends AnyFunSuite {
       "ensure on a built index must be a no-op")
   }
 
+  test("adaptive-nprobe probe returns the EXACT cosine top-k (recall 1.0 by construction)") {
+    val adaptive = AnnIndex.probeIvfScaledAdaptive(spark, sf, idx)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = SimilarityQueries.annBruteForce.run(spark, sf)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // on the structureless fixture (no near-duplicates, kth sim low) the
+    // sound bound CANNOT rule cells out — probing everything and matching
+    // brute force exactly is the correct behavior here
+    assert(adaptive.toSeq === exact.toSeq,
+      s"adaptive probe must equal brute-force exact top-k; probed ${AnnIndex.lastAdaptiveCellsProbed}")
+  }
+
+  test("adaptive-nprobe terminates early on a clustered store (tight cells)") {
+    import org.apache.spark.sql.functions._
+    // The bound cos(max(0, θ_qc − r_c)) only rules a cell out when the
+    // intra-cell radius is small against the query-centroid angle — i.e. on
+    // CLUSTERED corpora (on structureless stores probing everything is the
+    // correct, exact behavior; the previous test pins that). Plant 32 tight
+    // clusters (32 exact copies of each of 32 distinct centers): Lloyd
+    // converges each cell onto one cluster with radius 0, every query's
+    // top-3 sims are 1.0, and every non-home cell's bound is its centroid
+    // cosine < 1 — the probe MUST stop after the first batch.
+    val base = graft.Tables.df(spark, sf, "embeddings")
+    val centers = base.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val members = centers.crossJoin(spark.range(32).toDF("k"))
+      .select((col("k") * 32 + col("cid")).cast("long").as("vec_id"), col("embedding"))
+    val d = java.nio.file.Files.createTempDirectory("graft-annclustered").toString
+    members.write.parquet(s"$d/embeddings.parquet")
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-annclustered-idx").toString
+    AnnIndex.buildAll(spark, d, idx2)
+    val adaptive = AnnIndex.probeIvfScaledAdaptive(spark, d, idx2)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = SimilarityQueries.annBruteForce.run(spark, d)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(adaptive.toSeq === exact.toSeq)
+    val nlist = spark.read.parquet(s"$idx2/ivf_scaled_centroids").count()
+    assert(AnnIndex.lastAdaptiveCellsProbed.values.forall(_ < nlist),
+      s"tight clusters: every query must stop early (nlist=$nlist): " +
+        AnnIndex.lastAdaptiveCellsProbed.toString)
+  }
+
   test("append ≡ rebuild assignment at fixed centroids (assign-only ingest)") {
     import org.apache.spark.sql.functions._
     // grown corpus: base ∪ 10% delta (same vectors under fresh ids — the
