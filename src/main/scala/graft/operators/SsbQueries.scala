@@ -199,9 +199,18 @@ object SsbQueries {
         (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
           - lit("0.6").cast("decimal(2,1)") * dec(col("p_retailprice")) * dec(col("l_quantity")))
           .as("profit_term"))
+    // r13 ADVICE follow-up, measured and kept: semi-reducing orders by the
+    // AMERICA custkeys BEFORE the pre-agg (q4_2's trick) prunes the ~4/5 of
+    // pre-agg groups the customer join would discard anyway — sound because
+    // that join is inner on c_custkey, so early semi ≡ late inner for the
+    // kept rows. SF100 same-session solo best-of-2 (bucketed layout):
+    // 16.14 → 14.34 s (1.13×).
+    val americaOrders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(custNation(s, dir).filter(col("c_region") === "AMERICA").select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
     val perCust = lines
-      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
-        col("l_orderkey") === col("o_orderkey"))
+      .join(americaOrders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"), year(col("o_orderdate")).as("d_year"))
       .agg(sum(col("profit_term")).as("profit_dec"))
     perCust.join(custNation(s, dir).filter(col("c_region") === "AMERICA"),
