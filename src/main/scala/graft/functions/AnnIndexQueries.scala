@@ -101,5 +101,32 @@ object AnnIndexQueries {
       ensured((s, dir) => AnnIndex.probeIvfScaled(s, dir, AnnIndex.defaultDir(dir))))
   }
 
-  val all: Seq[Q] = Seq(annIvfProbe, annIvfPqProbe, embSq8Probe, annIvfScaledProbe)
+  /** Adaptive-nprobe probe ([[AnnIndex.probeIvfScaledAdaptive]]): probes
+    * cells best-first and stops when no unprobed cell's admissible bound
+    * cos(max(0, θ_qc − r_c)) can beat the k-th candidate — so its result is
+    * by construction the EXACT quantized-cosine top-k over the whole store,
+    * and the oracle needs NO index derivation: the plain brute-force ranking
+    * is the twin. "The branch-and-bound probe answers exactly the whole-store
+    * ranking, whatever subset of cells it decided to read" IS the gated
+    * property (early-termination behavior is spec-pinned in AnnIndexSpec). */
+  val annIvfAdaptiveProbe: Q = {
+    import SimilarityQueries.{NQUERY, TOPK, cosLSql, quantizeSql}
+    Q(
+      "ann_ivf_adaptive_topk",
+      s"""WITH quant AS (
+         |  SELECT vec_id, ${quantizeSql("embedding")} AS qe FROM embeddings
+         |), scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, ${cosLSql("q.qe", "c.qe")} AS sim
+         |  FROM quant q JOIN quant c ON q.vec_id < $NQUERY AND c.vec_id <> q.vec_id
+         |), ranked AS (
+         |  SELECT q_id, n_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, n_id, sim, rk FROM ranked WHERE rk <= $TOPK
+         |ORDER BY q_id, rk""".stripMargin)(
+      ensured((s, dir) => AnnIndex.probeIvfScaledAdaptive(s, dir, AnnIndex.defaultDir(dir))))
+  }
+
+  val all: Seq[Q] = Seq(annIvfProbe, annIvfPqProbe, embSq8Probe, annIvfScaledProbe,
+    annIvfAdaptiveProbe)
 }
