@@ -148,7 +148,7 @@ object AnnIndex {
     * cos(max(0, θ_qc − r_c)). One cheap pass: each row scores ONE cosine
     * against its own centroid (not the nlist-wide scored stream the
     * assignment pays); the output is ≤nlist rows. */
-  private def writeScaledRadii(s: SparkSession, indexDir: String): Unit = {
+  private[functions] def writeScaledRadii(s: SparkSession, indexDir: String): Unit = {
     val cents = broadcast(s.read.parquet(s"$indexDir/ivf_scaled_centroids"))
     val cells = readCells(s, s"$indexDir/ivf_scaled_cells", "cent_id")
     cells.join(cents, "cent_id")
@@ -170,7 +170,11 @@ object AnnIndex {
     * current k-th candidate — a branch-and-bound search whose result is the
     * EXACT top-k over the whole store (recall 1.0 by construction, modulo
     * float ties guarded by EPS), at a probe cost that adapts to each query
-    * instead of a fixed nprobe retune. Driver state is bounded: the cell
+    * instead of a fixed nprobe retune. Soundness (verdict-r13 fix): the bound
+    * is not monotone along the csim probe order when radii vary, so the stop
+    * test prunes against the per-query SUFFIX-MAX of the remaining cells'
+    * bounds — the standard branch-and-bound invariant (prune only against the
+    * best any remaining node can achieve). Driver state is bounded: the cell
     * ranking is NQUERY × nlist ≤ 10×2048 metadata rows, and each round
     * collects only the round's per-query top-k.
     *
@@ -202,6 +206,17 @@ object AnnIndex {
       .map { case (qid, rows) =>
         qid -> rows.map(t => (t._2, t._3, t._4)).sortBy(t => (-t._2, t._1))
       }
+    // the admissible bound is NOT monotone along csim order (a farther
+    // centroid with a wide radius can bound HIGHER than a nearer tight cell),
+    // so termination must compare kth against the MAX bound over ALL
+    // remaining cells, not the next cell's — precompute the suffix-max once
+    val suffixMax: Map[Long, Array[Double]] = byQuery.map { case (qid, cs) =>
+      val sm = new Array[Double](cs.length)
+      var m = Double.NegativeInfinity
+      var i = cs.length - 1
+      while (i >= 0) { m = math.max(m, cs(i)._3); sm(i) = m; i -= 1 }
+      qid -> sm
+    }
     val cells = readCells(s, s"$indexDir/ivf_scaled_cells", "cent_id")
     val qSide = q.select(col("vec_id").as("q_id"), col("qe").as("qq"))
 
@@ -215,7 +230,7 @@ object AnnIndex {
     def unfinished: Seq[Long] = byQuery.keys.toSeq.sorted.filter { qid =>
       val i = cursor(qid)
       val cs = byQuery(qid)
-      i < cs.length && cs(i)._3 >= kth(qid) - EPS
+      i < cs.length && suffixMax(qid)(i) >= kth(qid) - EPS
     }
     // geometric batch growth: structured stores terminate in 1–2 rounds
     // (a near-duplicate kth sim puts the bound out of reach of ~90° cells);
@@ -283,6 +298,21 @@ object AnnIndex {
       delta: DataFrame): Long = {
     val trained = s.read.parquet(s"$indexDir/ivf_scaled_centroids")
     val dq = delta.select(col("vec_id"), quantize(col("embedding")).as("qe"))
+    // integrity guards (verdict-r13 advice): a delta whose ids overlap the
+    // stored cells would occupy two top-k slots per duplicate, and a delta
+    // not reflected in sfDir would leave ensure() blessing an index that
+    // disagrees with its pinned corpus. Ids are required monotone (the
+    // ingest contract); the stored high-water mark makes the check O(delta).
+    val (trainedRows, priorAppended) = appendState(indexDir)
+    val maxStored = storedMaxVecId(indexDir)
+    val stats = dq.agg(min(col("vec_id")), max(col("vec_id")), count(lit(1))).head
+    val (dMin, dMax, appended) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    require(maxStored < 0 || dMin > maxStored,
+      s"append delta overlaps stored ids: min(delta.vec_id)=$dMin ≤ stored max $maxStored")
+    val corpusRows = quantized(s, sfDir).count()
+    require(corpusRows >= trainedRows + priorAppended + appended,
+      s"sfDir must already contain the delta: corpus has $corpusRows rows < " +
+        s"stored ${trainedRows + priorAppended} + delta $appended")
     val assigned = kmeansAssign(dq, trained)
     assigned
       .repartition(col("cent_id"))
@@ -291,9 +321,8 @@ object AnnIndex {
     // appended vectors can widen a cell's angular radius: refresh the
     // adaptive-probe bound table (one cheap pass, ≤nlist output rows)
     writeScaledRadii(s, indexDir)
-    val appended = dq.count()
-    val (trainedRows, priorAppended) = appendState(indexDir)
-    writeAppendState(indexDir, trainedRows, priorAppended + appended)
+    writeAppendState(indexDir, trainedRows, priorAppended + appended,
+      math.max(maxStored, dMax))
     // re-pin the grown corpus: ensure() must keep trusting this index, while
     // any OTHER corpus change still mismatches and forces a rebuild
     java.nio.file.Files.write(
@@ -313,20 +342,29 @@ object AnnIndex {
 
   /** (trained_rows, appended_rows) from append_state.json (0, 0 if absent). */
   def appendState(indexDir: String): (Long, Long) = {
+    (stateField(indexDir, "trained_rows", 0L), stateField(indexDir, "appended_rows", 0L))
+  }
+
+  /** High-water mark of stored vec_ids (the append-overlap guard); -1 when
+    * unknown (pre-guard index or fresh build without the field). */
+  def storedMaxVecId(indexDir: String): Long =
+    stateField(indexDir, "max_vec_id", -1L)
+
+  private def stateField(indexDir: String, name: String, dflt: Long): Long = {
     val p = java.nio.file.Paths.get(s"$indexDir/append_state.json")
-    if (!java.nio.file.Files.exists(p)) (0L, 0L)
+    if (!java.nio.file.Files.exists(p)) dflt
     else {
       val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      def field(n: String): Long =
-        s""""$n":(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
-      (field("trained_rows"), field("appended_rows"))
+      s""""$name":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(dflt)
     }
   }
 
-  private def writeAppendState(indexDir: String, trained: Long, appended: Long): Unit =
+  private def writeAppendState(indexDir: String, trained: Long, appended: Long,
+      maxVecId: Long): Unit =
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$indexDir/append_state.json"),
-      s"""{"trained_rows":$trained,"appended_rows":$appended}""".getBytes("UTF-8"))
+      s"""{"trained_rows":$trained,"appended_rows":$appended,"max_vec_id":$maxVecId}"""
+        .getBytes("UTF-8"))
 
   /** Probe-only scaled IVF top-k: rank cells by query-centroid cosine, read
     * ONLY the top-`nprobe` cells' files (static partition pruning — probe
@@ -410,7 +448,8 @@ object AnnIndex {
     buildIvfPq(s, sfDir, indexDir)
     buildSq8(s, sfDir, indexDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir))
-    writeAppendState(indexDir, trainedRows, 0L)
+    val maxId = quantized(s, sfDir).agg(max(col("vec_id"))).head.getLong(0)
+    writeAppendState(indexDir, trainedRows, 0L, maxId)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$indexDir/manifest.json"),
       manifest.getBytes("UTF-8"))

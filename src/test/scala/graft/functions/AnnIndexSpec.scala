@@ -153,14 +153,74 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(probe.exists(_.getLong(1) > maxId),
       "appended vectors (exact duplicates of base ones) must surface as neighbors")
 
-    // drift policy: 10% growth → no retrain; accumulated past 30% → retrain
+    // drift policy: 10% growth → no retrain; accumulated past 30% → retrain.
+    // Each further delta arrives under FRESH ids and an sfDir that already
+    // contains it — the ingest contract the integrity guards enforce.
     val (tr, ap) = AnnIndex.appendState(d)
     assert(tr > 0 && ap === appended)
     assert(!AnnIndex.retrainRecommended(d))
-    AnnIndex.appendIvfScaled(spark, grown, d, delta)
-    AnnIndex.appendIvfScaled(spark, grown, d, delta)
-    AnnIndex.appendIvfScaled(spark, grown, d, delta)
+    val extras = (2 to 4).map(k => base.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + (maxId + 1) * k))
+    val grown2 = java.nio.file.Files.createTempDirectory("graft-anngrown2").toString
+    extras.foldLeft(base.unionByName(delta))(_ unionByName _)
+      .write.parquet(s"$grown2/embeddings.parquet")
+    extras.foreach(dx => AnnIndex.appendIvfScaled(spark, grown2, d, dx))
     assert(AnnIndex.retrainRecommended(d),
       "40% accumulated growth must recommend a retrain")
+
+    // integrity guards (verdict-r13 advice): an id-overlapping delta would
+    // occupy two top-k slots per duplicate — refused; a delta sfDir does not
+    // contain would leave the manifest blessing a corpus-disagreeing index —
+    // refused
+    assertThrows[IllegalArgumentException](
+      AnnIndex.appendIvfScaled(spark, grown2, d, delta))
+    val unreflected = base.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + (maxId + 1) * 9)
+    assertThrows[IllegalArgumentException](
+      AnnIndex.appendIvfScaled(spark, grown2, d, unreflected))
+  }
+
+  test("adaptive-nprobe: wide far cell behind a tight near cell (suffix-max bound)") {
+    import org.apache.spark.sql.functions._
+    // The r13-verdict adversarial geometry: probe order is csim-descending
+    // (centroids at 10°, 15°, 20° from the query) but the admissible bounds
+    // cos(max(0, θ_qc − r_c)) are NOT monotone along it — the far cell's wide
+    // radius (14°) gives bound cos(6°), ABOVE both the tight middle cell's
+    // cos(15°) and the kth candidate after the home cell (cos 11°). A stop
+    // test that inspects only the NEXT cell's bound terminates after the home
+    // cell and silently drops vec 14 (the true #1 at 6°); pruning against the
+    // suffix-max of the remaining bounds must keep probing. Lloyd routinely
+    // produces wide catch-all cells next to tight ones on mixed-density
+    // corpora, so the index files are hand-laid to pin exactly that regime.
+    def vec(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val corpus = Seq(
+      0L -> vec(0),                                      // the query
+      10L -> vec(8), 11L -> vec(9), 12L -> vec(11),      // cell 0 (home, tight)
+      13L -> vec(15),                                    // cell 1 (radius 0)
+      14L -> vec(6), 15L -> vec(34))                     // cell 2 (wide, far)
+    val d = java.nio.file.Files.createTempDirectory("graft-annadv").toString
+    spark.createDataFrame(corpus).toDF("vec_id", "embedding")
+      .write.parquet(s"$d/embeddings.parquet")
+    val idx3 = java.nio.file.Files.createTempDirectory("graft-annadv-idx").toString
+    spark.createDataFrame(Seq(0L -> vec(10), 1L -> vec(15), 2L -> vec(20)))
+      .toDF("cent_id", "embedding")
+      .select(col("cent_id"), SimilarityQueries.quantize(col("embedding")).as("cemb"))
+      .write.parquet(s"$idx3/ivf_scaled_centroids")
+    val cellOf = Map(10L -> 0L, 11L -> 0L, 12L -> 0L, 13L -> 1L, 14L -> 2L, 15L -> 2L)
+    spark.createDataFrame(corpus.filter(_._1 >= 10L).map { case (id, e) => (id, e, cellOf(id)) })
+      .toDF("vec_id", "embedding", "cent_id")
+      .select(col("vec_id"), SimilarityQueries.quantize(col("embedding")).as("qe"),
+        col("cent_id"))
+      .write.partitionBy("cent_id").parquet(s"$idx3/ivf_scaled_cells")
+    AnnIndex.writeScaledRadii(spark, idx3)
+    // batch=1 probes ONE cell per round, so the stop decision after the home
+    // cell is load-bearing: the buggy next-cell test would return {10,11,12}
+    val got = AnnIndex.probeIvfScaledAdaptive(spark, d, idx3, batch = 1)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((0L, 14L), (0L, 10L), (0L, 11L)),
+      s"true top-3 is 14(6°),10(8°),11(9°); probed ${AnnIndex.lastAdaptiveCellsProbed}")
   }
 }
