@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, NumericType, TimestampNTZType, TimestampType}
 
 /** Eager aggregation (Yan & Larson, VLDB '94): push a group-by below a
   * PK-side join so the fact stream collapses BEFORE the join's exchange
@@ -21,20 +21,31 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
   * bodies.
   *
   * Soundness (why the rewrite cannot change results):
-  *  - the join is INNER with a single `fact.k = other.k'` equi-conjunct and
-  *    the other side is provably UNIQUE on `k'` (declared PRIMARY KEY/UNIQUE
-  *    traced through row-identity-preserving shapes, including PK–FK joins
-  *    that cannot duplicate rows) — so each pre-aggregated group matches at
-  *    most one other-side row, and matches it for ALL of its rows or none
-  *    (group key ⊇ join key). Pre-aggregation therefore commutes with the
-  *    join.
-  *  - every aggregate is a decomposable SUM/MIN/MAX/COUNT without DISTINCT
-  *    or FILTER, over fact-side columns only; the final aggregate re-merges
-  *    partials (SUM of sums cast back to the original type, SUM of counts,
-  *    MIN of mins, MAX of maxes), which is exact for MIN/MAX/COUNT and for
-  *    SUM over exact types (Spark sums DECIMAL/integral exactly in any
-  *    order; for floats the pre-agg only fixes one particular addition
-  *    order, which Spark's partial aggregation does not promise anyway).
+  *  - the join is INNER whose condition is a conjunction of cross-side
+  *    attribute equalities `fact.kᵢ = other.kᵢ'` (r14: any number of
+  *    conjuncts, not just one) and the other side is provably UNIQUE on the
+  *    composite key {kᵢ'} (a declared PRIMARY KEY/UNIQUE whose columns are a
+  *    SUBSET of the join keys — uniqueness on a superset is implied — traced
+  *    through row-identity-preserving shapes, including PK–FK joins that
+  *    cannot duplicate rows) — so each pre-aggregated group matches at most
+  *    one other-side row, and matches it for ALL of its rows or none (group
+  *    key ⊇ join keys). Pre-aggregation therefore commutes with the join.
+  *  - every aggregate is a decomposable SUM/MIN/MAX/COUNT/AVG without
+  *    DISTINCT or FILTER, over fact-side columns only; the final aggregate
+  *    re-merges partials (SUM of sums cast back to the original type, SUM of
+  *    counts coalesced to 0 for the empty global case, MIN of mins, MAX of
+  *    maxes, AVG as SUM-of-sums over SUM-of-counts in double — r14,
+  *    non-decimal inputs only, where Spark's own Average divides a double
+  *    accumulator), which is exact for MIN/MAX/COUNT and for SUM over exact
+  *    types (Spark sums DECIMAL/integral exactly in any order; for floats
+  *    the pre-agg only fixes one particular addition order, which Spark's
+  *    partial aggregation does not promise anyway — the same caveat covers
+  *    AVG's double division). AVG over DECIMAL is refused: Average's
+  *    internal division rounds once at the result scale, and a re-merged
+  *    quotient could double-round differently.
+  *  - a GLOBAL (no GROUP BY) COUNT over an empty join must return 0, but
+  *    SUM over zero pre-aggregated rows returns NULL — the merged COUNT is
+  *    wrapped in coalesce(·, 0) (r13 advice).
   *  - all grouping and aggregate expressions are deterministic, and each
   *    grouping expression belongs wholly to one join side.
   *
@@ -95,39 +106,61 @@ class EagerAggregation(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Every conjunct of `cond` as a cross-side attribute equality:
+    * Some(Seq((lKey, rKey))) iff ALL conjuncts are `EqualTo` between one
+    * left-side and one right-side attribute (r14: multi-conjunct equi
+    * joins — composite-key dimensions fire like single-key ones). */
+  private def equiPairs(l: LogicalPlan, r: LogicalPlan, cond: Expression)
+      : Option[Seq[(AttributeReference, AttributeReference)]] = {
+    val pairs = splitConjuncts(cond).map {
+      case EqualTo(x: AttributeReference, y: AttributeReference) =>
+        if (l.outputSet.contains(x) && r.outputSet.contains(y)) Some((x, y))
+        else if (l.outputSet.contains(y) && r.outputSet.contains(x)) Some((y, x))
+        else None
+      case _ => None
+    }
+    if (pairs.forall(_.isDefined)) Some(pairs.map(_.get)) else None
+  }
+
   private def tryJoin(a: Aggregate, j: Join, where: Option[Expression]): Option[LogicalPlan] =
     j match {
-      case Join(l, r, Inner, Some(EqualTo(x: AttributeReference, y: AttributeReference)), _) =>
+      case Join(l, r, Inner, Some(cond), _) =>
         val exprsOk = (a.groupingExpressions ++ a.aggregateExpressions).forall(_.deterministic) &&
           where.forall(_.deterministic)
         if (!exprsOk) return None
-        val (lk, rk) =
-          if (j.left.outputSet.contains(x) && j.right.outputSet.contains(y)) (x, y)
-          else if (j.left.outputSet.contains(y) && j.right.outputSet.contains(x)) (y, x)
-          else return None
-        // try fact-on-left (unique side right), then mirrored
-        rewriteSide(a, j, fact0 = l, other = r, factKey = lk, otherKey = rk,
-            factIsLeft = true, where)
-          .orElse(rewriteSide(a, j, fact0 = r, other = l, factKey = rk, otherKey = lk,
-            factIsLeft = false, where))
+        equiPairs(l, r, cond).flatMap { pairs =>
+          val (lks, rks) = (pairs.map(_._1), pairs.map(_._2))
+          // try fact-on-left (unique side right), then mirrored
+          rewriteSide(a, j, fact0 = l, other = r, factKeys = lks, otherKeys = rks,
+              factIsLeft = true, where)
+            .orElse(rewriteSide(a, j, fact0 = r, other = l, factKeys = rks, otherKeys = lks,
+              factIsLeft = false, where))
+        }
       case _ => None
     }
 
   private def rewriteSide(a: Aggregate, j: Join, fact0: LogicalPlan, other: LogicalPlan,
-      factKey: AttributeReference, otherKey: AttributeReference,
+      factKeys: Seq[AttributeReference], otherKeys: Seq[AttributeReference],
       factIsLeft: Boolean, where: Option[Expression]): Option[LogicalPlan] = {
     // WHERE above the join: push fact-side conjuncts, refuse the rest
     val whereCs = where.map(splitConjuncts).getOrElse(Nil)
     val (factCs, rest) = whereCs.partition(_.references.subsetOf(fact0.outputSet))
     if (rest.nonEmpty) return None
     val fact = factCs.reduceOption(And).map(Filter(_, fact0)).getOrElse(fact0)
-    // every aggregate decomposable over fact columns only
+    // every aggregate decomposable over fact columns only (AVG: non-decimal
+    // numerics only — Spark's Average divides a double accumulator there, so
+    // SUM/COUNT re-merge reproduces it; a decimal AVG rounds once at the
+    // result scale inside Average and a re-merged quotient could
+    // double-round differently)
     val aggFns = a.aggregateExpressions.flatMap(_.collect { case ae: AggregateExpression => ae })
     val decomposable = aggFns.forall { ae =>
       !ae.isDistinct && ae.filter.isEmpty &&
         ae.references.subsetOf(fact.outputSet) &&
         (ae.aggregateFunction match {
           case _: Sum | _: Min | _: Max | _: Count => true
+          case av: Average =>
+            av.child.dataType.isInstanceOf[NumericType] &&
+              !av.child.dataType.isInstanceOf[DecimalType]
           case _ => false
         })
     }
@@ -138,13 +171,14 @@ class EagerAggregation(spark: SparkSession) extends Rule[LogicalPlan] {
     // no non-agg select expression may mix fact refs outside grouping exprs —
     // Spark's analyzer already guarantees select exprs are grouping exprs or
     // aggregates, so matching grouping exprs below is enough
-    if (!uniqueOnKey(other, otherKey)) return None
+    if (!uniqueOnKeys(other, otherKeys)) return None
     if (hasDataFilter(other)) return None // forfeit no runtime prune (q4 lesson)
 
     // ---- stats gate
     val inputRows = estRows(fact).getOrElse(return None)
-    val preKeys: Seq[Expression] =
-      if (gFact.exists(_.semanticEquals(factKey))) gFact else gFact :+ factKey
+    val preKeys: Seq[Expression] = factKeys.foldLeft(gFact) { (acc, k) =>
+      if (acc.exists(_.semanticEquals(k))) acc else acc :+ k
+    }
     val groups = estGroups(preKeys, fact).getOrElse(return None)
     if (inputRows / math.max(1.0, groups) < MinCollapse) return None
 
@@ -155,7 +189,18 @@ class EagerAggregation(spark: SparkSession) extends Rule[LogicalPlan] {
       case e => Alias(e, "eager_key")()
     }
     val aggFnsU = aggFns.distinct
-    val partialAliases = aggFnsU.map(ae => Alias(ae, "eager_partial")())
+    // AVG decomposes into TWO partials (sum + non-null count); the rest one
+    // fresh resultIds for the split partials: two functions sharing one
+    // resultId (ae.copy keeps it) collide in physical aggregate binding
+    val partsOf: Seq[(AggregateExpression, Seq[AggregateExpression])] = aggFnsU.map { ae =>
+      ae.aggregateFunction match {
+        case av: Average => ae -> Seq(
+          AggregateExpression(Sum(av.child), ae.mode, isDistinct = false),
+          AggregateExpression(Count(Seq(av.child)), ae.mode, isDistinct = false))
+        case _ => ae -> Seq(ae)
+      }
+    }
+    val partialAliases = partsOf.flatMap(_._2).map(ae => Alias(ae, "eager_partial")())
     val preAgg0 = Aggregate(preNamed.map {
       case al: Alias => al.child // group by the expression, emit the alias
       case e => e
@@ -169,18 +214,34 @@ class EagerAggregation(spark: SparkSession) extends Rule[LogicalPlan] {
     def rebindGroup(e: Expression): Expression =
       keyAttr.find { case (k, _) => k.semanticEquals(e) }.map(_._2)
         .getOrElse(e.mapChildren(rebindGroup))
-    val partialAttr: Seq[(AggregateExpression, Attribute)] =
-      aggFnsU.zip(preAgg0.output.drop(preNamed.size))
+    val partialAttr: Seq[(AggregateExpression, Seq[Attribute])] = {
+      var outs: Seq[Attribute] = preAgg0.output.drop(preNamed.size)
+      partsOf.map { case (orig, parts) =>
+        val (mine, rest) = outs.splitAt(parts.size)
+        outs = rest
+        orig -> mine
+      }
+    }
     def merge(e: Expression): Expression = e match {
       case ae: AggregateExpression =>
-        val p = partialAttr.find(_._1 == ae).get._2
+        val ps = partialAttr.find(_._1 == ae).get._2
         ae.aggregateFunction match {
-          case _: Min => ae.copy(aggregateFunction = Min(p))
-          case _: Max => ae.copy(aggregateFunction = Max(p))
-          case _: Count => ae.copy(aggregateFunction = Sum(p)) // long, exact
+          case _: Min => ae.copy(aggregateFunction = Min(ps.head))
+          case _: Max => ae.copy(aggregateFunction = Max(ps.head))
+          case _: Count =>
+            // empty GLOBAL aggregate: COUNT must be 0, but SUM over zero
+            // partial rows is NULL — coalesce (exact long sum otherwise)
+            Coalesce(Seq(ae.copy(aggregateFunction = Sum(ps.head)), Literal(0L)))
           case s: Sum =>
             // re-sum widens decimal precision: cast back to the original type
-            Cast(ae.copy(aggregateFunction = Sum(p)), s.dataType)
+            Cast(ae.copy(aggregateFunction = Sum(ps.head)), s.dataType)
+          case _: Average =>
+            // non-decimal AVG = double sum / count, Spark's own evaluate
+            // shape; fresh resultIds again — the two merged sums must not
+            // share a binding slot
+            Divide(
+              Cast(AggregateExpression(Sum(ps(0)), ae.mode, isDistinct = false), DoubleType),
+              Cast(AggregateExpression(Sum(ps(1)), ae.mode, isDistinct = false), DoubleType))
           case _ => ae
         }
       case other => other.mapChildren(merge)
@@ -202,32 +263,32 @@ class EagerAggregation(spark: SparkSession) extends Rule[LogicalPlan] {
 
   // ------------------------------------------------ uniqueness licensing
 
-  /** `plan` is provably unique on `key`: a declared PK/UNIQUE of the genuine
-    * catalog object it traces to, through row-identity-preserving shapes —
-    * including Inner PK–FK joins, which cannot duplicate the preserved
-    * side's rows when the OTHER side is unique on its own join key. */
-  private def uniqueOnKey(plan: LogicalPlan, key: AttributeReference): Boolean = plan match {
+  /** `plan` is provably unique on the composite `keys`: a declared
+    * PK/UNIQUE of the genuine catalog object it traces to whose columns are
+    * a SUBSET of `keys` (uniqueness on a superset is implied), through
+    * row-identity-preserving shapes — including Inner PK–FK joins, which
+    * cannot duplicate the preserved side's rows when the OTHER side is
+    * unique on its own join keys. */
+  private def uniqueOnKeys(plan: LogicalPlan, keys: Seq[AttributeReference]): Boolean = plan match {
     case SubqueryAlias(ident, child) =>
-      ownNamed(ident.name, child, key) || uniqueOnKey(child, key)
+      ownNamed(ident.name, child, keys) || uniqueOnKeys(child, keys)
     case Project(ps, child) =>
-      ps.exists { case ar: AttributeReference => ar.exprId == key.exprId; case _ => false } &&
-        uniqueOnKey(child, key)
-    case f: Filter => uniqueOnKey(f.child, key)
-    case v: View => uniqueOnKey(v.child, key)
-    case Join(l, r, Inner, Some(EqualTo(x: AttributeReference, y: AttributeReference)), _) =>
-      val (xs, ys) = (x, y)
-      def side(k: AttributeReference) =
-        if (l.outputSet.contains(k)) Some(true) else if (r.outputSet.contains(k)) Some(false) else None
-      (side(key), side(xs), side(ys)) match {
-        case (Some(true), Some(true), Some(false)) =>
-          uniqueOnKey(l, key) && uniqueOnKey(r, ys)
-        case (Some(true), Some(false), Some(true)) =>
-          uniqueOnKey(l, key) && uniqueOnKey(r, xs)
-        case (Some(false), Some(true), Some(false)) =>
-          uniqueOnKey(r, key) && uniqueOnKey(l, xs)
-        case (Some(false), Some(false), Some(true)) =>
-          uniqueOnKey(r, key) && uniqueOnKey(l, ys)
+      keys.forall(key => ps.exists {
+        case ar: AttributeReference => ar.exprId == key.exprId
         case _ => false
+      }) && uniqueOnKeys(child, keys)
+    case f: Filter => uniqueOnKeys(f.child, keys)
+    case v: View => uniqueOnKeys(v.child, keys)
+    case Join(l, r, Inner, Some(cond), _) =>
+      equiPairs(l, r, cond) match {
+        case Some(pairs) =>
+          val (lks, rks) = (pairs.map(_._1), pairs.map(_._2))
+          if (keys.forall(l.outputSet.contains))
+            uniqueOnKeys(l, keys) && uniqueOnKeys(r, rks)
+          else if (keys.forall(r.outputSet.contains))
+            uniqueOnKeys(r, keys) && uniqueOnKeys(l, lks)
+          else false
+        case None => false
       }
     case _ => false
   }
@@ -235,15 +296,16 @@ class EagerAggregation(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Declared unique key at a NAME that genuinely owns its child (a resolved
     * View of the same name, or a catalog relation of the same name) — the
     * shadow-alias discipline of [[DependentGroupByReduction]]. */
-  private def ownNamed(name: String, child: LogicalPlan, key: AttributeReference): Boolean = {
+  private def ownNamed(name: String, child: LogicalPlan, keys: Seq[AttributeReference]): Boolean = {
     val owns = child match {
       case v: View => v.desc.identifier.table.equalsIgnoreCase(name)
       case lr: LogicalRelation =>
         lr.catalogTable.exists(_.identifier.table.equalsIgnoreCase(name))
       case _ => false
     }
-    owns && child.outputSet.contains(key) &&
-      ConstraintRegistry.uniqueKeys(name).exists(_ == Set(key.name.toLowerCase))
+    owns && keys.forall(child.outputSet.contains) &&
+      ConstraintRegistry.uniqueKeys(name)
+        .exists(_.subsetOf(keys.map(_.name.toLowerCase).toSet))
   }
 
   /** A filter with a DATA predicate (not just null guards) sits in the
@@ -287,15 +349,16 @@ class EagerAggregation(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => true
       }
       estRows(f.child).map(_ * math.pow(DefaultFilterSel, dataPreds.toDouble))
-    case Join(l, r, Inner, Some(EqualTo(x: AttributeReference, y: AttributeReference)), _) =>
-      def keyOf(side: LogicalPlan) =
-        if (side.outputSet.contains(x)) Some(x) else if (side.outputSet.contains(y)) Some(y) else None
-      (keyOf(l), keyOf(r)) match {
-        case (Some(_), Some(rKey)) if uniqueOnKey(r, rKey) =>
-          for (fl <- estRows(l); sel <- sideSelectivity(r)) yield fl * sel
-        case (Some(lKey), Some(_)) if uniqueOnKey(l, lKey) =>
-          for (fr <- estRows(r); sel <- sideSelectivity(l)) yield fr * sel
-        case _ => None
+    case Join(l, r, Inner, Some(cond), _) =>
+      equiPairs(l, r, cond) match {
+        case Some(pairs) =>
+          val (lks, rks) = (pairs.map(_._1), pairs.map(_._2))
+          if (uniqueOnKeys(r, rks))
+            for (fl <- estRows(l); sel <- sideSelectivity(r)) yield fl * sel
+          else if (uniqueOnKeys(l, lks))
+            for (fr <- estRows(r); sel <- sideSelectivity(l)) yield fr * sel
+          else None
+        case None => None
       }
     case _ => None
   }
@@ -336,9 +399,24 @@ class EagerAggregation(spark: SparkSession) extends Rule[LogicalPlan] {
         if (pkCovered) {
           bound *= catalogRows(table).getOrElse(return None)
         } else {
-          // every attribute needs its own bound: FK → referenced table rows;
-          // a declared single-column unique key → own table rows
-          as.foreach { a =>
+          // composite FKs first (r14): a declared multi-column FOREIGN KEY
+          // whose columns are all among the keys bounds THE SET at the
+          // referenced table's row count — the partsupp/junk-dimension
+          // shape, where per-column products wildly overestimate
+          var remaining = as.toList
+          ConstraintRegistry.of(table)
+            .filter(c => c.kind == "FOREIGN KEY" && c.cols.size > 1)
+            .foreach { f =>
+              val fkCols = f.cols.map(_.toLowerCase).toSet
+              if (fkCols.subsetOf(names) &&
+                  remaining.exists(a => fkCols.contains(a.name.toLowerCase))) {
+                bound *= f.refTable.flatMap(catalogRows).getOrElse(return None)
+                remaining = remaining.filterNot(a => fkCols.contains(a.name.toLowerCase))
+              }
+            }
+          // every leftover attribute needs its own bound: FK → referenced
+          // table rows; a declared single-column unique key → own table rows
+          remaining.foreach { a =>
             val n = a.name.toLowerCase
             val fk = ConstraintRegistry.of(table).find(c =>
               c.kind == "FOREIGN KEY" && c.cols.map(_.toLowerCase) == Seq(n))

@@ -32,11 +32,25 @@ class EagerAggregationSpec extends AnyFunSuite {
     ConstraintRegistry.put("eag_orders", Seq(
       KeyConstraint("eag_orders", "PRIMARY KEY", Seq("o_orderkey")),
       KeyConstraint("eag_orders", "FOREIGN KEY", Seq("o_custkey"), Some("eag_customer"), Seq("c_custkey"))))
+    // junk dimension with a COMPOSITE key (the partsupp shape): the distinct
+    // (suppkey, returnflag) pairs, lineitem carrying a composite FK to it
+    spark.sql("DROP TABLE IF EXISTS eag_flagdim")
+    spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .selectExpr("l_suppkey AS d_suppkey", "l_returnflag AS d_flag")
+      .distinct()
+      .write.mode("overwrite").parquet("/tmp/graft_eag_flagdim")
+    spark.sql(
+      "CREATE TABLE eag_flagdim USING PARQUET LOCATION '/tmp/graft_eag_flagdim'")
+    spark.sql("ANALYZE TABLE eag_flagdim COMPUTE STATISTICS")
+    ConstraintRegistry.put("eag_flagdim",
+      Seq(KeyConstraint("eag_flagdim", "PRIMARY KEY", Seq("d_suppkey", "d_flag"))))
     ConstraintRegistry.put("eag_lineitem", Seq(
       KeyConstraint("eag_lineitem", "PRIMARY KEY", Seq("l_orderkey", "l_linenumber")),
       KeyConstraint("eag_lineitem", "FOREIGN KEY", Seq("l_orderkey"), Some("eag_orders"), Seq("o_orderkey")),
       KeyConstraint("eag_lineitem", "FOREIGN KEY", Seq("l_partkey"), Some("eag_part"), Seq("p_partkey")),
-      KeyConstraint("eag_lineitem", "FOREIGN KEY", Seq("l_suppkey"), Some("eag_supplier"), Seq("s_suppkey"))))
+      KeyConstraint("eag_lineitem", "FOREIGN KEY", Seq("l_suppkey"), Some("eag_supplier"), Seq("s_suppkey")),
+      KeyConstraint("eag_lineitem", "FOREIGN KEY", Seq("l_suppkey", "l_returnflag"),
+        Some("eag_flagdim"), Seq("d_suppkey", "d_flag"))))
   }
 
   private def aggCount(df: DataFrame): Int =
@@ -149,6 +163,53 @@ class EagerAggregationSpec extends AnyFunSuite {
     assert(!pre.exists(_.groupingExpressions.exists(
       _.references.exists(_.name.equalsIgnoreCase("o_custkey")))),
       df.queryExecution.analyzed.toString)
+  }
+
+  test("multi-conjunct composite-key dim fires (r14): junk-dimension join, composite FK bounds the keys") {
+    val df = checkedAgainstBaseline(
+      """SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM eag_lineitem JOIN eag_flagdim
+        |  ON l_suppkey = d_suppkey AND l_returnflag = d_flag
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)
+    // pre-agg keys (l_suppkey, l_returnflag) bounded by the composite FK at
+    // flagdim's ~300 rows → collapse ≈ 200 ≥ 3: one pre-agg + final
+    assert(aggCount(df) === 2, df.queryExecution.analyzed.toString)
+  }
+
+  test("multi-conjunct refused when the dim's unique key is not covered by the join keys") {
+    val df = checkedAgainstBaseline(
+      """SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM eag_lineitem JOIN eag_flagdim ON l_suppkey = d_suppkey
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)
+    // flagdim is unique on (d_suppkey, d_flag), not d_suppkey alone → refuse
+    assert(aggCount(df) === 1, df.queryExecution.analyzed.toString)
+  }
+
+  test("AVG decomposes as SUM/COUNT partials (r14, non-decimal input)") {
+    val df = checkedAgainstBaseline(
+      """SELECT o_orderkey, AVG(CAST(l_quantity AS BIGINT)) AS avg_qty, COUNT(*) AS n
+        |FROM eag_orders JOIN eag_lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)
+    assert(aggCount(df) === 2, df.queryExecution.analyzed.toString)
+  }
+
+  test("AVG over DECIMAL refused (Average's single rounding is not re-mergeable)") {
+    val df = checkedAgainstBaseline(
+      """SELECT o_orderkey, AVG(CAST(l_quantity AS DECIMAL(18,2))) AS avg_qty
+        |FROM eag_orders JOIN eag_lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)
+    assert(aggCount(df) === 1, df.queryExecution.analyzed.toString)
+  }
+
+  test("empty GLOBAL COUNT returns 0, not NULL (r13 advice: coalesced merged count)") {
+    val df = checkedAgainstBaseline(
+      """SELECT COUNT(*) AS n
+        |FROM eag_lineitem JOIN eag_supplier ON l_suppkey = s_suppkey
+        |WHERE l_quantity < -5""".stripMargin)
+    // the rewrite must actually fire (est collapse 20000/100 = 200) for the
+    // coalesce to be load-bearing
+    assert(aggCount(df) === 2, df.queryExecution.analyzed.toString)
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(0L))
   }
 
   test("no statistics, no firing: temp views leave every plan untouched") {
