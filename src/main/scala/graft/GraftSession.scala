@@ -45,6 +45,14 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
+      // equi-height histograms (the analog of the reference's
+      // EqualDistinctCountHistogram, reference: src/lib/statistics/
+      // statistics_objects/equal_distinct_count_histogram.hpp:9-22): without
+      // them ANALYZE collects ndv/min/max only and every skewed-column
+      // predicate estimates from a uniform value spread — the JOB family's
+      // whole failure mode. ANALYZE ... FOR COLUMNS pays one extra
+      // percentile scan per table at ingest time.
+      .config("spark.sql.statistics.histogram.enabled", "true")
       .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")

@@ -29,8 +29,29 @@ object Stats {
   val tpchTables: Seq[String] =
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
 
+  /** Histogram-supported types (Spark computes equi-height histograms for
+    * numerics, dates and timestamps only). */
+  private def histogramable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.NumericType => true
+    case org.apache.spark.sql.types.DateType => true
+    case org.apache.spark.sql.types.TimestampType => true
+    case org.apache.spark.sql.types.TimestampNTZType => true
+    case _ => false
+  }
+
   /** Register `tables` from `dir` as external parquet catalog tables and
-    * compute full column statistics. Idempotent per (session, dir). */
+    * compute full column statistics. Idempotent per (session, dir).
+    *
+    * Histogram policy (r14): equi-height histograms — the analog of the
+    * reference's EqualDistinctCountHistogram (reference: src/lib/statistics/
+    * statistics_objects/equal_distinct_count_histogram.hpp:9-22) — are
+    * computed for DATA columns only, where skewed-value filter selectivity
+    * is exactly what a uniform-NDV model gets wrong. JOIN KEYS (`*key`)
+    * keep ndv/min/max estimates: Spark's bin-aligned join estimation on
+    * low-NDV keys misfires — measured on the JOB nation-closure shape,
+    * where a nationkey histogram flips CostBasedJoinReorder into starting
+    * from the customer⋈supplier m:n blowup (quadratic at scale) that the
+    * NDV model correctly refuses. */
   def register(spark: SparkSession, dir: String, tables: Seq[String] = tpchTables): Unit =
     synchronized {
       val marker = s"graft.stats.analyzed.$dir.${tables.mkString("_")}"
@@ -38,7 +59,15 @@ object Stats {
         tables.foreach { t =>
           spark.sql(s"DROP TABLE IF EXISTS $t")
           spark.catalog.createTable(t, s"$dir/$t.parquet", "parquet")
+          spark.conf.set("spark.sql.statistics.histogram.enabled", "false")
           spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+          spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+          val dataCols = spark.table(t).schema.fields
+            .filter(f => !f.name.toLowerCase.endsWith("key") && histogramable(f.dataType))
+            .map(_.name)
+          if (dataCols.nonEmpty)
+            spark.sql(
+              s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS ${dataCols.mkString(", ")}")
         }
         spark.conf.set(marker, "true")
       }

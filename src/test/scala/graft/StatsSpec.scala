@@ -53,6 +53,24 @@ class StatsSpec extends AnyFunSuite {
     joins.filter(j => j.children.forall(c => c.collect { case x: Join => x }.isEmpty))
   }
 
+  test("histogram statistics: skewed-column selectivity estimates from bins, not uniform NDV (r14)") {
+    setup()
+    assert(spark.conf.get("spark.sql.statistics.histogram.enabled") === "true")
+    // 90% of rows on one hot key, tail spread over 100 singleton keys: a
+    // uniform-NDV model estimates k=1 at rows/ndv ≈ 1000/101 ≈ 10 rows; the
+    // equi-height histogram sees the hot key's mass (~900)
+    import spark.implicits._
+    val rows = Seq.fill(900)(1L) ++ (1 to 100).map(i => 100L + i)
+    rows.toDF("k").write.mode("overwrite").parquet("/tmp/graft_stats_skew")
+    spark.sql("DROP TABLE IF EXISTS skewt")
+    spark.catalog.createTable("skewt", "/tmp/graft_stats_skew", "parquet")
+    spark.sql("ANALYZE TABLE skewt COMPUTE STATISTICS FOR ALL COLUMNS")
+    val est = spark.sql("SELECT * FROM skewt WHERE k = 1")
+      .queryExecution.optimizedPlan.stats.rowCount
+    assert(est.exists(_ >= BigInt(400)),
+      s"histogram must see the hot key (~900 rows); uniform NDV would say ~10: got $est")
+  }
+
   test("JOB cycle 20a-class: CBO must not start from the fact-fact slice pair") {
     setup()
     // declared order pairs the two lineitem slices first; with exact stats the
