@@ -80,6 +80,33 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Large IN-list → broadcast semi join ([[graft.plans.InListToJoin]];
+    * reference: src/lib/optimizer/strategy/in_expression_rewrite_rule.hpp:
+    * 18-42 — large lists become a join against a literal table). The
+    * 1334-element list crosses the 1024 rewrite threshold, so the plan is
+    * REQUIRED to carry a LeftSemi join against the literal relation (below
+    * the threshold Spark's InSet hash probe is kept — see scan_filter_in);
+    * DuckDB evaluates the same list as a plain IN, so the gate proves the
+    * rewrite preserves semantics. */
+  private val inLargeVals: Seq[Long] = (1L to 2000L).filter(_ % 3 != 0)
+  val scanFilterInLarge: Q = Q(
+    "scan_filter_in_large",
+    s"""SELECT o_orderkey, o_custkey FROM orders
+       |WHERE o_custkey IN (${inLargeVals.mkString(",")}) AND o_orderstatus <> 'F'
+       |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val df = t(s, dir, "orders")
+      .filter(col("o_custkey").isin(inLargeVals: _*) && col("o_orderstatus") =!= "F")
+      .select("o_orderkey", "o_custkey")
+      .orderBy("o_orderkey")
+    val semis = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    require(semis.nonEmpty,
+      s"a ${inLargeVals.size}-element IN list must rewrite to a broadcast semi join")
+    df
+  }
+
   /** IS NULL / IS NOT NULL scan impl (reference:
     * src/lib/operators/table_scan/column_is_null_table_scan_impl.cpp). The fixtures
     * are null-free, so nulls are synthesized with NULLIF — same on both sides. */
@@ -598,7 +625,7 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(
     scanFilterBetween, scanFilterColVsCol, scanFilterLike, scanFilterIlike,
-    scanFilterIn, scanFilterIsNull, scanFilterOr,
+    scanFilterIn, scanFilterInLarge, scanFilterIsNull, scanFilterOr,
     projectArithmetic, projectCaseCast, projectFunctions, projectExtract, aliasRename,
     joinInner, joinLeft, joinRight, joinFullOuter, joinSemi, joinAnti,
     joinAntiNullAsTrue, joinCross, joinMultiPredicate, joinTheta, joinSortMerge,

@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // after the key-driven rewrites: a shrunk grouping list gives the eager
     // pre-aggregate fewer keys, and the stats gate sees the final shape
     ext.injectPostHocResolutionRule(session => new EagerAggregation(session))
+    // last: turns >=1024-element literal IN lists into broadcast semi joins;
+    // running after the others keeps their Filter pattern-matches intact
+    ext.injectPostHocResolutionRule(session => new InListToJoin(session))
     ext.injectFunction((
       FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_vec_dot"),
