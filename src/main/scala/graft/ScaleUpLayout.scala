@@ -148,21 +148,34 @@ object ScaleUpLayout {
     buckets
   }
 
+  /** Durable rollups shipped with every scale build (see [[Rollups]]): the
+    * aggregation is paid once here, not once per query. */
+  def rollupFacts(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val rows = Rollups.build(spark, dir, Rollups.LineitemByPartkey)
+    println(s"rollup ${Rollups.LineitemByPartkey}: $rows state rows" +
+      s" -> ${dirBytes(s"$dir/_rollup/${Rollups.LineitemByPartkey}") >> 20}MiB")
+  }
+
   def main(args: Array[String]): Unit = {
     // --bucket-only <dir> [buckets]: add the bucketed layout to an EXISTING
-    // scaled dir without rebuilding it
+    // scaled dir without rebuilding it; --rollup-only <dir>: same for the
+    // durable rollups
     val bucketOnly = args.headOption.contains("--bucket-only")
+    val rollupOnly = args.headOption.contains("--rollup-only")
     val spark = GraftSession.tuned(
       SparkSession.builder().master("local[32]").appName("graft-scale-up-layout"),
       shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (bucketOnly) {
       bucketFacts(spark, args(1), args.lift(2).map(_.toInt).getOrElse(0))
+    } else if (rollupOnly) {
+      rollupFacts(spark, args(1))
     } else {
       val (src, dst) = (args(0), args(1))
       val factor = args.lift(2).map(_.toInt).getOrElse(1000)
       writeScaled(spark, src, dst, factor)
       bucketFacts(spark, dst) // the bucketed facts ARE the production layout
+      rollupFacts(spark, dst)
     }
     spark.stop()
   }

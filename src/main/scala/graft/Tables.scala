@@ -15,12 +15,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Catalog name for a bucketed fact table under `dir` — suffixed with a
-    * hash of the absolute dataset path so two dataset dirs read in one
-    * session never collide in the session catalog. */
+  /** Catalog name for a bucketed fact table under `dir` — suffixed with the
+    * first 12 hex chars of SHA-256 of the absolute dataset path so two
+    * dataset dirs read in one session never collide in the session catalog
+    * (32-bit String.hashCode collides too easily — r13 advice; a silent
+    * collision would resolve both dirs to one table and return the wrong
+    * dataset's rows). Readers do NOT recompute this: [[bucketed]] parses the
+    * authoritative name from the layout's own DDL manifest, so layouts built
+    * under an older naming scheme keep replaying. */
   def bucketTableName(dir: String, name: String): String = {
     val abs = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
-    f"graft_buck_${name}%s_${abs.hashCode & 0x7fffffff}%08x"
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"graft_buck_${name}_$sha"
   }
 
   def df(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -54,13 +61,27 @@ object Tables {
     val ddlPath = Paths.get(dir, "_layout", s"$name.sql")
     if (!Files.exists(ddlPath) || sys.env.get("SPARK_GRAFT_FLAT").contains("1")) None
     else {
-      val tbl = bucketTableName(dir, name)
+      val script = new String(Files.readAllBytes(ddlPath), java.nio.charset.StandardCharsets.UTF_8)
+      // the manifest owns the catalog name (scheme-change-proof)
+      val tbl = "CREATE TABLE IF NOT EXISTS (\\S+)".r
+        .findFirstMatchIn(script).map(_.group(1))
+        .getOrElse(bucketTableName(dir, name))
       if (!spark.catalog.tableExists(tbl)) {
-        val script = new String(Files.readAllBytes(ddlPath), java.nio.charset.StandardCharsets.UTF_8)
         script.split(";\n").map(_.trim).filter(_.nonEmpty).foreach(spark.sql(_))
       }
       Some(spark.table(tbl))
     }
+  }
+
+  /** Durable-rollup hook: a dataset dir built by [[ScaleUpLayout]] may carry
+    * `_rollup/<name>` — the persisted IVM state of a [[MatViews]] definition
+    * over a base fact (see [[Rollups]]). Like the bucketed layout, the dir is
+    * built and refreshed as a unit by its owner, so presence is the contract;
+    * `SPARK_GRAFT_FLAT=1` forces the recompute path for A/Bs. */
+  def rollupState(spark: SparkSession, dir: String, name: String): Option[DataFrame] = {
+    val p = java.nio.file.Paths.get(dir, "_rollup", name)
+    if (!java.nio.file.Files.exists(p) || sys.env.get("SPARK_GRAFT_FLAT").contains("1")) None
+    else Some(spark.read.parquet(p.toString))
   }
 
   /** Rewrite `ts` to a nanosecond-epoch long whatever the file carried.

@@ -214,8 +214,15 @@ object TpchFullQueries {
       |    * CAST(0.0007 AS DECIMAL(5,4))
       |  FROM lineitem)
       |ORDER BY part_value DESC, l_partkey""".stripMargin) { (s, dir) =>
+    // Durable-rollup fast path (r14): a ScaleUpLayout dir carries the
+    // persisted IVM state of exactly this per-part aggregate
+    // (Rollups.LineitemByPartkey, maintained O(delta) by MatViews.merge) —
+    // the 20M-group aggregation over the full fact becomes a 20M-row scan.
+    // Fixture dirs carry no _rollup and recompute from the fact below; the
+    // rollup path is oracle-gated by tpch_q11_rollup.
     val l = t(s, dir, "lineitem")
-    val perPart = l.groupBy("l_partkey").agg(sum(net).as("value_dec"))
+    val perPart = graft.Rollups.visibleDf(s, dir, graft.Rollups.LineitemByPartkey)
+      .getOrElse(l.groupBy("l_partkey").agg(sum(net).as("value_dec")))
     // Re-sum the per-part sums instead of re-aggregating raw lineitem:
     // decimal addition is exact, so the threshold is value-identical, and the
     // two branches share an identical scan + partial-agg + exchange subtree
@@ -234,6 +241,35 @@ object TpchFullQueries {
       // ≤ ⌈1/0.0007⌉ = 1429 at any scale (at most that many parts can exceed
       // a 0.0007-of-total threshold), so a single-partition sort is the
       // scale-safe plan: one tiny exchange, one in-memory sort, no sampling.
+      .repartition(1)
+      .sortWithinPartitions(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** Q11 answered through the durable per-part rollup ([[graft.Rollups]]):
+    * the per-part sums come from MatViews IVM state (deltaState → visible)
+    * built over the same fact, so this entry oracle-gates the rollup fast
+    * path q11 takes on a ScaleUpLayout dir — DuckDB recomputes the raw
+    * aggregation, proving state-derived values are value-identical. */
+  val q11Rollup: Q = Q(
+    "tpch_q11_rollup",
+    """SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+      |FROM (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS value_dec
+      |  FROM lineitem GROUP BY l_partkey)
+      |WHERE value_dec > (
+      |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))
+      |    * CAST(0.0007 AS DECIMAL(5,4))
+      |  FROM lineitem)
+      |ORDER BY part_value DESC, l_partkey""".stripMargin) { (s, dir) =>
+    val d = graft.Rollups.definition(graft.Rollups.LineitemByPartkey)
+    val perPart = graft.MatViews.visible(d,
+      graft.MatViews.deltaState(d, t(s, dir, "lineitem")))
+    val threshold = perPart
+      .agg((sum(col("value_dec")) * lit(0.0007).cast("decimal(5,4)")).as("thr"))
+    perPart.join(broadcast(threshold))
+      .filter(col("value_dec") > col("thr"))
+      .select(col("l_partkey"), asDouble(col("value_dec")).as("part_value"))
       .repartition(1)
       .sortWithinPartitions(col("part_value").desc, col("l_partkey"))
   }
@@ -480,7 +516,7 @@ object TpchFullQueries {
 
   val all: Seq[Q] = Seq(
     q2MinCostSupplier, q7VolumeShipping, q8MarketShare, q9ProductProfit,
-    q11ImportantParts, q12LatePriority, q13CustomerDistribution, q15TopSupplier,
+    q11ImportantParts, q11Rollup, q12LatePriority, q13CustomerDistribution, q15TopSupplier,
     q16SupplierCount, q17SmallQuantity, q20PromotionSuppliers, q21WaitingSuppliers,
     q22SalesOpportunity)
 }
