@@ -82,7 +82,9 @@ import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, NumericTyp
   * 1.42 — BELOW ssb_q3_1-adjacent noise) is refused; its measured 3.4× win
   * is row-width/plan-structure-driven, which no honest row-count gate can
   * see, so that query keeps its hand-written shape instead
-  * (operators/SsbQueries.scala). */
+  * (operators/SsbQueries.scala). Re-tested against the r14 generalization
+  * (multi-conjunct keys, composite-FK bounds, AVG): the refusal is
+  * stats-driven, not structural, so it stands — the spec pins it. */
 class EagerAggregation(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private val MinCollapse = 3.0
