@@ -60,6 +60,18 @@ object Bench {
       System.gc()
       Thread.sleep(200) // let ContextCleaner process the reference queue
       System.gc()
+      // r14: drain WRITEBACK outside the timed window too. A heavy item's
+      // shuffle scratch sits as dirty page cache (vm.dirty_ratio on a big-RAM
+      // box admits tens of GB) and the kernel flushes it lazily DURING the
+      // next item's timed run — measured: q12 in-suite 50.6 s vs 17.3 s solo
+      // with GC hygiene alone (vmstat: zero reads, 170 MB/s writeback bursts
+      // at 90 % kernel CPU inside the neighbor's window). The 300 ms gap
+      // first lets ContextCleaner finish DELETING the previous item's files
+      // (deleted-before-flush dirty pages are simply dropped), then sync
+      // flushes whatever legitimately remains.
+      Thread.sleep(300)
+      try new ProcessBuilder("sync").start().waitFor()
+      catch { case _: Throwable => () }
     }
     val queries = SparkEntry.queries
     def once(name: String): Double = {
