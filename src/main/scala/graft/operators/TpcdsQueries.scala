@@ -239,11 +239,34 @@ object TpcdsQueries {
        |    GROUP BY ROLLUP(p_type, p_brand)))
        |WHERE rk <= 3
        |ORDER BY p_type NULLS FIRST, rk, p_brand NULLS FIRST""".stripMargin) { (s, dir) =>
-    val lattice = t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
-      .rollup(col("p_type"), col("p_brand")) // Column args: see q5 note
-      .agg(sum(netRev).as("rev"))
+    // Rollup-from-base (r14): Spark plans ROLLUP as Expand×3 BELOW the
+    // partial aggregate, so the 600M-row join output is hashed three times
+    // (1.8B agg-input rows at SF100). Decimal SUM is associative, so the
+    // coarser lattice levels re-aggregate EXACTLY from the finest level's
+    // ~|type×brand| rows instead — one full-fact aggregation, two tiny ones.
+    // Same rows, same types; DuckDB recomputes the spec ROLLUP.
+    // ... and the finest level itself re-aggregates from the durable
+    // per-part rollup when the layout carries it (decimal sums associate:
+    // Σ_{parts in (type,brand)} Σ_{lines of part} ≡ Σ_{lines of (type,brand)})
+    // — the 600M-row fact join collapses to a 20M-row state join.
+    val base = graft.Rollups.visibleDf(s, dir, graft.Rollups.LineitemByPartkey)
+      .map(_.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("p_brand"))
+        .agg(sum(col("value_dec")).as("rev")))
+      .getOrElse(t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("p_brand"))
+        .agg(sum(netRev).as("rev")))
       .toDF("p_type", "p_brand", "rev") // re-key rollup attrs (self-join check)
+    val revType = base.schema("rev").dataType
+    val lvl1 = base.groupBy(col("p_type"))
+      .agg(sum(col("rev")).cast(revType).as("rev"))
+      .select(col("p_type"), lit(null).cast("string").as("p_brand"), col("rev"))
+    val lvl0 = base
+      .agg(sum(col("rev")).cast(revType).as("rev"))
+      .select(lit(null).cast("string").as("p_type"),
+        lit(null).cast("string").as("p_brand"), col("rev"))
+    val lattice = base.unionByName(lvl1).unionByName(lvl0)
     val w = Window.partitionBy("p_type")
       .orderBy(col("rev").desc, col("p_brand").asc_nulls_first)
     lattice

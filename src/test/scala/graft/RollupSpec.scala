@@ -16,12 +16,14 @@ class RollupSpec extends AnyFunSuite {
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
 
-  /** A dataset dir that shares the fixture's lineitem but owns its _rollup. */
+  /** A dataset dir that shares the fixture's facts but owns its _rollup. */
   private lazy val dir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft-rollup").toString
-    java.nio.file.Files.createSymbolicLink(
-      java.nio.file.Paths.get(s"$d/lineitem.parquet"),
-      java.nio.file.Paths.get(s"$sf/lineitem.parquet").toAbsolutePath)
+    Seq("lineitem", "part").foreach { t =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$d/$t.parquet"),
+        java.nio.file.Paths.get(s"$sf/$t.parquet").toAbsolutePath)
+    }
     Rollups.build(spark, d, name)
     d
   }
@@ -66,6 +68,15 @@ class RollupSpec extends AnyFunSuite {
     }.flatten
     assert(scanned.nonEmpty && scanned.forall(_.contains("_rollup")),
       s"q11 on a rollup-carrying dir must read only the rollup state, got: $scanned")
+    assert(viaRollup.collect().toSeq === recompute.collect().toSeq)
+  }
+
+  test("q67's finest lattice level re-aggregates from the rollup state identically") {
+    // decimal sums associate: per-(type,brand) over the per-part state must
+    // equal per-(type,brand) over the raw fact — rows, types and rank ties
+    val viaRollup = operators.TpcdsQueries.q67TopkRollup.run(spark, dir)
+    val recompute = operators.TpcdsQueries.q67TopkRollup.run(spark, sf)
+    assert(viaRollup.schema === recompute.schema)
     assert(viaRollup.collect().toSeq === recompute.collect().toSeq)
   }
 }
