@@ -153,8 +153,27 @@ object TpcdsQueries {
         when(col("l_returnflag") === "R", "returns").otherwise("catalog").as("channel"),
         col("o_orderpriority"),
         when(col("l_returnflag") === "R", -netRev).otherwise(netRev).as("rev"))
-      .rollup(col("channel"), col("o_orderpriority"))
-      .agg(asDouble(sum(col("rev"))).as("revenue"), count(lit(1)).as("n"))
+      // rollup-from-base (r14, same rewrite as q67): ROLLUP plans as
+      // Expand×3 below the partial aggregate — 3× the 600M-row agg input at
+      // SF100. SUM/COUNT associate, so aggregate the finest (channel,
+      // priority) level once and re-aggregate its ~12 rows for the coarser
+      // levels. Identical rows/types; the oracle recomputes the spec ROLLUP.
+      .groupBy(col("channel"), col("o_orderpriority"))
+      .agg(sum(col("rev")).as("rev"), count(lit(1)).as("n"))
+      .transform { base =>
+        val revType = base.schema("rev").dataType
+        val lvl1 = base.groupBy(col("channel"))
+          .agg(sum(col("rev")).cast(revType).as("rev"), sum(col("n")).as("n"))
+          .select(col("channel"), lit(null).cast("string").as("o_orderpriority"),
+            col("rev"), col("n"))
+        val lvl0 = base
+          .agg(sum(col("rev")).cast(revType).as("rev"), sum(col("n")).as("n"))
+          .select(lit(null).cast("string").as("channel"),
+            lit(null).cast("string").as("o_orderpriority"), col("rev"), col("n"))
+        base.unionByName(lvl1).unionByName(lvl0)
+      }
+      .select(col("channel"), col("o_orderpriority"),
+        asDouble(col("rev")).as("revenue"), col("n"))
       .toDF("channel", "o_orderpriority", "revenue", "n")
       .orderBy(col("channel").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
