@@ -35,10 +35,18 @@ object BenchAnnIndex {
     val storeRows = Tables.df(spark, sfDir, "embeddings").count()
     val buildSec = timed(functions.AnnIndex.buildAll(spark, sfDir, indexDir))
 
+    // adaptive probe: stats travel with the result (no shared mutable state)
+    var adaptiveCells: Map[Long, Int] = Map.empty
+    def adaptiveProbe(): DataFrame = {
+      val (df, cells) =
+        functions.AnnIndex.probeIvfScaledAdaptiveWithStats(spark, sfDir, indexDir)
+      adaptiveCells = cells
+      df
+    }
     val probes = Seq(
       "probe_ivf_topk" -> (() => functions.AnnIndex.probeIvf(spark, sfDir, indexDir)),
       "probe_ivf_scaled_topk" -> (() => functions.AnnIndex.probeIvfScaled(spark, sfDir, indexDir)),
-      "probe_ivf_scaled_adaptive_topk" -> (() => functions.AnnIndex.probeIvfScaledAdaptive(spark, sfDir, indexDir)),
+      "probe_ivf_scaled_adaptive_topk" -> (() => adaptiveProbe()),
       "probe_ivfpq_topk" -> (() => functions.AnnIndex.probeIvfPq(spark, sfDir, indexDir)),
       "probe_sq8_topk" -> (() => functions.AnnIndex.probeSq8(spark, sfDir, indexDir)))
     val inlines = Seq(
@@ -52,7 +60,6 @@ object BenchAnnIndex {
         inlines.map { case (n, q) =>
           s""""$n":${best(SparkEntry.queries(q)(spark, sfDir))}"""
         }
-    val adaptiveCells = functions.AnnIndex.lastAdaptiveCellsProbed
     val adaptiveField =
       if (adaptiveCells.isEmpty) ""
       else {

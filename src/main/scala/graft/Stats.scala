@@ -39,14 +39,32 @@ object Stats {
     case _ => false
   }
 
+  /** Join-key columns of `table` — the histogram EXCLUSION set. Primary
+    * signal: declared constraints ([[graft.plans.ConstraintRegistry]] — the
+    * same trusted metadata the reference's statistics decisions read from its
+    * table constraints, reference: src/lib/storage/constraints/
+    * table_key_constraint.hpp): every column in a PK/UNIQUE/FK declared ON
+    * the table, plus every column another table's FK REFERENCES here. Only
+    * when the table has no declaration anywhere does the policy fall back to
+    * the `*key` name suffix (right for the fixture schema, but a data column
+    * named `weekey` or a join key named `id` would mislead it — r14 advice). */
+  private def joinKeyCols(table: String): Set[String] = {
+    import graft.plans.ConstraintRegistry
+    val own = ConstraintRegistry.of(table).flatMap(_.cols)
+    val referenced = ConstraintRegistry.all
+      .filter(_.refTable.exists(_.equalsIgnoreCase(table))).flatMap(_.refCols)
+    (own ++ referenced).map(_.toLowerCase).toSet
+  }
+
   /** Register `tables` from `dir` as external parquet catalog tables and
     * compute full column statistics. Idempotent per (session, dir).
     *
-    * Histogram policy (r14): equi-height histograms — the analog of the
-    * reference's EqualDistinctCountHistogram (reference: src/lib/statistics/
-    * statistics_objects/equal_distinct_count_histogram.hpp:9-22) — are
-    * computed for DATA columns only, where skewed-value filter selectivity
-    * is exactly what a uniform-NDV model gets wrong. JOIN KEYS (`*key`)
+    * Histogram policy (r14, constraint-keyed r15): equi-height histograms —
+    * the analog of the reference's EqualDistinctCountHistogram (reference:
+    * src/lib/statistics/statistics_objects/equal_distinct_count_histogram.hpp:9-22)
+    * — are computed for DATA columns only, where skewed-value filter
+    * selectivity is exactly what a uniform-NDV model gets wrong. JOIN KEYS
+    * ([[joinKeyCols]]: declared PK/FK/UNIQUE columns, name-suffix fallback)
     * keep ndv/min/max estimates: Spark's bin-aligned join estimation on
     * low-NDV keys misfires — measured on the JOB nation-closure shape,
     * where a nationkey histogram flips CostBasedJoinReorder into starting
@@ -56,18 +74,31 @@ object Stats {
     synchronized {
       val marker = s"graft.stats.analyzed.$dir.${tables.mkString("_")}"
       if (spark.conf.getOption(marker).isEmpty) {
-        tables.foreach { t =>
-          spark.sql(s"DROP TABLE IF EXISTS $t")
-          spark.catalog.createTable(t, s"$dir/$t.parquet", "parquet")
-          spark.conf.set("spark.sql.statistics.histogram.enabled", "false")
-          spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
-          spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
-          val dataCols = spark.table(t).schema.fields
-            .filter(f => !f.name.toLowerCase.endsWith("key") && histogramable(f.dataType))
-            .map(_.name)
-          if (dataCols.nonEmpty)
-            spark.sql(
-              s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS ${dataCols.mkString(", ")}")
+        // toggle the histogram conf around the two ANALYZE passes, restoring
+        // whatever the session had (never clobber a caller's setting)
+        val histConf = "spark.sql.statistics.histogram.enabled"
+        val prior = spark.conf.getOption(histConf)
+        try {
+          tables.foreach { t =>
+            spark.sql(s"DROP TABLE IF EXISTS $t")
+            spark.catalog.createTable(t, s"$dir/$t.parquet", "parquet")
+            val declared = joinKeyCols(t)
+            val isKey: String => Boolean =
+              if (declared.nonEmpty) c => declared.contains(c.toLowerCase)
+              else c => c.toLowerCase.endsWith("key")
+            spark.conf.set(histConf, "false")
+            spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+            spark.conf.set(histConf, "true")
+            val dataCols = spark.table(t).schema.fields
+              .filter(f => !isKey(f.name) && histogramable(f.dataType))
+              .map(_.name)
+            if (dataCols.nonEmpty)
+              spark.sql(
+                s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS ${dataCols.mkString(", ")}")
+          }
+        } finally prior match {
+          case Some(v) => spark.conf.set(histConf, v)
+          case None => spark.conf.unset(histConf)
         }
         spark.conf.set(marker, "true")
       }

@@ -159,11 +159,6 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$indexDir/ivf_scaled_radii")
   }
 
-  /** Cells probed per query by the last [[probeIvfScaledAdaptive]] run —
-    * bench-evidence visibility into the adaptive cost (bounded: NQUERY
-    * entries). */
-  @volatile var lastAdaptiveCellsProbed: Map[Long, Int] = Map.empty
-
   /** Adaptive-nprobe probe (the FAISS early-termination analog, verdict-r12
     * stretch): probe cells in decreasing query-centroid-cosine order and STOP
     * once no unprobed cell's bound cos(max(0, θ_qc − r_c)) can beat the
@@ -187,7 +182,16 @@ object AnnIndex {
     * whole-store scan in O(log nlist) geometric rounds — use the fixed
     * recall-targeted [[probeIvfScaled]] tier there instead. */
   def probeIvfScaledAdaptive(s: SparkSession, sfDir: String, indexDir: String,
-      batch: Int = 8): DataFrame = {
+      batch: Int = 8): DataFrame =
+    probeIvfScaledAdaptiveWithStats(s, sfDir, indexDir, batch)._1
+
+  /** [[probeIvfScaledAdaptive]] plus the per-query probed-cell counts —
+    * bench/spec visibility into the adaptive cost (bounded: NQUERY entries).
+    * Returned with the result rather than parked in shared mutable state, so
+    * two concurrent probes can never race each other's stats (r14 verdict
+    * task 7). */
+  def probeIvfScaledAdaptiveWithStats(s: SparkSession, sfDir: String,
+      indexDir: String, batch: Int = 8): (DataFrame, Map[Long, Int]) = {
     val EPS = 1e-12
     val cents = s.read.parquet(s"$indexDir/ivf_scaled_centroids")
     val radii = s.read.parquet(s"$indexDir/ivf_scaled_radii")
@@ -263,11 +267,10 @@ object AnnIndex {
         top = top.updated(qid, merged)
       }
     }
-    lastAdaptiveCellsProbed = cursor
     val out = top.toSeq.flatMap { case (qid, t) =>
       t.zipWithIndex.map { case ((nid, sim), i) => (qid, nid, sim, i + 1) }
     }.sortBy(t => (t._1, t._4))
-    s.createDataFrame(out).toDF("q_id", "n_id", "sim", "rk")
+    (s.createDataFrame(out).toDF("q_id", "n_id", "sim", "rk"), cursor)
   }
 
   // -------------------------------------------------------------- append
@@ -306,6 +309,9 @@ object AnnIndex {
     val (trainedRows, priorAppended) = appendState(indexDir)
     val maxStored = storedMaxVecId(indexDir)
     val stats = dq.agg(min(col("vec_id")), max(col("vec_id")), count(lit(1))).head
+    // empty delta: min/max above are NULL — return before reading them
+    // (a clean no-op, not an opaque NPE; r14 advice)
+    if (stats.getLong(2) == 0L) return 0L
     val (dMin, dMax, appended) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
     require(maxStored < 0 || dMin > maxStored,
       s"append delta overlaps stored ids: min(delta.vec_id)=$dMin ≤ stored max $maxStored")

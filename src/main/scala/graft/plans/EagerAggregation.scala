@@ -196,8 +196,11 @@ class EagerAggregation(spark: SparkSession) extends Rule[LogicalPlan] {
     // resultId (ae.copy keeps it) collide in physical aggregate binding
     val partsOf: Seq[(AggregateExpression, Seq[AggregateExpression])] = aggFnsU.map { ae =>
       ae.aggregateFunction match {
+        // partial sum in DOUBLE, mirroring Average's own accumulator: an
+        // exact integral partial Sum would be a LongType sum that wraps on
+        // overflow under non-ANSI mode, where Average never does (r14 advice)
         case av: Average => ae -> Seq(
-          AggregateExpression(Sum(av.child), ae.mode, isDistinct = false),
+          AggregateExpression(Sum(Cast(av.child, DoubleType)), ae.mode, isDistinct = false),
           AggregateExpression(Count(Seq(av.child)), ae.mode, isDistinct = false))
         case _ => ae -> Seq(ae)
       }

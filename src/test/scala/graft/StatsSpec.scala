@@ -156,4 +156,34 @@ class StatsSpec extends AnyFunSuite {
         s"the two fact spines must not meet before their dims shrink them:\n$j")
     }
   }
+
+  test("histogram policy follows declared constraints, not name suffixes; conf restored (r15)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-stats-constr").toString
+    // join key named `id` (no *key suffix), data column named `weekey` — the
+    // exact two shapes the name heuristic gets wrong (r14 advice)
+    (1 to 500).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "weekey")
+      .write.mode("overwrite").parquet(s"$d/constrt.parquet")
+    graft.plans.ConstraintRegistry.put("constrt",
+      Seq(graft.plans.KeyConstraint("constrt", "PRIMARY KEY", Seq("id"))))
+    val histConf = "spark.sql.statistics.histogram.enabled"
+    val before = spark.conf.get(histConf)
+    try {
+      spark.conf.set(histConf, "false") // caller's setting must survive register
+      Stats.register(spark, d, Seq("constrt"))
+      assert(spark.conf.get(histConf) === "false",
+        "register must restore the caller's histogram conf, not clobber it")
+      def hist(colName: String): String = spark.sql(s"DESC EXTENDED constrt $colName")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        .getOrElse("histogram", "NULL")
+      assert(hist("id") === "NULL",
+        "declared PK column must keep ndv-only stats (no histogram) despite not ending in *key")
+      assert(hist("weekey") !== "NULL",
+        "an undeclared data column must get its histogram even with a *key-suffixed name")
+    } finally {
+      spark.conf.set(histConf, before)
+      graft.plans.ConstraintRegistry.drop("constrt")
+      spark.sql("DROP TABLE IF EXISTS constrt")
+    }
+  }
 }

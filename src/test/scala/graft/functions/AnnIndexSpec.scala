@@ -68,7 +68,8 @@ class AnnIndexSpec extends AnyFunSuite {
   }
 
   test("adaptive-nprobe probe returns the EXACT cosine top-k (recall 1.0 by construction)") {
-    val adaptive = AnnIndex.probeIvfScaledAdaptive(spark, sf, idx)
+    val (adaptiveDf, probed) = AnnIndex.probeIvfScaledAdaptiveWithStats(spark, sf, idx)
+    val adaptive = adaptiveDf
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     val exact = SimilarityQueries.annBruteForce.run(spark, sf)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -76,7 +77,7 @@ class AnnIndexSpec extends AnyFunSuite {
     // sound bound CANNOT rule cells out — probing everything and matching
     // brute force exactly is the correct behavior here
     assert(adaptive.toSeq === exact.toSeq,
-      s"adaptive probe must equal brute-force exact top-k; probed ${AnnIndex.lastAdaptiveCellsProbed}")
+      s"adaptive probe must equal brute-force exact top-k; probed $probed")
   }
 
   test("adaptive-nprobe terminates early on a clustered store (tight cells)") {
@@ -98,15 +99,15 @@ class AnnIndexSpec extends AnyFunSuite {
     members.write.parquet(s"$d/embeddings.parquet")
     val idx2 = java.nio.file.Files.createTempDirectory("graft-annclustered-idx").toString
     AnnIndex.buildAll(spark, d, idx2)
-    val adaptive = AnnIndex.probeIvfScaledAdaptive(spark, d, idx2)
+    val (adaptiveDf, probed) = AnnIndex.probeIvfScaledAdaptiveWithStats(spark, d, idx2)
+    val adaptive = adaptiveDf
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     val exact = SimilarityQueries.annBruteForce.run(spark, d)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(adaptive.toSeq === exact.toSeq)
     val nlist = spark.read.parquet(s"$idx2/ivf_scaled_centroids").count()
-    assert(AnnIndex.lastAdaptiveCellsProbed.values.forall(_ < nlist),
-      s"tight clusters: every query must stop early (nlist=$nlist): " +
-        AnnIndex.lastAdaptiveCellsProbed.toString)
+    assert(probed.values.forall(_ < nlist),
+      s"tight clusters: every query must stop early (nlist=$nlist): $probed")
   }
 
   test("append ≡ rebuild assignment at fixed centroids (assign-only ingest)") {
@@ -218,9 +219,10 @@ class AnnIndexSpec extends AnyFunSuite {
     AnnIndex.writeScaledRadii(spark, idx3)
     // batch=1 probes ONE cell per round, so the stop decision after the home
     // cell is load-bearing: the buggy next-cell test would return {10,11,12}
-    val got = AnnIndex.probeIvfScaledAdaptive(spark, d, idx3, batch = 1)
+    val (gotDf, probed) = AnnIndex.probeIvfScaledAdaptiveWithStats(spark, d, idx3, batch = 1)
+    val got = gotDf
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq === Seq((0L, 14L), (0L, 10L), (0L, 11L)),
-      s"true top-3 is 14(6°),10(8°),11(9°); probed ${AnnIndex.lastAdaptiveCellsProbed}")
+      s"true top-3 is 14(6°),10(8°),11(9°); probed $probed")
   }
 }
