@@ -113,6 +113,10 @@ object ScaleUpLayout {
       var b = 32; while (b < ideal && b < 4096) b <<= 1; b
     }
     bucketFactsSpec.foreach { case (t, key) =>
+      // freshness pin (r15): fingerprint the flat base BEFORE reading it —
+      // a concurrent flat rewrite mid-bucket leaves a mismatched pin, so
+      // Tables.bucketed refuses the half-old copy instead of serving it
+      val flatFp = Fingerprints.of(s"$dir/$t.parquet")
       val flat = spark.read.parquet(s"$dir/$t.parquet")
       // keep the flat layout's hive partitioning iff the source has it
       val partCol = partCols.get(t).filter { c =>
@@ -141,6 +145,8 @@ object ScaleUpLayout {
       Files.createDirectories(Paths.get(dir, "_layout"))
       Files.write(Paths.get(dir, "_layout", s"$t.sql"),
         stmts.mkString(";\n").getBytes(UTF_8))
+      Files.write(Paths.get(dir, "_layout", s"$t.fp.json"),
+        s"""{"flat_fp":"$flatFp"}""".getBytes(UTF_8))
       println(s"bucketed $t: $buckets buckets on $key" +
         partCol.fold("")(c => s", hive-partitioned by $c") +
         s" -> ${dirBytes(path) >> 20}MiB at $path")
@@ -148,13 +154,14 @@ object ScaleUpLayout {
     buckets
   }
 
-  /** Durable rollups shipped with every scale build (see [[Rollups]]): the
+  /** Durable rollups shipped with every scale build (see [[Rollups]]): each
     * aggregation is paid once here, not once per query. */
-  def rollupFacts(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val rows = Rollups.build(spark, dir, Rollups.LineitemByPartkey)
-    println(s"rollup ${Rollups.LineitemByPartkey}: $rows state rows" +
-      s" -> ${dirBytes(s"$dir/_rollup/${Rollups.LineitemByPartkey}") >> 20}MiB")
-  }
+  def rollupFacts(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    Rollups.names.foreach { name =>
+      val rows = Rollups.build(spark, dir, name)
+      println(s"rollup $name: $rows state rows" +
+        s" -> ${dirBytes(s"$dir/_rollup/$name") >> 20}MiB")
+    }
 
   def main(args: Array[String]): Unit = {
     // --bucket-only <dir> [buckets]: add the bucketed layout to an EXISTING

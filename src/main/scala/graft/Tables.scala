@@ -60,6 +60,7 @@ object Tables {
     import java.nio.file.{Files, Paths}
     val ddlPath = Paths.get(dir, "_layout", s"$name.sql")
     if (!Files.exists(ddlPath) || sys.env.get("SPARK_GRAFT_FLAT").contains("1")) None
+    else if (!bucketedFresh(dir, name)) None
     else {
       val script = new String(Files.readAllBytes(ddlPath), java.nio.charset.StandardCharsets.UTF_8)
       // the manifest owns the catalog name (scheme-change-proof)
@@ -73,16 +74,51 @@ object Tables {
     }
   }
 
+  /** Freshness pin for the bucketed family (r15): `_layout/<t>.fp.json` holds
+    * the flat base's listing fingerprint, written by [[ScaleUpLayout
+    * .bucketFacts]] BEFORE it reads the flat files; a flat rewrite without a
+    * re-bucket mismatches and the reader falls through to the (fresh) flat
+    * path instead of silently serving the stale bucketed copy. Verified once
+    * per (dir, table) per session — the same granularity as the catalog-table
+    * registration the DDL replay already caches ([[clearLayoutCache]] resets
+    * both checks for tests). A dir with DDL but no fp file is a pre-r15
+    * layout and is served on the documented presence-trust contract. */
+  private val bucketedFreshCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
+
+  private def bucketedFresh(dir: String, name: String): Boolean = {
+    import java.nio.file.{Files, Paths}
+    val abs = Paths.get(dir).toAbsolutePath.normalize.toString
+    bucketedFreshCache.getOrElseUpdate((abs, name), {
+      val fpPath = Paths.get(dir, "_layout", s"$name.fp.json")
+      if (!Files.exists(fpPath)) true // pre-r15 layout: presence-trusted
+      else {
+        val pinned = Fingerprints.fromJson(
+          new String(Files.readAllBytes(fpPath), "UTF-8")).get("flat_fp")
+        val now = Fingerprints.of(s"$dir/$name.parquet")
+        val ok = pinned.contains(now)
+        if (!ok)
+          System.err.println(s"graft: REFUSING STALE bucketed layout for $name under $dir " +
+            s"(flat fingerprint moved; pinned=$pinned now=$now) — reading the flat files; " +
+            "re-run ScaleUpLayout --bucket-only to rebuild")
+        ok
+      }
+    })
+  }
+
+  /** Reset the per-session layout freshness verdicts (tests that mutate a
+    * dataset dir in place re-verify on next read). */
+  def clearLayoutCache(): Unit = bucketedFreshCache.clear()
+
   /** Durable-rollup hook: a dataset dir built by [[ScaleUpLayout]] may carry
     * `_rollup/<name>` — the persisted IVM state of a [[MatViews]] definition
-    * over a base fact (see [[Rollups]]). Like the bucketed layout, the dir is
-    * built and refreshed as a unit by its owner, so presence is the contract;
+    * over a base fact (see [[Rollups]]). Served only when the state's
+    * manifest pins the CURRENT base fingerprints (r15 — stale or legacy
+    * state is refused loudly and the caller recomputes);
     * `SPARK_GRAFT_FLAT=1` forces the recompute path for A/Bs. */
-  def rollupState(spark: SparkSession, dir: String, name: String): Option[DataFrame] = {
-    val p = java.nio.file.Paths.get(dir, "_rollup", name)
-    if (!java.nio.file.Files.exists(p) || sys.env.get("SPARK_GRAFT_FLAT").contains("1")) None
-    else Some(spark.read.parquet(p.toString))
-  }
+  def rollupState(spark: SparkSession, dir: String, name: String): Option[DataFrame] =
+    if (sys.env.get("SPARK_GRAFT_FLAT").contains("1")) None
+    else Rollups.freshState(spark, dir, name)
 
   /** Rewrite `ts` to a nanosecond-epoch long whatever the file carried.
     * TIMESTAMP_NTZ wall-clock is interpreted in the session zone (pinned to

@@ -80,4 +80,36 @@ class BucketedLayoutSpec extends AnyFunSuite {
     val d = Tables.df(spark, SparkTestBase.sf, "lineitem")
     assert(!d.queryExecution.logical.toString.contains("graft_buck_"))
   }
+
+  test("stale bucketed layout is REFUSED: flat rewrite without re-bucket falls back to flat (r15)") {
+    val d = Files.createTempDirectory("graft-buckstale").toString
+    Tables.names.foreach { t =>
+      Files.copy(Paths.get(s"${SparkTestBase.sf}/$t.parquet"),
+        Paths.get(s"$d/$t.parquet"))
+    }
+    ScaleUpLayout.bucketFacts(spark, d, buckets0 = 4)
+    assert(Files.exists(Paths.get(d, "_layout", "lineitem.fp.json")),
+      "bucketFacts must pin the flat fingerprint")
+    Tables.clearLayoutCache()
+    // fresh: the bucketed catalog table serves
+    assert(Tables.df(spark, d, "lineitem").queryExecution.analyzed.toString
+      .contains(Tables.bucketTableName(d, "lineitem").split("\\.").last) ||
+      Tables.df(spark, d, "lineitem").inputFiles.exists(_.contains("_bucketed")),
+      "fresh layout must serve the bucketed copy")
+    // rewrite the flat base WITHOUT re-bucketing (mtime moves — any real
+    // rewrite changes size or mtime of at least one file)
+    Files.setLastModifiedTime(Paths.get(s"$d/lineitem.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    Tables.clearLayoutCache()
+    assert(Tables.df(spark, d, "lineitem").inputFiles.forall(!_.contains("_bucketed")),
+      "a stale bucketed copy must be refused in favor of the (fresh) flat files")
+    // orders was not touched: still served bucketed
+    assert(Tables.df(spark, d, "orders").inputFiles.exists(_.contains("_bucketed")),
+      "an untouched table keeps its bucketed copy")
+    // cleanup: drop catalog tables registered for this temp dir
+    Seq("lineitem", "orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${Tables.bucketTableName(d, t)}")
+    }
+    Tables.clearLayoutCache()
+  }
 }
