@@ -47,7 +47,15 @@ object MatViews {
   final case class MatViewDef(
       name: String, base: String, where: Option[String],
       keys: Seq[String], aggs: Seq[MatAgg], sqlText: String,
-      join: Option[MatJoin] = None, order: Seq[String] = Nil) {
+      join: Option[MatJoin] = None, order: Seq[String] = Nil,
+      keyExprs: Map[String, String] = Map.empty) {
+    /** The grouping expression behind key alias `k` (the alias itself for a
+      * plain-column key). Expression keys (`year(o_orderdate) AS yr`, r15)
+      * widen the maintainable fragment to derived grouping columns: the
+      * expression is computed per delta row at deltaState time and the alias
+      * becomes an ordinary state column — merge/visible/rollup tiers never
+      * see the difference. */
+    def keyExpr(k: String): String = keyExprs.getOrElse(k, k)
     def hasMinMax: Boolean = aggs.exists(a => a.fn == "MIN" || a.fn == "MAX")
     /** every table the view reads — dependency + staleness tracking */
     def baseTables: Seq[String] = base +: join.map(_.table2).toSeq
@@ -149,8 +157,13 @@ object MatViews {
     val where = if (whereIdx > 0) Some(s.substring(whereIdx + 7, gbIdx).trim) else None
     val keys = splitTop(s.substring(gbIdx + " GROUP BY ".length), ',')
     keys.foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"GROUP BY keys must be plain columns, got: $k"))
+      s"GROUP BY keys must be plain columns or select-list aliases, got: $k"))
     val order = scala.collection.mutable.Buffer.empty[String]
+    val keyExprs = scala.collection.mutable.Map.empty[String, String]
+    // `<expr> AS alias` select items whose alias is a GROUP BY key declare
+    // EXPRESSION KEYS (e.g. `year(o_orderdate) AS yr ... GROUP BY yr`, r15);
+    // greedy (.+) pairs the LAST top-level AS, so CAST(x AS INT) AS y parses
+    val KeyExprItem = """(?is)^(.+)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
     val aggs = items.flatMap {
       case item if keys.exists(_.equalsIgnoreCase(item)) => order += item; None
       case AggItem(fn, arg, alias) =>
@@ -160,11 +173,16 @@ object MatViews {
             "use a plain view or REFRESH-only recompute")
         order += alias
         Some(MatAgg(alias, fn.toUpperCase, if (fn.equalsIgnoreCase("COUNT") && a == "*") None else Some(a)))
+      case KeyExprItem(e, alias) if keys.exists(_.equalsIgnoreCase(alias)) =>
+        keyExprs(alias.toLowerCase) = e.trim
+        order += alias
+        None
       case item => throw new IllegalArgumentException(
-        s"select item must be a GROUP BY key or FN(arg) AS alias, got: $item")
+        s"select item must be a GROUP BY key, <expr> AS <group-by-alias>, or FN(arg) AS alias, got: $item")
     }
     require(aggs.nonEmpty, "materialized view needs at least one aggregate")
-    MatViewDef(name, base, where, keys, aggs, s, join, order.toSeq)
+    MatViewDef(name, base, where, keys, aggs, s, join, order.toSeq,
+      keyExprs.map { case (k, v) => keys.find(_.equalsIgnoreCase(k)).get -> v }.toMap)
   }
 
   // ---------------------------------------------------------------- state
@@ -201,7 +219,11 @@ object MatViews {
   def deltaState(d: MatViewDef, rows: DataFrame, sign: Int = 1): DataFrame = {
     require(sign == 1 || !d.hasMinMax, "negative delta undefined for MIN/MAX")
     val comps = componentAggs(d, sign)
-    filtered(d, rows).groupBy(d.keys.map(col): _*).agg(comps.head, comps.tail: _*)
+    // expression keys compute their derived column per delta row here; the
+    // alias is an ordinary state column from this point on
+    val keyCols = d.keys.map(k =>
+      d.keyExprs.get(k).map(e => expr(e).as(k)).getOrElse(col(k)))
+    filtered(d, rows).groupBy(keyCols: _*).agg(comps.head, comps.tail: _*)
   }
 
   /** One keyed full-outer merge of state + delta: components add, min/max
@@ -253,6 +275,15 @@ object MatViews {
   private def sameColSet(a: Seq[String], b: Seq[String]): Boolean =
     a.map(_.toLowerCase).toSet == b.map(_.toLowerCase).toSet
 
+  /** Every `qKeys` alias exists in `mv` AND is defined by the same grouping
+    * expression (two views sharing an alias over DIFFERENT expressions must
+    * never match — `yr = year(d)` vs `yr = month(d)`). */
+  private def keyDefsAgree(mv: MatViewDef, q: MatViewDef, qKeys: Seq[String]): Boolean =
+    qKeys.forall { qk =>
+      mv.keys.find(_.equalsIgnoreCase(qk))
+        .exists(mk => mv.keyExpr(mk).equalsIgnoreCase(q.keyExpr(qk)))
+    }
+
   /** The MV aggregate whose stored components can answer `qa`: same function
     * over the same argument text (syntactic match; aliases are free). */
   private def findAgg(mv: MatViewDef, qa: MatAgg): Option[MatAgg] =
@@ -273,6 +304,7 @@ object MatViews {
       }) &&
       mv.where == q.where &&
       sameColSet(mv.keys, q.keys) &&
+      keyDefsAgree(mv, q, q.keys) &&
       q.aggs.forall(qa => findAgg(mv, qa).isDefined)
 
   /** Answer `q` from `mv`'s state: group keys pass through, each aggregate
@@ -512,6 +544,7 @@ object MatViews {
       }) &&
       whereSubsumed(mv, q) &&
       q.keys.forall(k => mv.keys.exists(_.equalsIgnoreCase(k))) &&
+      keyDefsAgree(mv, q, q.keys) &&
       q.aggs.forall(qa => findAgg(mv, qa).isDefined)
 
   /** Answer `q` (keys ⊆ mv.keys) by re-aggregating `mv`'s state to the

@@ -510,10 +510,50 @@ object TpcdsQueries {
       col("l_partkey"), col("o_custkey"), col("o_orderdate"),
       floor(col("l_quantity")).cast("long").as("qty"),
       dec(col("l_extendedprice")).as("price"))
-    val freq = lo.filter(year(col("o_orderdate")) === 1997)
-      .groupBy("l_partkey").agg(countDistinct(col("o_orderdate")).as("d"))
+    // Durable-rollup fast paths (r15): the freq CTE's COUNT(DISTINCT date)
+    // is a plain row count over the (part, 1997-date) finest-level state,
+    // and the best-customer CTE reads the per-cust quantity state — two of
+    // the three full fact joins disappear (the final 1998Q1 pass remains).
+    // Oracle-gated by tpcds_q23_rollup.
+    val freq = graft.Rollups.visibleDf(s, dir, graft.Rollups.Dates1997ByPartkey)
+      .map(_.groupBy("l_partkey").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 4).select("l_partkey"))
+      .getOrElse(lo.filter(year(col("o_orderdate")) === 1997)
+        .groupBy("l_partkey").agg(countDistinct(col("o_orderdate")).as("d"))
+        .filter(col("d") >= 4).select("l_partkey"))
+    val cust = graft.Rollups.visibleDf(s, dir, graft.Rollups.QtyByCustkey)
+      .map(_.select(col("o_custkey"), col("qty_sum").as("cq")))
+      .getOrElse(lo.groupBy("o_custkey").agg(sum(col("qty")).as("cq")))
+    val best = cust
+      .crossJoin(broadcast(cust.agg(max(col("cq")).as("m"))))
+      .filter(col("cq") * 2 > col("m")).select("o_custkey")
+    lo.filter(year(col("o_orderdate")) === 1998 && month(col("o_orderdate")) <= 3)
+      .join(freq, Seq("l_partkey"), "left_semi")
+      .join(best, Seq("o_custkey"), "left_semi")
+      .agg(asDouble(sum(col("price"))).as("revenue"), count(lit(1)).as("n_sales"))
+  }
+
+  /** Q23 answered through the durable rollups ([[graft.Rollups.QtyByCustkey]]
+    * + [[graft.Rollups.Dates1997ByPartkey]]), computed inline by the same
+    * MatViews deltaState math the layout persists: the distinct-date count
+    * becomes a row count over the finest-level state and the best-customer
+    * quantities read the per-cust state; DuckDB recomputes the spec CTEs raw. */
+  val q23Rollup: Q = Q(
+    "tpcds_q23_rollup",
+    q23FrequentBest.oracle.get) { (s, dir) =>
+    val lo = lineorder(s, dir).select(
+      col("l_partkey"), col("o_custkey"), col("o_orderdate"),
+      floor(col("l_quantity")).cast("long").as("qty"),
+      dec(col("l_extendedprice")).as("price"))
+    val dDates = graft.Rollups.definition(graft.Rollups.Dates1997ByPartkey)
+    val dQty = graft.Rollups.definition(graft.Rollups.QtyByCustkey)
+    val joined = t(s, dir, "lineitem").join(t(s, dir, "orders"),
+      col("l_orderkey") === col("o_orderkey"))
+    val freq = graft.MatViews.visible(dDates, graft.MatViews.deltaState(dDates, joined))
+      .groupBy("l_partkey").agg(count(lit(1)).as("d"))
       .filter(col("d") >= 4).select("l_partkey")
-    val cust = lo.groupBy("o_custkey").agg(sum(col("qty")).as("cq"))
+    val cust = graft.MatViews.visible(dQty, graft.MatViews.deltaState(dQty, joined))
+      .select(col("o_custkey"), col("qty_sum").as("cq"))
     val best = cust
       .crossJoin(broadcast(cust.agg(max(col("cq")).as("m"))))
       .filter(col("cq") * 2 > col("m")).select("o_custkey")
@@ -911,17 +951,71 @@ object TpcdsQueries {
        |FROM per_cust WHERE open_cents > 0 AND full_cents > 0
        |ORDER BY ratio_pct DESC, cust LIMIT 25""".stripMargin) { (s, dir) =>
     val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
-    val li = t(s, dir, "lineitem")
-    val returned = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey").as("r_ok"), col("l_linenumber").as("r_ln"))
-    val keep = li.join(returned,
-        col("l_orderkey") === col("r_ok") && col("l_linenumber") === col("r_ln"),
-        "left_anti")
-      .select(col("l_orderkey"), col("l_linestatus"), cents.as("cents"))
-    keep.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("cust"))
-      .agg(coalesce(sum(when(col("l_linestatus") === "O", col("cents"))), lit(0L)).as("open_cents"),
-        coalesce(sum(when(col("l_linestatus") === "F", col("cents"))), lit(0L)).as("full_cents"))
+    // Durable-rollup fast path (r15): per-(custkey, linestatus) non-returned
+    // cents from the layout's IVM state (Rollups.CentsByCustStatus) — the
+    // 600M-row anti-join + orderkey join + custkey aggregation collapses to
+    // a ~2|cust|-row state scan. The state's maintained input is the literal
+    // NOT-EXISTS anti-join (Rollups.keepNonReturned — the fixtures carry
+    // duplicate (orderkey, linenumber) keys with mixed flags, so no row-local
+    // predicate is equivalent); incremental upkeep rides the closed-group
+    // ingest contract guarded by the manifest's orderkey high-water mark.
+    // Oracle-gated by tpcds_q78_rollup, whose DuckDB twin runs the anti-join.
+    val perCust = graft.Rollups.visibleDf(s, dir, graft.Rollups.CentsByCustStatus)
+      .map(st => st.groupBy(col("o_custkey").as("cust"))
+        .agg(coalesce(sum(when(col("l_linestatus") === "O", col("cents_sum"))), lit(0L)).as("open_cents"),
+          coalesce(sum(when(col("l_linestatus") === "F", col("cents_sum"))), lit(0L)).as("full_cents")))
+      .getOrElse {
+        val li = t(s, dir, "lineitem")
+        val returned = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("r_ok"), col("l_linenumber").as("r_ln"))
+        val keep = li.join(returned,
+            col("l_orderkey") === col("r_ok") && col("l_linenumber") === col("r_ln"),
+            "left_anti")
+          .select(col("l_orderkey"), col("l_linestatus"), cents.as("cents"))
+        keep.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(coalesce(sum(when(col("l_linestatus") === "O", col("cents"))), lit(0L)).as("open_cents"),
+            coalesce(sum(when(col("l_linestatus") === "F", col("cents"))), lit(0L)).as("full_cents"))
+      }
+    perCust
+      .filter(col("open_cents") > 0 && col("full_cents") > 0)
+      .select(col("cust"), col("open_cents"), col("full_cents"),
+        expr("(open_cents * 100) div full_cents").as("ratio_pct"))
+      .orderBy(col("ratio_pct").desc, col("cust"))
+      .limit(25)
+  }
+
+  /** Q78 answered through the durable per-(cust, linestatus) rollup
+    * ([[graft.Rollups.CentsByCustStatus]]): the state is computed inline by
+    * the SAME transform + MatViews deltaState math the layout persists
+    * (keepNonReturned anti-join feeding the per-cust components), while
+    * DuckDB runs the spec's literal NOT-EXISTS — proving the materialized
+    * anti-join and the component math end to end. */
+  val q78Rollup: Q = Q(
+    "tpcds_q78_rollup",
+    s"""WITH keep AS (
+       |  SELECT l_orderkey, l_linenumber, l_linestatus,
+       |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM lineitem a WHERE NOT EXISTS (
+       |    SELECT 1 FROM lineitem r WHERE r.l_returnflag = 'R'
+       |      AND r.l_orderkey = a.l_orderkey AND r.l_linenumber = a.l_linenumber)
+       |), per_cust AS (
+       |  SELECT o_custkey AS cust,
+       |    COALESCE(SUM(cents) FILTER (WHERE l_linestatus = 'O'), 0) AS open_cents,
+       |    COALESCE(SUM(cents) FILTER (WHERE l_linestatus = 'F'), 0) AS full_cents
+       |  FROM keep JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY o_custkey)
+       |SELECT cust, open_cents, full_cents,
+       |  (open_cents * 100) // full_cents AS ratio_pct
+       |FROM per_cust WHERE open_cents > 0 AND full_cents > 0
+       |ORDER BY ratio_pct DESC, cust LIMIT 25""".stripMargin) { (s, dir) =>
+    val d = graft.Rollups.definition(graft.Rollups.CentsByCustStatus)
+    val joined = graft.Rollups.keepNonReturned(t(s, dir, "lineitem"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+    val st = graft.MatViews.visible(d, graft.MatViews.deltaState(d, joined))
+    st.groupBy(col("o_custkey").as("cust"))
+      .agg(coalesce(sum(when(col("l_linestatus") === "O", col("cents_sum"))), lit(0L)).as("open_cents"),
+        coalesce(sum(when(col("l_linestatus") === "F", col("cents_sum"))), lit(0L)).as("full_cents"))
       .filter(col("open_cents") > 0 && col("full_cents") > 0)
       .select(col("cust"), col("open_cents"), col("full_cents"),
         expr("(open_cents * 100) div full_cents").as("ratio_pct"))
@@ -1071,10 +1165,46 @@ object TpcdsQueries {
     val qty = when(col("l_returnflag") === "R", -floor(col("l_quantity")).cast("long"))
       .otherwise(floor(col("l_quantity")).cast("long"))
     val amt = when(col("l_returnflag") === "R", -netRev).otherwise(netRev)
-    val agg = lineorder(s, dir)
-      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_brand"), year(col("o_orderdate")).as("yr"))
-      .agg(sum(qty).as("qty"), sum(amt).as("amt"))
+    // Durable-rollup fast path (r15): the signed (part, year) sums come from
+    // the expression-key IVM state (Rollups.SignedByPartYear) — the brand
+    // aggregate re-sums ~|parts×years| state rows against the part dim
+    // instead of re-joining the 600M-row fact (long/decimal sums associate).
+    // Oracle-gated by tpcds_q75_rollup.
+    val agg = graft.Rollups.visibleDf(s, dir, graft.Rollups.SignedByPartYear)
+      .map(_.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("yr"))
+        .agg(sum(col("qty_sum")).as("qty"), sum(col("amt_sum")).as("amt")))
+      .getOrElse(lineorder(s, dir)
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), year(col("o_orderdate")).as("yr"))
+        .agg(sum(qty).as("qty"), sum(amt).as("amt")))
+    val c = agg.filter(col("yr") === 1997)
+      .select(col("p_brand"), col("qty").as("curr_qty"), col("amt").as("curr_amt"))
+    val p = agg.filter(col("yr") === 1996)
+      .select(col("p_brand").as("pb"), col("qty").as("prev_qty"), col("amt").as("prev_amt"))
+    c.join(p, col("p_brand") === col("pb"))
+      .filter(col("curr_qty") < col("prev_qty"))
+      .select(col("p_brand").as("brand"), col("prev_qty"), col("curr_qty"),
+        (col("curr_qty") - col("prev_qty")).as("qty_delta"),
+        asDouble(col("curr_amt") - col("prev_amt")).as("amt_delta"))
+      .orderBy("brand")
+  }
+
+  /** Q75 answered through the durable (part, year) expression-key rollup
+    * ([[graft.Rollups.SignedByPartYear]]), computed inline by the same
+    * MatViews deltaState math the layout persists — proving the derived-key
+    * grouping and the two-level signed re-summation against DuckDB's raw
+    * three-table recompute. */
+  val q75Rollup: Q = Q(
+    "tpcds_q75_rollup",
+    q75ChannelDelta.oracle.get) { (s, dir) =>
+    val d = graft.Rollups.definition(graft.Rollups.SignedByPartYear)
+    val joined = t(s, dir, "lineitem").join(t(s, dir, "orders"),
+      col("l_orderkey") === col("o_orderkey"))
+    val st = graft.MatViews.visible(d, graft.MatViews.deltaState(d, joined))
+    val agg = st.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("yr"))
+      .agg(sum(col("qty_sum")).as("qty"), sum(col("amt_sum")).as("amt"))
     val c = agg.filter(col("yr") === 1997)
       .select(col("p_brand"), col("qty").as("curr_qty"), col("amt").as("curr_amt"))
     val p = agg.filter(col("yr") === 1996)
@@ -1810,7 +1940,8 @@ object TpcdsQueries {
     q51CumulativeCompare, q97OverlapCounts, q14CrossChannel, q23FrequentBest,
     q72InventoryLag, q34TicketBand, q64ResaleMargin, q95MultiSupplier,
     q11YoyGrowth, q49ReturnRatios, q93ReturnsAdjusted,
-    q31ShareShift, q54CohortSegments, q78ChannelRatio,
+    q31ShareShift, q54CohortSegments, q78ChannelRatio, q78Rollup,
+    q23Rollup, q75Rollup,
     q39InventoryCov, q17QuantityBounds,
     q2WowUnion, q75ChannelDelta, q80ChannelProfitRollup, q85BandedDemographics,
     q15OrPredicates, q25ResaleChain, q46CrossNation, q58ChannelBalance,

@@ -415,4 +415,62 @@ class MatViewSpec extends AnyFunSuite {
     p.run("REFRESH MATERIALIZED VIEW meta_probe")
     assertMatchesRecompute(cat, "meta_probe", defining)
   }
+
+  test("expression keys (r15): derived grouping column maintained incrementally, both signs") {
+    import org.apache.spark.sql.functions._
+    val d = MatViews.parse("mv_year",
+      """SELECT o_custkey, year(o_orderdate) AS yr,
+        |  COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders GROUP BY o_custkey, yr""".stripMargin)
+    assert(d.keyExprs.keySet === Set("yr") && d.keys.map(_.toLowerCase) === Seq("o_custkey", "yr"))
+    val base = Tables.df(spark, sf, "orders")
+    def direct(of: org.apache.spark.sql.DataFrame) = of
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+    // build == direct
+    val st0 = MatViews.deltaState(d, base)
+    assert(sorted(MatViews.visible(d, st0)) === sorted(direct(base)))
+    // insert delta (new keys via shifted custkey) == rebuild over grown base
+    val delta = base.filter(col("o_custkey") % 11 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(50000000L))
+    val st1 = MatViews.merge(d, st0, MatViews.deltaState(d, delta))
+    assert(sorted(MatViews.visible(d, st1)) === sorted(direct(base.unionByName(delta))))
+    // signed delete-delta returns to the base
+    val st2 = MatViews.merge(d, st1, MatViews.deltaState(d, delta, sign = -1))
+    assert(sorted(MatViews.visible(d, st2)) === sorted(direct(base)))
+  }
+
+  test("expression keys: same alias over DIFFERENT expressions never matches (rewrite safety)") {
+    val mvYear = MatViews.parse("mv_y",
+      "SELECT year(o_orderdate) AS yr, COUNT(*) AS n FROM orders GROUP BY yr")
+    val qMonth = MatViews.parse("q_m",
+      "SELECT month(o_orderdate) AS yr, COUNT(*) AS n FROM orders GROUP BY yr")
+    val qYear = MatViews.parse("q_y",
+      "SELECT year(o_orderdate) AS yr, COUNT(*) AS n FROM orders GROUP BY yr")
+    assert(!MatViews.matches(mvYear, qMonth), "month-keyed query must not hit a year-keyed view")
+    assert(!MatViews.matchesRollup(mvYear, qMonth))
+    assert(MatViews.matches(mvYear, qYear), "identical expression keys must match")
+    // rollup descent: global re-aggregation of a (custkey, yr) view still works
+    val mv2 = MatViews.parse("mv_cy",
+      "SELECT o_custkey, year(o_orderdate) AS yr, COUNT(*) AS n FROM orders GROUP BY o_custkey, yr")
+    assert(MatViews.matchesRollup(mv2, qYear), "yr ⊂ (o_custkey, yr) with equal exprs must roll up")
+    val st = MatViews.deltaState(mv2, Tables.df(spark, sf, "orders"))
+    val viaRollup = MatViews.answerRollup(qYear, mv2, st)
+    import org.apache.spark.sql.functions._
+    val direct = Tables.df(spark, sf, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr")).agg(count(lit(1)).as("n"))
+    assert(sorted(viaRollup) === sorted(direct))
+  }
+
+  test("expression keys: CAST-style exprs with embedded AS parse to the LAST top-level alias") {
+    val d = MatViews.parse("mv_cast",
+      "SELECT CAST(o_totalprice AS INT) AS bucket, COUNT(*) AS n FROM orders GROUP BY bucket")
+    assert(d.keyExprs === Map("bucket" -> "CAST(o_totalprice AS INT)"))
+    // and junk select items still refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      MatViews.parse("bad", "SELECT o_custkey + 1, COUNT(*) AS n FROM orders GROUP BY o_custkey")
+    }
+    assert(e.getMessage.contains("select item must be"))
+  }
 }

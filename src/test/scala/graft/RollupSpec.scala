@@ -79,4 +79,169 @@ class RollupSpec extends AnyFunSuite {
     assert(viaRollup.schema === recompute.schema)
     assert(viaRollup.collect().toSeq === recompute.collect().toSeq)
   }
+
+  // ------------------------------------------------------------- r15 tier:
+  // versioned atomic swap + fingerprint-pinned freshness
+
+  /** A dataset dir with REAL COPIES of the named fixture tables (mutable —
+    * staleness tests touch the base files, which symlinks must never do). */
+  private def copyDir(tables: String*): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-rollup-copy").toString
+    tables.foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/$t.parquet"),
+        java.nio.file.Paths.get(s"$d/$t.parquet"))
+    }
+    d
+  }
+
+  test("stale state is REFUSED: a base rewrite without refresh falls through to recompute") {
+    val d = copyDir("lineitem")
+    Rollups.build(spark, d, name)
+    assert(Rollups.visibleDf(spark, d, name).isDefined, "fresh state must serve")
+    // mutate the base without refreshing the state (mtime moves — any real
+    // rewrite changes at least size or mtime of some file)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$d/lineitem.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    assert(Rollups.visibleDf(spark, d, name).isEmpty,
+      "a fingerprint mismatch must refuse the state, not serve it silently")
+  }
+
+  test("legacy un-pinned state (pre-r15 flat layout) is refused, then rebuilt in place") {
+    val d = copyDir("lineitem")
+    // fake a pre-r15 layout: parquet files at the state root, no manifest
+    val root = java.nio.file.Paths.get(s"$d/_rollup/$name")
+    Tables.df(spark, d, "lineitem").groupBy("l_partkey").count()
+      .write.mode("overwrite").parquet(root.toString)
+    assert(Rollups.visibleDf(spark, d, name).isEmpty, "no manifest -> refuse")
+    // build() upgrades the dir: versioned state + manifest, legacy files gone
+    Rollups.build(spark, d, name)
+    assert(Rollups.visibleDf(spark, d, name).isDefined)
+    val stray = java.nio.file.Files.list(root)
+    try assert(stray.filter(java.nio.file.Files.isRegularFile(_))
+        .allMatch(p => p.getFileName.toString == "manifest.json"),
+      "legacy flat-layout files must be retired by the rebuild")
+    finally stray.close()
+  }
+
+  test("refresh is atomic to readers: a read loop across a refresh never errors, sees old-or-new only") {
+    val d = copyDir("lineitem")
+    Rollups.build(spark, d, name)
+    val oldCount = Rollups.visibleDf(spark, d, name).get.count()
+    val delta = Tables.df(spark, sf, "lineitem")
+      .filter(col("l_partkey") % 3 === 0)
+      .withColumn("l_orderkey", col("l_orderkey") + lit(20000000L))
+      .withColumn("l_partkey", col("l_partkey") + lit(90000000L)) // new groups
+    val newCount = oldCount + delta.select("l_partkey").distinct().count()
+    @volatile var failure: Option[Throwable] = None
+    @volatile var stop = false
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val reader = new Thread(() => {
+      while (!stop && failure.isEmpty) {
+        try seen.add(Rollups.visibleDf(spark, d, name).get.count())
+        catch { case t: Throwable => failure = Some(t) }
+      }
+    })
+    reader.start()
+    try {
+      Rollups.refresh(spark, d, name, delta)
+      Thread.sleep(200)
+    } finally { stop = true; reader.join(30000) }
+    assert(failure.isEmpty, s"reader failed across refresh: ${failure.map(_.toString)}")
+    assert(!seen.isEmpty)
+    seen.forEach(c => assert(c == oldCount || c == newCount,
+      s"reader saw a state that is neither old ($oldCount) nor new ($newCount): $c"))
+    assert(Rollups.visibleDf(spark, d, name).get.count() === newCount)
+  }
+
+  test("join-definition refresh == full rebuild over the grown fact, both signs (q23 states)") {
+    val d = copyDir("lineitem", "orders")
+    Seq(Rollups.QtyByCustkey, Rollups.Dates1997ByPartkey)
+      .foreach { n =>
+        Rollups.build(spark, d, n)
+        val delta = Tables.df(spark, sf, "lineitem")
+          .filter(col("l_partkey") % 5 === 0) // joins to existing orders
+        Rollups.refresh(spark, d, n, delta)
+        val def_ = Rollups.definition(n)
+        val grownRows = Tables.df(spark, sf, "lineitem").unionByName(delta)
+          .join(Tables.df(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+        val direct = MatViews.visible(def_, MatViews.deltaState(def_, grownRows))
+        assert(canon(Rollups.visibleDf(spark, d, n).get) === canon(direct), s"$n insert-delta")
+        // the signed delete-delta takes it back to the base
+        Rollups.refresh(spark, d, n, delta, sign = -1)
+        val baseRows = Tables.df(spark, sf, "lineitem")
+          .join(Tables.df(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+        val directBase = MatViews.visible(def_, MatViews.deltaState(def_, baseRows))
+        assert(canon(Rollups.visibleDf(spark, d, n).get) === canon(directBase), s"$n delete-delta")
+      }
+  }
+
+  test("q78/q23/q75 bodies pick their rollups up from a layout dir and answer identically") {
+    val d = copyDir("lineitem", "orders", "part")
+    Seq(Rollups.CentsByCustStatus, Rollups.QtyByCustkey,
+      Rollups.Dates1997ByPartkey, Rollups.SignedByPartYear)
+      .foreach(Rollups.build(spark, d, _))
+    Seq(operators.TpcdsQueries.q78ChannelRatio,
+      operators.TpcdsQueries.q23FrequentBest,
+      operators.TpcdsQueries.q75ChannelDelta).foreach { q =>
+      val viaState = q.run(spark, d)
+      val recompute = q.run(spark, sf)
+      assert(viaState.schema === recompute.schema, q.name)
+      assert(viaState.collect().toSeq === recompute.collect().toSeq, q.name)
+    }
+    // and q78 on the layout dir must not scan the raw fact at all
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scanned = operators.TpcdsQueries.q78ChannelRatio.run(spark, d)
+      .queryExecution.analyzed.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+      }.flatten
+    assert(scanned.nonEmpty && scanned.forall(_.contains("_rollup")),
+      s"q78 on a rollup-carrying dir must read only the rollup state, got: $scanned")
+  }
+
+  test("anti-join rollup (q78): closed-group delta maintained exactly; overlapping delta refused") {
+    val n = Rollups.CentsByCustStatus
+    val li = Tables.df(spark, sf, "lineitem")
+    val ord = Tables.df(spark, sf, "orders")
+    val maxOk = li.agg(max(col("l_orderkey"))).head.getLong(0)
+    // dataset dir: lineitem copy + orders grown by ONE new order the delta
+    // lines will land on (written as a dir so the layout reader sees it)
+    val d = java.nio.file.Files.createTempDirectory("graft-rollup-anti").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/lineitem.parquet"),
+      java.nio.file.Paths.get(s"$d/lineitem.parquet"))
+    ord.unionByName(ord.limit(1).withColumn("o_orderkey", lit(maxOk + 1L)))
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    Rollups.build(spark, d, n)
+    // closed-group delta at a wholly-new orderkey with DUPLICATE
+    // (orderkey, linenumber) keys of mixed flags: linenumber 0 carries an 'R'
+    // (its 'N' siblings must be EVICTED — the shape no row-local predicate
+    // gets right), linenumber 1 is clean and stays
+    val idc = monotonically_increasing_id()
+    val delta = li.coalesce(1).limit(6)
+      .withColumn("l_orderkey", lit(maxOk + 1L))
+      .withColumn("l_linenumber", (idc % 2).cast(li.schema("l_linenumber").dataType))
+      .withColumn("l_returnflag", when(idc === 0, lit("R")).otherwise(lit("N")))
+    Rollups.refresh(spark, d, n, delta)
+    val def_ = Rollups.definition(n)
+    val ordersOnDisk = spark.read.parquet(s"$d/orders.parquet")
+    val grown = li.unionByName(delta)
+    def agg(of: DataFrame) = MatViews.visible(def_, MatViews.deltaState(def_,
+      of.join(ordersOnDisk, col("l_orderkey") === col("o_orderkey"))))
+    val direct = agg(Rollups.keepNonReturned(grown))
+    assert(canon(Rollups.visibleDf(spark, d, n).get) === canon(direct),
+      "incremental anti-join state must equal the from-scratch anti-join")
+    // non-vacuous: the row-local predicate form DIFFERS on this data
+    assert(canon(direct) !== canon(agg(grown.filter(col("l_returnflag") =!= "R"))),
+      "fixture must exercise mixed-flag duplicate keys (eviction shape)")
+    // an insert-delta at an EXISTING orderkey could retract earlier keeps —
+    // the high-water-mark guard must refuse it
+    val bad = li.coalesce(1).limit(2)
+    val e = intercept[IllegalArgumentException] { Rollups.refresh(spark, d, n, bad) }
+    assert(e.getMessage.contains("high-water mark"))
+  }
 }
