@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // after the key-driven rewrites: a shrunk grouping list gives the eager
     // pre-aggregate fewer keys, and the stats gate sees the final shape
     ext.injectPostHocResolutionRule(session => new EagerAggregation(session))
+    // grouping-sets Expand elimination over associative aggregates (the
+    // packaged q67/q5 rewrite); independent of the join-shaped rules above
+    ext.injectPostHocResolutionRule(session => new RollupFromBase(session))
     // last: turns >=1024-element literal IN lists into broadcast semi joins;
     // running after the others keeps their Filter pattern-matches intact
     ext.injectPostHocResolutionRule(session => new InListToJoin(session))
