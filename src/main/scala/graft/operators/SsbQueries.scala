@@ -271,6 +271,21 @@ object SsbQueries {
       .orderBy("d_year", "p_brand")
   }
 
+  /** Bench-floor probe (r15 SSB audit): the flights' shared substrate — the
+    * full fact scan plus the orderkey fact⋈fact join — with a bare COUNT on
+    * top. On a bucketed layout this is scan + zero-exchange in-bucket merge
+    * + count: the cheapest possible program touching both facts. The SF100
+    * gap between this and a flight's time IS the flight's own work (dim
+    * probes + aggregation); a flight within ~2× of the floor is
+    * fact-volume-bound and has no rewrite headroom short of a precomputed
+    * state (see BASELINE.md SSB audit). */
+  val floorProbe: Q = Q(
+    "ssb_floor_lineorder_count",
+    "SELECT COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey") { (s, dir) =>
+    lineorder(s, dir).agg(count(lit(1)).as("n"))
+  }
+
   val all: Seq[Q] = Seq(
-    q1_1, q1_2, q1_3, q2_1, q2_2, q2_3, q3_1, q3_2, q3_3, q3_4, q4_1, q4_2, q4_3)
+    q1_1, q1_2, q1_3, q2_1, q2_2, q2_3, q3_1, q3_2, q3_3, q3_4, q4_1, q4_2, q4_3,
+    floorProbe)
 }
