@@ -84,6 +84,61 @@ object Rollups {
     * re-joining the full fact (decimal/long sums associate). */
   val SignedByPartYear = "lineitem_signed_by_part_year"
 
+  /** tpcds_q14's per-(part, returnflag) quantity state: q14's "channels" ARE
+    * the returnflag populations, so every piece of the query — the INTERSECT
+    * membership (a part carrying all three flags), the global totals behind
+    * the HAVING threshold, and the ROLLUP(channel, brand) body — is a
+    * re-aggregation of this one finest level. The query's five full fact
+    * scans collapse to ~|part×flag| state rows. */
+  val QtyByPartFlag = "lineitem_qty_by_part_flag"
+
+  /** tpcds_q80's per-(part, channel) sales/refunds decimal sums, channel
+    * being the EXPRESSION KEY `l_linenumber % 3` (stored as the raw bucket
+    * int; the query maps it to its label). The CASE'd decimal sums
+    * associate, so ROLLUP(channel, brand) re-aggregates state rows against
+    * the part dim instead of re-joining lineitem⋈orders. */
+  val ProfitByPartChannel = "lineitem_profit_by_part_channel"
+
+  /** TPC-H Q1's per-(flag, status, shipdate) pricing components — the
+    * closest Spark analog of the reference's chunk statistics: the fact
+    * carries ~|9 flags×status × days| pre-aggregated rows, and the query's
+    * `shipdate <=` cutoff plus every aggregate (SUM/COUNT re-sum, AVG from
+    * SUM/COUNT, MIN/MAX fold — all associative) is answered from them.
+    * MIN/MAX components make delete-deltas undefined (documented MatViews
+    * limitation); insert-only refresh is exact. */
+  val PricingByFlagStatusDay = "lineitem_pricing_by_flag_status_day"
+
+  /** TPC-H Q12's late-lines priority counts at RESULT grain (per
+    * l_linestatus): the definition carries the query's cross-table lateness
+    * predicate in its WHERE, so the 600M-row join collapses to a handful of
+    * state rows read at query time — the classic materialized view, upkeep
+    * O(delta) through the same machinery as every other state. */
+  val LateCountsByStatus = "lineitem_late_counts_by_status"
+
+  /** TPC-H Q14's per-shipdate promo/total revenue sums over the part join:
+    * the promo classification (`p_type LIKE 'PROMO%'`) is folded into the
+    * CASE'd sum at maintenance time, so the query is a date-range filter
+    * plus two re-sums over ~|days| rows. */
+  val PromoRevByShipday = "lineitem_promo_rev_by_shipday"
+
+  /** tpcds_q5's finest lattice level — per-(channel, orderpriority) signed
+    * revenue and counts, channel being the EXPRESSION KEY returnflag
+    * classification. The whole UNION-ALL + ROLLUP query re-aggregates ~10
+    * state rows. */
+  val RevByChannelPriority = "lineitem_rev_by_channel_priority"
+
+  /** TPC-H Q18's per-order quantity sums: the r14 plan audit ruled the
+    * zero-exchange bucketed scan + in-bucket aggregate "the floor for this
+    * shape on this box" — this state removes the floor's biggest term by
+    * paying the 600M→|orders| aggregation at ingest; the query filters the
+    * HAVING threshold over |orders| state rows and joins dims from there. */
+  val QtyDecByOrderkey = "lineitem_qtydec_by_orderkey"
+
+  /** TPC-H Q13's per-customer order counts over the ORDERS base (the only
+    * non-lineitem-based state): the left-join zero-count arm re-derives at
+    * query time as customer ∖ state. */
+  val OrderCountByCust = "orders_count_by_custkey"
+
   private[graft] val defs: Map[String, MatViewDef] = Map(
     LineitemByPartkey -> parse(
       LineitemByPartkey,
@@ -116,7 +171,68 @@ object Rollups {
         "THEN -(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) " +
         "ELSE CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS amt_sum " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "GROUP BY l_partkey, yr"))
+        "GROUP BY l_partkey, yr"),
+    QtyByPartFlag -> parse(
+      QtyByPartFlag,
+      "SELECT l_partkey, l_returnflag, " +
+        "SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS qty_sum, COUNT(*) AS n " +
+        "FROM lineitem GROUP BY l_partkey, l_returnflag"),
+    ProfitByPartChannel -> parse(
+      ProfitByPartChannel,
+      "SELECT l_partkey, l_linenumber % 3 AS ch, " +
+        "SUM(CASE WHEN l_returnflag <> 'R' " +
+        "THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) " +
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS sales_sum, " +
+        "SUM(CASE WHEN l_returnflag = 'R' " +
+        "THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) " +
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS refunds_sum " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY l_partkey, ch"),
+    PricingByFlagStatusDay -> parse(
+      PricingByFlagStatusDay,
+      "SELECT l_returnflag, l_linestatus, l_shipdate, " +
+        "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS sum_charge, " +
+        "MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, " +
+        "COUNT(*) AS count_order " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus, l_shipdate"),
+    LateCountsByStatus -> parse(
+      LateCountsByStatus,
+      "SELECT l_linestatus, " +
+        "COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count, " +
+        "COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY " +
+        "GROUP BY l_linestatus"),
+    PromoRevByShipday -> parse(
+      PromoRevByShipday,
+      "SELECT l_shipdate, " +
+        "SUM(CASE WHEN p_type LIKE 'PROMO%' " +
+        "THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) " +
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_rev, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY l_shipdate"),
+    RevByChannelPriority -> parse(
+      RevByChannelPriority,
+      "SELECT CASE WHEN l_returnflag = 'R' THEN 'returns' ELSE 'catalog' END AS channel, " +
+        "o_orderpriority, " +
+        "SUM(CASE WHEN l_returnflag = 'R' " +
+        "THEN -(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) " +
+        "ELSE CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS rev, " +
+        "COUNT(*) AS n " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY channel, o_orderpriority"),
+    QtyDecByOrderkey -> parse(
+      QtyDecByOrderkey,
+      "SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec " +
+        "FROM lineitem GROUP BY l_orderkey"),
+    OrderCountByCust -> parse(
+      OrderCountByCust,
+      "SELECT o_custkey, COUNT(o_orderkey) AS c_count FROM orders " +
+        "WHERE o_orderpriority <> '5-LOW' GROUP BY o_custkey"))
 
   def names: Seq[String] = defs.keys.toSeq.sorted
   def definition(name: String): MatViewDef = defs(name)

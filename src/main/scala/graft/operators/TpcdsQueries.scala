@@ -144,22 +144,17 @@ object TpcdsQueries {
     // eager-agg variant 130.5 s. Contrast ssb_q4_1, where selective
     // broadcast dims shrink the fact BEFORE a low-cardinality pre-agg and
     // eager aggregation wins 3.4×.
-    // rollup takes Column args, not names: the String overload resolves via
-    // Dataset.col whose dataset-id tag falsely triggers the ambiguous-self-
-    // join check under Expand when the input contains a join (Spark 4.1.2);
-    // toDF after agg re-keys the attributes so the final sort resolves clean
-    lineorder(s, dir)
-      .select(
-        when(col("l_returnflag") === "R", "returns").otherwise("catalog").as("channel"),
-        col("o_orderpriority"),
-        when(col("l_returnflag") === "R", -netRev).otherwise(netRev).as("rev"))
-      // rollup-from-base (r14, same rewrite as q67): ROLLUP plans as
-      // Expand×3 below the partial aggregate — 3× the 600M-row agg input at
-      // SF100. SUM/COUNT associate, so aggregate the finest (channel,
-      // priority) level once and re-aggregate its ~12 rows for the coarser
-      // levels. Identical rows/types; the oracle recomputes the spec ROLLUP.
-      .groupBy(col("channel"), col("o_orderpriority"))
-      .agg(sum(col("rev")).as("rev"), count(lit(1)).as("n"))
+    // Durable-rollup finest level (r15): the (channel, priority) grain IS
+    // the query's finest lattice level ([[graft.Rollups
+    // .RevByChannelPriority]]) — a layout dir re-aggregates ~10 state rows;
+    // otherwise the identical finest level is computed inline by the same
+    // MatViews deltaState math over the (bucketed) orderkey join (the r14
+    // rollup-from-base shape, now shared with the durable state).
+    graft.Rollups.visibleDf(s, dir, graft.Rollups.RevByChannelPriority)
+      .getOrElse {
+        val d = graft.Rollups.definition(graft.Rollups.RevByChannelPriority)
+        graft.MatViews.visible(d, graft.MatViews.deltaState(d, lineorder(s, dir)))
+      }
       .transform { base =>
         val revType = base.schema("rev").dataType
         val lvl1 = base.groupBy(col("channel"))
@@ -459,20 +454,33 @@ object TpcdsQueries {
       |GROUP BY ROLLUP(channel, p_brand)
       |HAVING SUM(qty) * (SELECT n FROM tot) > (SELECT t FROM tot) * 950
       |ORDER BY channel NULLS FIRST, p_brand NULLS FIRST""".stripMargin) { (s, dir) =>
-    val li = t(s, dir, "lineitem").select(
-      col("l_returnflag").as("channel"), col("l_partkey"),
-      floor(col("l_quantity")).cast("long").as("qty"))
-    def items(f: String): DataFrame =
-      li.filter(col("channel") === f).select("l_partkey").distinct()
-    // the Q14 signature: channel membership via INTERSECT (set semantics),
-    // then a LEFT SEMI keeps the fact stream lean before the rollup
-    val cross = items("A").intersect(items("N")).intersect(items("R"))
-    val tot = li.agg(sum(col("qty")).as("t"), count(lit(1)).as("n"))
-    li.join(cross, Seq("l_partkey"), "left_semi")
-      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+    // Durable-rollup finest level (r15): q14's channels ARE the returnflag
+    // populations, so the per-(part, flag) grain carries EVERYTHING — the
+    // INTERSECT membership is "a part with all three flags present", the
+    // HAVING totals are SUM(qty_sum)/SUM(n), and the ROLLUP re-aggregates
+    // qty_sum/n (SUM and COUNT associate). One state scan replaces five
+    // full fact scans; without a layout the same finest level is computed
+    // inline by the identical MatViews deltaState math, so this oracle gate
+    // proves the state math on plain fixture dirs too.
+    val det = graft.Rollups.visibleDf(s, dir, graft.Rollups.QtyByPartFlag)
+      .getOrElse {
+        val d = graft.Rollups.definition(graft.Rollups.QtyByPartFlag)
+        graft.MatViews.visible(d,
+          graft.MatViews.deltaState(d, t(s, dir, "lineitem")))
+      }
+      .select(col("l_partkey"), col("l_returnflag").as("channel"),
+        col("qty_sum"), col("n"))
+    // state rows are unique per (part, flag): membership in all three
+    // channels is a plain row count over the three flag populations
+    val cross = det.filter(col("channel").isin("A", "N", "R"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("nch"))
+      .filter(col("nch") === 3).select("l_partkey")
+    val tot = det.agg(sum(col("qty_sum")).as("t"), sum(col("n")).as("n"))
+    det.join(cross, Seq("l_partkey"), "left_semi")
+      .join(t(s, dir, "part").select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
       .rollup(col("channel"), col("p_brand"))
-      .agg(sum(col("qty")).as("volume"), count(lit(1)).as("n_rows"))
+      .agg(sum(col("qty_sum")).as("volume"), sum(col("n")).as("n_rows"))
       .toDF("channel", "p_brand", "volume", "n_rows")
       .crossJoin(broadcast(tot)) // 1-row totals, never a real cartesian
       .filter(col("volume") * col("n") > col("t") * 950)
@@ -1238,18 +1246,29 @@ object TpcdsQueries {
        |  CAST(SUM(sales) - SUM(refunds) AS DOUBLE) AS profit
        |FROM det GROUP BY ROLLUP(channel, p_brand)
        |ORDER BY channel NULLS FIRST, p_brand NULLS FIRST""".stripMargin) { (s, dir) =>
-    val channel = when(col("l_linenumber") % 3 === 0, "store")
-      .when(col("l_linenumber") % 3 === 1, "web").otherwise("catalog")
-    val zero = lit(0).cast("decimal(18,2)")
-    lineorder(s, dir)
-      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+    // Durable-rollup finest level (r15): per-(part, linenumber%3) CASE'd
+    // decimal sums ([[graft.Rollups.ProfitByPartChannel]]) — decimal
+    // addition associates, so the ROLLUP re-aggregates ~|part×3| state rows
+    // against the part dim instead of re-joining lineitem⋈orders. Without a
+    // layout the same finest level is computed inline by the identical
+    // MatViews deltaState math (bucketed zero-exchange orderkey join), so
+    // this oracle gate proves the state math on plain fixture dirs too.
+    val det = graft.Rollups.visibleDf(s, dir, graft.Rollups.ProfitByPartChannel)
+      .getOrElse {
+        val d = graft.Rollups.definition(graft.Rollups.ProfitByPartChannel)
+        graft.MatViews.visible(d, graft.MatViews.deltaState(d, lineorder(s, dir)))
+      }
+    val channel = when(col("ch") === 0, "store")
+      .when(col("ch") === 1, "web").otherwise("catalog")
+    det
+      .join(t(s, dir, "part").select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
       .select(channel.as("channel"), col("p_brand"),
-        when(col("l_returnflag") =!= "R", netRev).otherwise(zero).as("sales"),
-        when(col("l_returnflag") === "R", netRev).otherwise(zero).as("refunds"))
+        col("sales_sum"), col("refunds_sum"))
       .rollup(col("channel"), col("p_brand"))
-      .agg(asDouble(sum(col("sales"))).as("sales"),
-        asDouble(sum(col("refunds"))).as("refunds"),
-        asDouble(sum(col("sales")) - sum(col("refunds"))).as("profit"))
+      .agg(asDouble(sum(col("sales_sum"))).as("sales"),
+        asDouble(sum(col("refunds_sum"))).as("refunds"),
+        asDouble(sum(col("sales_sum")) - sum(col("refunds_sum"))).as("profit"))
       .toDF("channel", "p_brand", "sales", "refunds", "profit")
       .orderBy(col("channel").asc_nulls_first, col("p_brand").asc_nulls_first)
   }

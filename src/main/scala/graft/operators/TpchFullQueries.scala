@@ -284,14 +284,23 @@ object TpchFullQueries {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
-    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    t(s, dir, "lineitem")
-      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-      .groupBy("l_linestatus")
-      .agg(
-        count(when(hi, 1)).as("high_line_count"),
-        count(when(!hi, 1)).as("low_line_count"))
+    // Durable-rollup at RESULT grain (r15): the definition carries the
+    // cross-table lateness predicate ([[graft.Rollups.LateCountsByStatus]]),
+    // so a layout dir answers this from a handful of state rows; otherwise
+    // the same MatViews deltaState math runs inline over the (bucketed)
+    // orderkey join, keeping the oracle gate over the state math.
+    val det = graft.Rollups.visibleDf(s, dir, graft.Rollups.LateCountsByStatus)
+      .getOrElse {
+        val d = graft.Rollups.definition(graft.Rollups.LateCountsByStatus)
+        graft.MatViews.visible(d, graft.MatViews.deltaState(d,
+          t(s, dir, "lineitem")
+            .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))))
+      }
+    // COUNT can never be NULL; the COALESCE only normalizes nullability
+    // between the parquet state (nullable on read) and the inline aggregate
+    det.select(col("l_linestatus"),
+        coalesce(col("high_line_count"), lit(0L)).as("high_line_count"),
+        coalesce(col("low_line_count"), lit(0L)).as("low_line_count"))
       .orderBy("l_linestatus")
   }
 
@@ -305,11 +314,19 @@ object TpchFullQueries {
       |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
       |  GROUP BY c_custkey)
       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
-    val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW")
-    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("c_count"))
+    // Durable-rollup fast path (r15): per-customer filtered order counts
+    // ([[graft.Rollups.OrderCountByCust]], the one ORDERS-based state); the
+    // left join's zero-count arm re-derives as customer ∖ state via
+    // COALESCE. Inline fallback = the same MatViews deltaState math.
+    val det = graft.Rollups.visibleDf(s, dir, graft.Rollups.OrderCountByCust)
+      .getOrElse {
+        val d13 = graft.Rollups.definition(graft.Rollups.OrderCountByCust)
+        graft.MatViews.visible(d13,
+          graft.MatViews.deltaState(d13, t(s, dir, "orders")))
+      }
+    t(s, dir, "customer")
+      .join(det, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
       .groupBy("c_count")
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)

@@ -155,36 +155,93 @@ class RollupSpec extends AnyFunSuite {
     assert(Rollups.visibleDf(spark, d, name).get.count() === newCount)
   }
 
+  test("no-join refresh == full rebuild, both signs (q14/q18/q13 states)") {
+    Seq((Rollups.QtyByPartFlag, "lineitem", "l_orderkey"),
+      (Rollups.QtyDecByOrderkey, "lineitem", "l_orderkey"),
+      (Rollups.OrderCountByCust, "orders", "o_orderkey"))
+      .foreach { case (n, table, keyCol) =>
+        val d = copyDir(table)
+        Rollups.build(spark, d, n)
+        val base = Tables.df(spark, sf, table)
+        val delta = base.filter(col(keyCol) % 11 === 0)
+          .withColumn(keyCol, col(keyCol) + lit(30000000L))
+        Rollups.refresh(spark, d, n, delta)
+        val def_ = Rollups.definition(n)
+        def direct(of: DataFrame) = MatViews.visible(def_, MatViews.deltaState(def_, of))
+        assert(canon(Rollups.visibleDf(spark, d, n).get) ===
+          canon(direct(base.unionByName(delta))), s"$n insert-delta")
+        Rollups.refresh(spark, d, n, delta, sign = -1)
+        assert(canon(Rollups.visibleDf(spark, d, n).get) === canon(direct(base)),
+          s"$n delete-delta")
+      }
+  }
+
   test("join-definition refresh == full rebuild over the grown fact, both signs (q23 states)") {
-    val d = copyDir("lineitem", "orders")
-    Seq(Rollups.QtyByCustkey, Rollups.Dates1997ByPartkey)
+    val d = copyDir("lineitem", "orders", "part")
+    Seq(Rollups.QtyByCustkey, Rollups.Dates1997ByPartkey, Rollups.ProfitByPartChannel,
+      Rollups.RevByChannelPriority, Rollups.LateCountsByStatus, Rollups.PromoRevByShipday)
       .foreach { n =>
         Rollups.build(spark, d, n)
         val delta = Tables.df(spark, sf, "lineitem")
-          .filter(col("l_partkey") % 5 === 0) // joins to existing orders
+          .filter(col("l_partkey") % 5 === 0) // joins to existing dims
         Rollups.refresh(spark, d, n, delta)
         val def_ = Rollups.definition(n)
-        val grownRows = Tables.df(spark, sf, "lineitem").unionByName(delta)
-          .join(Tables.df(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
-        val direct = MatViews.visible(def_, MatViews.deltaState(def_, grownRows))
+        // join the def's own second table, whichever side spells the key
+        val j = def_.join.get
+        val other = Tables.df(spark, sf, j.table2)
+        val (lk, rk) =
+          if (other.columns.contains(j.rightKey)) (j.leftKey, j.rightKey)
+          else (j.rightKey, j.leftKey)
+        def joined(rows: DataFrame) = rows.join(other, col(lk) === col(rk))
+        val direct = MatViews.visible(def_, MatViews.deltaState(def_,
+          joined(Tables.df(spark, sf, "lineitem").unionByName(delta))))
         assert(canon(Rollups.visibleDf(spark, d, n).get) === canon(direct), s"$n insert-delta")
         // the signed delete-delta takes it back to the base
         Rollups.refresh(spark, d, n, delta, sign = -1)
-        val baseRows = Tables.df(spark, sf, "lineitem")
-          .join(Tables.df(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
-        val directBase = MatViews.visible(def_, MatViews.deltaState(def_, baseRows))
+        val directBase = MatViews.visible(def_, MatViews.deltaState(def_,
+          joined(Tables.df(spark, sf, "lineitem"))))
         assert(canon(Rollups.visibleDf(spark, d, n).get) === canon(directBase), s"$n delete-delta")
       }
   }
 
-  test("q78/q23/q75 bodies pick their rollups up from a layout dir and answer identically") {
-    val d = copyDir("lineitem", "orders", "part")
+  test("min/max state (tpch_q1): insert refresh == rebuild; delete-delta refused") {
+    val n = Rollups.PricingByFlagStatusDay
+    val d = copyDir("lineitem")
+    Rollups.build(spark, d, n)
+    val base = Tables.df(spark, sf, "lineitem")
+    val delta = base.filter(col("l_partkey") % 9 === 0)
+      .withColumn("l_orderkey", col("l_orderkey") + lit(40000000L))
+    Rollups.refresh(spark, d, n, delta)
+    val def_ = Rollups.definition(n)
+    val direct = MatViews.visible(def_, MatViews.deltaState(def_, base.unionByName(delta)))
+    assert(canon(Rollups.visibleDf(spark, d, n).get) === canon(direct))
+    // MIN/MAX components cannot un-see a deleted row — the signed path refuses
+    val e = intercept[IllegalArgumentException] {
+      Rollups.refresh(spark, d, n, delta, sign = -1)
+    }
+    assert(e.getMessage.toUpperCase.contains("MIN/MAX"))
+  }
+
+  test("q78/q23/q75/q14/q80 bodies pick their rollups up from a layout dir and answer identically") {
+    val d = copyDir("lineitem", "orders", "part", "customer")
     Seq(Rollups.CentsByCustStatus, Rollups.QtyByCustkey,
-      Rollups.Dates1997ByPartkey, Rollups.SignedByPartYear)
+      Rollups.Dates1997ByPartkey, Rollups.SignedByPartYear,
+      Rollups.QtyByPartFlag, Rollups.ProfitByPartChannel,
+      Rollups.PricingByFlagStatusDay, Rollups.LateCountsByStatus,
+      Rollups.PromoRevByShipday, Rollups.RevByChannelPriority,
+      Rollups.QtyDecByOrderkey, Rollups.OrderCountByCust)
       .foreach(Rollups.build(spark, d, _))
     Seq(operators.TpcdsQueries.q78ChannelRatio,
       operators.TpcdsQueries.q23FrequentBest,
-      operators.TpcdsQueries.q75ChannelDelta).foreach { q =>
+      operators.TpcdsQueries.q75ChannelDelta,
+      operators.TpcdsQueries.q14CrossChannel,
+      operators.TpcdsQueries.q80ChannelProfitRollup,
+      operators.TpcdsQueries.q5RollupChannels,
+      operators.RelationalQueries.aggPricingSummary,
+      operators.TpchFullQueries.q12LatePriority,
+      operators.TpchFullQueries.q13CustomerDistribution,
+      operators.TpchQueries.q14PromoEffect,
+      operators.TpchQueries.q18LargeVolume).foreach { q =>
       val viaState = q.run(spark, d)
       val recompute = q.run(spark, sf)
       assert(viaState.schema === recompute.schema, q.name)
