@@ -265,6 +265,14 @@ object Rollups {
   private val closureGuard: Map[String, String] =
     Map(CentsByCustStatus -> "l_orderkey")
 
+  /** Definitions whose semantics include a base-row pre-transform the SQL
+    * text does NOT carry — these must never attach to a catalog as
+    * rewrite-eligible views (a user query matching the plain text would get
+    * transformed data) and their generic-SQL surface is the query bodies
+    * that understand the transform. */
+  private[graft] def transformed(name: String): Boolean =
+    baseTransforms.contains(name)
+
   /** The defining FROM clause's rows under `dir`: the base fact, inner-joined
     * with the second table for delta-join definitions (same key resolution as
     * Catalog.joinFrames — either ON spelling order). */

@@ -158,9 +158,15 @@ object ScaleUpLayout {
     * aggregation is paid once here, not once per query. */
   def rollupFacts(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
     Rollups.names.foreach { name =>
-      val rows = Rollups.build(spark, dir, name)
-      println(s"rollup $name: $rows state rows" +
-        s" -> ${dirBytes(s"$dir/_rollup/$name") >> 20}MiB")
+      // idempotent ingest: a state whose manifest still matches the base
+      // fingerprints needs no rebuild (new/stale/legacy states do)
+      if (Tables.rollupState(spark, dir, name).isDefined)
+        println(s"rollup $name: fresh, skipped")
+      else {
+        val rows = Rollups.build(spark, dir, name)
+        println(s"rollup $name: $rows state rows" +
+          s" -> ${dirBytes(s"$dir/_rollup/$name") >> 20}MiB")
+      }
     }
 
   def main(args: Array[String]): Unit = {

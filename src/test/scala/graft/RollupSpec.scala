@@ -260,6 +260,45 @@ class RollupSpec extends AnyFunSuite {
       s"q78 on a rollup-carrying dir must read only the rollup state, got: $scanned")
   }
 
+  test("durable rollups attach as catalog MVs: user SQL rewrites onto the state") {
+    val d = copyDir("lineitem")
+    Rollups.build(spark, d, Rollups.PricingByFlagStatusDay)
+    Rollups.build(spark, d, Rollups.QtyByPartFlag)
+    val cat = new Catalog(spark)
+    cat.register("lineitem", Tables.df(spark, d, "lineitem"))
+    val attached = cat.attachLayoutRollups(d)
+    assert(attached.contains(Rollups.PricingByFlagStatusDay))
+    assert(attached.contains(Rollups.QtyByPartFlag))
+    // transformed (anti-join) defs must never be rewrite-eligible
+    assert(!attached.contains(Rollups.CentsByCustStatus))
+    // rollup-descent: coarser keys + key-only WHERE over the finest level
+    val via = cat.answerFromMatView(
+      "SELECT l_returnflag, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag")
+    assert(via.isDefined, "user SQL must rewrite onto the attached durable state")
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scanned = via.get.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+    assert(scanned.nonEmpty && scanned.forall(_.contains("_rollup")),
+      s"the rewritten plan must read only the durable state, got: $scanned")
+    val direct = Tables.df(spark, d, "lineitem")
+      .filter(col("l_shipdate") <= "1998-09-02 00:00:00")
+      .groupBy("l_returnflag")
+      .agg(sum(expr("CAST(l_quantity AS DECIMAL(18,2))")).as("sq"))
+    assert(canon(via.get) === canon(direct))
+    // and the SQL surface: ATTACH ROLLUPS through the Pipeline
+    val cat2 = new Catalog(spark)
+    cat2.register("lineitem", Tables.df(spark, d, "lineitem"))
+    val res = new Pipeline(cat2).run(s"ATTACH ROLLUPS '$d'")
+    assert(res.head.df.get.collect().map(_.getString(0))
+      .contains(Rollups.QtyByPartFlag))
+  }
+
   test("anti-join rollup (q78): closed-group delta maintained exactly; overlapping delta refused") {
     val n = Rollups.CentsByCustStatus
     val li = Tables.df(spark, sf, "lineitem")
