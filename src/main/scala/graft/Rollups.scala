@@ -88,16 +88,22 @@ object Rollups {
     * the returnflag populations, so every piece of the query — the INTERSECT
     * membership (a part carrying all three flags), the global totals behind
     * the HAVING threshold, and the ROLLUP(channel, brand) body — is a
-    * re-aggregation of this one finest level. The query's five full fact
-    * scans collapse to ~|part×flag| state rows. */
-  val QtyByPartFlag = "lineitem_qty_by_part_flag"
+    * re-aggregation of this one finest level. p_brand rides in the key (it
+    * is functionally dependent on l_partkey, so the grain is unchanged) so
+    * the ROLLUP needs NO part join at query time — the first cut of this
+    * state without brand spent 2/3 of its query time re-joining 60M state
+    * rows against the 20M-row part dim. */
+  val QtyByPartFlagBrand = "lineitem_qty_by_part_flag_brand"
 
-  /** tpcds_q80's per-(part, channel) sales/refunds decimal sums, channel
-    * being the EXPRESSION KEY `l_linenumber % 3` (stored as the raw bucket
-    * int; the query maps it to its label). The CASE'd decimal sums
-    * associate, so ROLLUP(channel, brand) re-aggregates state rows against
-    * the part dim instead of re-joining lineitem⋈orders. */
-  val ProfitByPartChannel = "lineitem_profit_by_part_channel"
+  /** tpcds_q80's per-(brand, channel) sales/refunds decimal sums, channel
+    * being the EXPRESSION KEY `l_linenumber % 3`. The part join and BOTH
+    * aggregation levels the query needs are paid at ingest — the state is
+    * ~|brands×3| rows and the query is a state read. (The orders join in
+    * the query spec is row-preserving under the declared l_orderkey FK and
+    * contributes no columns, so the definition reads lineitem⋈part; the
+    * oracle gate re-runs the spec WITH the orders join, so a fixture ever
+    * violating that FK fails loudly rather than silently.) */
+  val ProfitByBrandChannel = "lineitem_profit_by_brand_channel"
 
   /** TPC-H Q1's per-(flag, status, shipdate) pricing components — the
     * closest Spark analog of the reference's chunk statistics: the fact
@@ -139,6 +145,27 @@ object Rollups {
     * query time as customer ∖ state. */
   val OrderCountByCust = "orders_count_by_custkey"
 
+  // NOTE (r15, measured): a distinct-(part, supplier)-pairs state for
+  // TPC-H Q16 was built and REVERTED — the fixture draws suppkey
+  // independently per line, so the "finest level" was 591M rows on the
+  // 600M-row fact (5.6 GiB for a ~1× collapse). Same ruling as the SSB
+  // per-(cust, supp, year) state: when distinct combinations approach the
+  // line count, the finest level IS the fact and a durable state buys
+  // nothing. Q16 keeps its broadcast-semi-reduced direct plan.
+
+  /** TPC-H Q10's per-(customer, order-year) returned-revenue sums (WHERE
+    * l_returnflag = 'R' lives in the definition; yr is an expression key).
+    * The query's `o_orderdate >= 1997-01-01` cutoff falls on a year
+    * boundary, so `yr >= 1997` selects exactly the same rows. */
+  val RRevByCustYear = "lineitem_rrev_by_cust_year"
+
+  /** TPC-H Q21's per-(order, supplier) lateness profile over F-status
+    * orders: supp_late (MAX of the 60-day lateness flag) and late_lines
+    * (its SUM). The query's per-order EXISTS/NOT-EXISTS cascade becomes a
+    * window over ~|F-order × supplier| state rows; MIN/MAX components make
+    * this insert-only (delete-delta refused, documented MatViews rule). */
+  val LateByOrderSupp = "lineitem_late_by_order_supp"
+
   private[graft] val defs: Map[String, MatViewDef] = Map(
     LineitemByPartkey -> parse(
       LineitemByPartkey,
@@ -172,22 +199,23 @@ object Rollups {
         "ELSE CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS amt_sum " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY l_partkey, yr"),
-    QtyByPartFlag -> parse(
-      QtyByPartFlag,
-      "SELECT l_partkey, l_returnflag, " +
+    QtyByPartFlagBrand -> parse(
+      QtyByPartFlagBrand,
+      "SELECT l_partkey, l_returnflag, p_brand, " +
         "SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS qty_sum, COUNT(*) AS n " +
-        "FROM lineitem GROUP BY l_partkey, l_returnflag"),
-    ProfitByPartChannel -> parse(
-      ProfitByPartChannel,
-      "SELECT l_partkey, l_linenumber % 3 AS ch, " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY l_partkey, l_returnflag, p_brand"),
+    ProfitByBrandChannel -> parse(
+      ProfitByBrandChannel,
+      "SELECT p_brand, l_linenumber % 3 AS ch, " +
         "SUM(CASE WHEN l_returnflag <> 'R' " +
         "THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) " +
         "ELSE CAST(0 AS DECIMAL(18,2)) END) AS sales_sum, " +
         "SUM(CASE WHEN l_returnflag = 'R' " +
         "THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) " +
         "ELSE CAST(0 AS DECIMAL(18,2)) END) AS refunds_sum " +
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "GROUP BY l_partkey, ch"),
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_brand, ch"),
     PricingByFlagStatusDay -> parse(
       PricingByFlagStatusDay,
       "SELECT l_returnflag, l_linestatus, l_shipdate, " +
@@ -232,7 +260,20 @@ object Rollups {
     OrderCountByCust -> parse(
       OrderCountByCust,
       "SELECT o_custkey, COUNT(o_orderkey) AS c_count FROM orders " +
-        "WHERE o_orderpriority <> '5-LOW' GROUP BY o_custkey"))
+        "WHERE o_orderpriority <> '5-LOW' GROUP BY o_custkey"),
+    RRevByCustYear -> parse(
+      RRevByCustYear,
+      "SELECT o_custkey, year(o_orderdate) AS yr, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_returnflag = 'R' GROUP BY o_custkey, yr"),
+    LateByOrderSupp -> parse(
+      LateByOrderSupp,
+      "SELECT l_orderkey, l_suppkey, " +
+        "MAX(CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS supp_late, " +
+        "SUM(CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late_lines " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderstatus = 'F' GROUP BY l_orderkey, l_suppkey"))
 
   def names: Seq[String] = defs.keys.toSeq.sorted
   def definition(name: String): MatViewDef = defs(name)
@@ -300,7 +341,16 @@ object Rollups {
   private def stateRoot(dir: String, name: String): String = s"$dir/_rollup/$name"
 
   private final case class Manifest(version: Long, bases: Map[String, String],
-      hwm: Option[Long])
+      hwm: Option[Long], defSha: Option[String])
+
+  /** 12-hex SHA-256 of the canonical definition text — pinned in the
+    * manifest so a changed/renamed DEFINITION refuses the old state exactly
+    * like a changed base does (r15: a def edit with matching base
+    * fingerprints would otherwise silently serve the old aggregation). */
+  private def defSha(d: MatViewDef): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(d.sqlText.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
 
   private def readManifest(root: String): Option[Manifest] = {
     val p = Paths.get(root, "manifest.json")
@@ -311,21 +361,41 @@ object Rollups {
         v <- """"version":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
         b <- """"bases":(\{.*?\})""".r.findFirstMatchIn(s).map(m => Fingerprints.fromJson(m.group(1)))
       } yield Manifest(v, b,
-        """"hwm":(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong))
+        """"hwm":(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong),
+        """"defsha":"([0-9a-f]+)"""".r.findFirstMatchIn(s).map(_.group(1)))
     }
   }
 
   /** Publish `version` with one atomic rename — the only mutation a reader
     * can ever observe. */
   private def writeManifest(root: String, version: Long, bases: Map[String, String],
-      hwm: Option[Long]): Unit = {
+      hwm: Option[Long], sha: String): Unit = {
     Files.createDirectories(Paths.get(root))
     val hwmField = hwm.map(h => s""","hwm":$h""").getOrElse("")
-    val json = s"""{"version":$version,"bases":${Fingerprints.toJson(bases)}$hwmField}"""
+    val json = s"""{"version":$version,"defsha":"$sha","bases":${Fingerprints.toJson(bases)}$hwmField}"""
     val tmp = Paths.get(root, ".manifest.tmp")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, Paths.get(root, "manifest.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Retire `_rollup/<name>` dirs whose definition no longer exists
+    * (renamed/removed defs) — the `_rollup` family is wholly owned by this
+    * object, so an unknown child is always dead state. */
+  private[graft] def retireUnknown(dir: String): Seq[String] = {
+    val root = Paths.get(dir, "_rollup")
+    if (!Files.isDirectory(root)) Nil
+    else {
+      val known = defs.keySet
+      val ls = Files.list(root)
+      val dead = try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.toList
+          .filter(p => Files.isDirectory(p) && !known.contains(p.getFileName.toString))
+      } finally ls.close()
+      dead.foreach(deleteTree)
+      dead.map(_.getFileName.toString)
+    }
   }
 
   private def deleteTree(p: Path): Unit = {
@@ -375,7 +445,7 @@ object Rollups {
       val row = Tables.df(spark, dir, d.base).agg(fmax(col(c))).head
       if (row.isNullAt(0)) -1L else row.getLong(0)
     }
-    writeManifest(root, next, fps, hwm)
+    writeManifest(root, next, fps, hwm, defSha(d))
     retireOld(root, next)
     spark.read.parquet(path).count()
   }
@@ -392,6 +462,9 @@ object Rollups {
     val root = stateRoot(dir, name)
     val m = readManifest(root).getOrElse(
       sys.error(s"no rollup state to refresh at $root — run build first"))
+    require(m.defSha.contains(defSha(d)),
+      s"$name: the stored state was built for a different definition " +
+        s"(manifest ${m.defSha.getOrElse("<none>")}) — rebuild with Rollups.build")
     val changedT = if (changed.isEmpty) d.base else changed
     require(d.baseTables.exists(_.equalsIgnoreCase(changedT)),
       s"$changedT is not a base table of $name (${d.baseTables.mkString(", ")})")
@@ -429,7 +502,7 @@ object Rollups {
     val next = m.version + 1
     merged.write.mode("overwrite").parquet(s"$root/v$next")
     // owner contract: the base files already carry the delta — pin them NOW
-    writeManifest(root, next, Fingerprints.ofTables(dir, d.baseTables), newHwm)
+    writeManifest(root, next, Fingerprints.ofTables(dir, d.baseTables), newHwm, defSha(d))
     retireOld(root, next)
   }
 
@@ -449,7 +522,14 @@ object Rollups {
         None
       case Some(m) =>
         val current = Fingerprints.ofTables(dir, defs(name).baseTables)
-        if (current != m.bases) {
+        val sha = defSha(defs(name))
+        if (!m.defSha.contains(sha)) {
+          System.err.println(s"graft: REFUSING rollup state at $root — the DEFINITION " +
+            s"moved (manifest ${m.defSha.getOrElse("<none>")} vs current $sha); the " +
+            "stored aggregation no longer answers this definition. Rebuild with " +
+            "Rollups.build / ScaleUpLayout --rollup-only.")
+          None
+        } else if (current != m.bases) {
           System.err.println(s"graft: REFUSING STALE rollup state at $root — base " +
             s"fingerprints moved (${m.bases} -> $current); recomputing from the fact. " +
             "Refresh the state with Rollups.refresh after base changes.")

@@ -156,7 +156,8 @@ object ScaleUpLayout {
 
   /** Durable rollups shipped with every scale build (see [[Rollups]]): each
     * aggregation is paid once here, not once per query. */
-  def rollupFacts(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+  def rollupFacts(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    Rollups.retireUnknown(dir).foreach(n => println(s"rollup $n: unknown definition, retired"))
     Rollups.names.foreach { name =>
       // idempotent ingest: a state whose manifest still matches the base
       // fingerprints needs no rebuild (new/stale/legacy states do)
@@ -168,6 +169,7 @@ object ScaleUpLayout {
           s" -> ${dirBytes(s"$dir/_rollup/$name") >> 20}MiB")
       }
     }
+  }
 
   def main(args: Array[String]): Unit = {
     // --bucket-only <dir> [buckets]: add the bucketed layout to an EXISTING

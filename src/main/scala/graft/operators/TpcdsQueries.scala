@@ -462,23 +462,23 @@ object TpcdsQueries {
     // full fact scans; without a layout the same finest level is computed
     // inline by the identical MatViews deltaState math, so this oracle gate
     // proves the state math on plain fixture dirs too.
-    val det = graft.Rollups.visibleDf(s, dir, graft.Rollups.QtyByPartFlag)
+    val det = graft.Rollups.visibleDf(s, dir, graft.Rollups.QtyByPartFlagBrand)
       .getOrElse {
-        val d = graft.Rollups.definition(graft.Rollups.QtyByPartFlag)
-        graft.MatViews.visible(d,
-          graft.MatViews.deltaState(d, t(s, dir, "lineitem")))
+        val d = graft.Rollups.definition(graft.Rollups.QtyByPartFlagBrand)
+        graft.MatViews.visible(d, graft.MatViews.deltaState(d,
+          t(s, dir, "lineitem").join(t(s, dir, "part"),
+            col("l_partkey") === col("p_partkey"))))
       }
       .select(col("l_partkey"), col("l_returnflag").as("channel"),
-        col("qty_sum"), col("n"))
-    // state rows are unique per (part, flag): membership in all three
-    // channels is a plain row count over the three flag populations
+        col("p_brand"), col("qty_sum"), col("n"))
+    // state rows are unique per (part, flag) — p_brand is functionally
+    // dependent on the part — so membership in all three channels is a
+    // plain row count over the three flag populations
     val cross = det.filter(col("channel").isin("A", "N", "R"))
       .groupBy("l_partkey").agg(count(lit(1)).as("nch"))
       .filter(col("nch") === 3).select("l_partkey")
     val tot = det.agg(sum(col("qty_sum")).as("t"), sum(col("n")).as("n"))
     det.join(cross, Seq("l_partkey"), "left_semi")
-      .join(t(s, dir, "part").select("p_partkey", "p_brand"),
-        col("l_partkey") === col("p_partkey"))
       .rollup(col("channel"), col("p_brand"))
       .agg(sum(col("qty_sum")).as("volume"), sum(col("n")).as("n_rows"))
       .toDF("channel", "p_brand", "volume", "n_rows")
@@ -1246,23 +1246,24 @@ object TpcdsQueries {
        |  CAST(SUM(sales) - SUM(refunds) AS DOUBLE) AS profit
        |FROM det GROUP BY ROLLUP(channel, p_brand)
        |ORDER BY channel NULLS FIRST, p_brand NULLS FIRST""".stripMargin) { (s, dir) =>
-    // Durable-rollup finest level (r15): per-(part, linenumber%3) CASE'd
-    // decimal sums ([[graft.Rollups.ProfitByPartChannel]]) — decimal
-    // addition associates, so the ROLLUP re-aggregates ~|part×3| state rows
-    // against the part dim instead of re-joining lineitem⋈orders. Without a
-    // layout the same finest level is computed inline by the identical
-    // MatViews deltaState math (bucketed zero-exchange orderkey join), so
-    // this oracle gate proves the state math on plain fixture dirs too.
-    val det = graft.Rollups.visibleDf(s, dir, graft.Rollups.ProfitByPartChannel)
+    // Durable-rollup finest level (r15): per-(brand, linenumber%3) CASE'd
+    // decimal sums ([[graft.Rollups.ProfitByBrandChannel]]) — decimal
+    // addition associates and the part join is paid at ingest, so the whole
+    // ROLLUP re-aggregates ~|brands×3| state rows. The spec's orders join
+    // is row-preserving under the declared l_orderkey FK and contributes no
+    // columns; the oracle runs the spec WITH it, so the gate would catch
+    // any fixture violating the FK. Without a layout the same finest level
+    // is computed inline by the identical MatViews deltaState math.
+    val det = graft.Rollups.visibleDf(s, dir, graft.Rollups.ProfitByBrandChannel)
       .getOrElse {
-        val d = graft.Rollups.definition(graft.Rollups.ProfitByPartChannel)
-        graft.MatViews.visible(d, graft.MatViews.deltaState(d, lineorder(s, dir)))
+        val d = graft.Rollups.definition(graft.Rollups.ProfitByBrandChannel)
+        graft.MatViews.visible(d, graft.MatViews.deltaState(d,
+          t(s, dir, "lineitem").join(t(s, dir, "part"),
+            col("l_partkey") === col("p_partkey"))))
       }
     val channel = when(col("ch") === 0, "store")
       .when(col("ch") === 1, "web").otherwise("catalog")
     det
-      .join(t(s, dir, "part").select("p_partkey", "p_brand"),
-        col("l_partkey") === col("p_partkey"))
       .select(channel.as("channel"), col("p_brand"),
         col("sales_sum"), col("refunds_sum"))
       .rollup(col("channel"), col("p_brand"))

@@ -375,6 +375,10 @@ object TpchFullQueries {
       .filter(col("p_brand") =!= "Brand#1" && !col("p_type").like("PROMO%")
         && col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
     val flagged = t(s, dir, "supplier").filter(col("s_acctbal") < 0).select("s_suppkey")
+    // A distinct-(part, supplier)-pairs durable state was measured and
+    // REVERTED here (591M state rows on the 600M-row fact — no collapse,
+    // see the Rollups NOTE): the broadcast-semi-reduced direct plan is the
+    // floor for this shape on this data.
     t(s, dir, "lineitem")
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
@@ -476,17 +480,18 @@ object TpchFullQueries {
     val sup = t(s, dir, "supplier")
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "s_name")
-    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
-      .select("o_orderkey", "o_orderdate")
-    val late = col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS")
-    // the one fact-fact shuffle: every line of every F order, tagged late/not
-    val lines = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-      .join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_orderkey"), col("l_suppkey"), late.cast("int").as("is_late"))
-    // per (order, supplier): went late at all + how many of its lines did —
-    // reuses the join's orderkey partitioning (grouping keys ⊇ partition key)
-    val perSupp = lines.groupBy("l_orderkey", "l_suppkey")
-      .agg(max(col("is_late")).as("supp_late"), sum(col("is_late")).as("late_lines"))
+    // Durable-rollup fast path (r15): the per-(order, supplier) lateness
+    // profile ([[graft.Rollups.LateByOrderSupp]]) replaces the fact-fact
+    // join + first aggregate; the EXISTS/NOT-EXISTS cascade is then a
+    // window over ~|F-order × supplier| state rows. Inline fallback = the
+    // same MatViews deltaState math over the (bucketed) orderkey join.
+    val perSupp = graft.Rollups.visibleDf(s, dir, graft.Rollups.LateByOrderSupp)
+      .getOrElse {
+        val d21 = graft.Rollups.definition(graft.Rollups.LateByOrderSupp)
+        graft.MatViews.visible(d21, graft.MatViews.deltaState(d21,
+          t(s, dir, "lineitem")
+            .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))))
+      }
     // per order, via a window on the SAME partitioning: sort only, no exchange
     val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
     perSupp

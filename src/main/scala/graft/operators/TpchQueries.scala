@@ -163,14 +163,22 @@ object TpchQueries {
     // at SF100) into ≤|custkey| narrow (key, decimal) pairs, and the final
     // top-20 is a TakeOrderedAndProject over a 1:1 join.
     val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders").filter(col("o_orderdate") >= "1997-01-01 00:00:00")
-      .select("o_orderkey", "o_custkey")
-    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-      .select("l_orderkey", "l_extendedprice", "l_discount")
     val n = t(s, dir, "nation")
-    val perCust = l.join(o, col("l_orderkey") === col("o_orderkey"))
+    // Durable-rollup fast path (r15): per-(cust, order-year) returned
+    // revenue ([[graft.Rollups.RRevByCustYear]]); the 1997-01-01 cutoff is
+    // a year boundary, so `yr >= 1997` selects exactly the spec's rows.
+    // Inline fallback = the same MatViews deltaState math over the
+    // (bucketed) orderkey join.
+    val perCust = graft.Rollups.visibleDf(s, dir, graft.Rollups.RRevByCustYear)
+      .getOrElse {
+        val d10 = graft.Rollups.definition(graft.Rollups.RRevByCustYear)
+        graft.MatViews.visible(d10, graft.MatViews.deltaState(d10,
+          t(s, dir, "lineitem")
+            .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))))
+      }
+      .filter(col("yr") >= 1997)
       .groupBy(col("o_custkey"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("rev_dec"))
+      .agg(sum(col("rev")).as("rev_dec"))
     perCust.join(c, col("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .select(col("c_custkey"), col("c_name"), col("n_name"),

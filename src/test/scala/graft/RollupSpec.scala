@@ -156,8 +156,7 @@ class RollupSpec extends AnyFunSuite {
   }
 
   test("no-join refresh == full rebuild, both signs (q14/q18/q13 states)") {
-    Seq((Rollups.QtyByPartFlag, "lineitem", "l_orderkey"),
-      (Rollups.QtyDecByOrderkey, "lineitem", "l_orderkey"),
+    Seq((Rollups.QtyDecByOrderkey, "lineitem", "l_orderkey"),
       (Rollups.OrderCountByCust, "orders", "o_orderkey"))
       .foreach { case (n, table, keyCol) =>
         val d = copyDir(table)
@@ -178,7 +177,8 @@ class RollupSpec extends AnyFunSuite {
 
   test("join-definition refresh == full rebuild over the grown fact, both signs (q23 states)") {
     val d = copyDir("lineitem", "orders", "part")
-    Seq(Rollups.QtyByCustkey, Rollups.Dates1997ByPartkey, Rollups.ProfitByPartChannel,
+    Seq(Rollups.QtyByCustkey, Rollups.Dates1997ByPartkey, Rollups.ProfitByBrandChannel,
+      Rollups.QtyByPartFlagBrand, Rollups.RRevByCustYear,
       Rollups.RevByChannelPriority, Rollups.LateCountsByStatus, Rollups.PromoRevByShipday)
       .foreach { n =>
         Rollups.build(spark, d, n)
@@ -204,32 +204,57 @@ class RollupSpec extends AnyFunSuite {
       }
   }
 
-  test("min/max state (tpch_q1): insert refresh == rebuild; delete-delta refused") {
-    val n = Rollups.PricingByFlagStatusDay
+  test("min/max states (tpch q1/q21): insert refresh == rebuild; delete-delta refused") {
+    val d = copyDir("lineitem", "orders")
+    Seq(Rollups.PricingByFlagStatusDay, Rollups.LateByOrderSupp).foreach { n =>
+      Rollups.build(spark, d, n)
+      val base = Tables.df(spark, sf, "lineitem")
+      val delta = base.filter(col("l_partkey") % 9 === 0) // joins existing orders
+      Rollups.refresh(spark, d, n, delta)
+      val def_ = Rollups.definition(n)
+      val grown = base.unionByName(delta)
+      val rows = def_.join match {
+        case None => grown
+        case Some(_) => grown.join(Tables.df(spark, sf, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      }
+      val direct = MatViews.visible(def_, MatViews.deltaState(def_, rows))
+      assert(canon(Rollups.visibleDf(spark, d, n).get) === canon(direct), n)
+      // MIN/MAX components cannot un-see a deleted row — the signed path refuses
+      val e = intercept[IllegalArgumentException] {
+        Rollups.refresh(spark, d, n, delta, sign = -1)
+      }
+      assert(e.getMessage.toUpperCase.contains("MIN/MAX"), n)
+    }
+  }
+
+  test("a changed DEFINITION refuses the stored state (defsha pin)") {
+    val n = Rollups.QtyDecByOrderkey
     val d = copyDir("lineitem")
     Rollups.build(spark, d, n)
-    val base = Tables.df(spark, sf, "lineitem")
-    val delta = base.filter(col("l_partkey") % 9 === 0)
-      .withColumn("l_orderkey", col("l_orderkey") + lit(40000000L))
-    Rollups.refresh(spark, d, n, delta)
-    val def_ = Rollups.definition(n)
-    val direct = MatViews.visible(def_, MatViews.deltaState(def_, base.unionByName(delta)))
-    assert(canon(Rollups.visibleDf(spark, d, n).get) === canon(direct))
-    // MIN/MAX components cannot un-see a deleted row — the signed path refuses
-    val e = intercept[IllegalArgumentException] {
-      Rollups.refresh(spark, d, n, delta, sign = -1)
+    assert(Rollups.visibleDf(spark, d, n).isDefined)
+    // simulate a def edit: rewrite the manifest with a different defsha
+    val p = java.nio.file.Paths.get(s"$d/_rollup/$n/manifest.json")
+    val json = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    java.nio.file.Files.write(p, json.replaceAll(
+      """"defsha":"[0-9a-f]+"""", """"defsha":"000000000000"""").getBytes("UTF-8"))
+    assert(Rollups.visibleDf(spark, d, n).isEmpty,
+      "a state built for another definition must be refused, not served")
+    val e = intercept[Exception] {
+      Rollups.refresh(spark, d, n, Tables.df(spark, sf, "lineitem").limit(1))
     }
-    assert(e.getMessage.toUpperCase.contains("MIN/MAX"))
+    assert(e.getMessage.contains("different definition"))
   }
 
   test("q78/q23/q75/q14/q80 bodies pick their rollups up from a layout dir and answer identically") {
-    val d = copyDir("lineitem", "orders", "part", "customer")
+    val d = copyDir("lineitem", "orders", "part", "customer", "supplier", "nation")
     Seq(Rollups.CentsByCustStatus, Rollups.QtyByCustkey,
       Rollups.Dates1997ByPartkey, Rollups.SignedByPartYear,
-      Rollups.QtyByPartFlag, Rollups.ProfitByPartChannel,
+      Rollups.QtyByPartFlagBrand, Rollups.ProfitByBrandChannel,
       Rollups.PricingByFlagStatusDay, Rollups.LateCountsByStatus,
       Rollups.PromoRevByShipday, Rollups.RevByChannelPriority,
-      Rollups.QtyDecByOrderkey, Rollups.OrderCountByCust)
+      Rollups.QtyDecByOrderkey, Rollups.OrderCountByCust,
+      Rollups.RRevByCustYear, Rollups.LateByOrderSupp)
       .foreach(Rollups.build(spark, d, _))
     Seq(operators.TpcdsQueries.q78ChannelRatio,
       operators.TpcdsQueries.q23FrequentBest,
@@ -240,6 +265,8 @@ class RollupSpec extends AnyFunSuite {
       operators.RelationalQueries.aggPricingSummary,
       operators.TpchFullQueries.q12LatePriority,
       operators.TpchFullQueries.q13CustomerDistribution,
+      operators.TpchFullQueries.q21WaitingSuppliers,
+      operators.TpchQueries.q10ReturnedItems,
       operators.TpchQueries.q14PromoEffect,
       operators.TpchQueries.q18LargeVolume).foreach { q =>
       val viaState = q.run(spark, d)
@@ -263,12 +290,12 @@ class RollupSpec extends AnyFunSuite {
   test("durable rollups attach as catalog MVs: user SQL rewrites onto the state") {
     val d = copyDir("lineitem")
     Rollups.build(spark, d, Rollups.PricingByFlagStatusDay)
-    Rollups.build(spark, d, Rollups.QtyByPartFlag)
+    Rollups.build(spark, d, Rollups.QtyDecByOrderkey)
     val cat = new Catalog(spark)
     cat.register("lineitem", Tables.df(spark, d, "lineitem"))
     val attached = cat.attachLayoutRollups(d)
     assert(attached.contains(Rollups.PricingByFlagStatusDay))
-    assert(attached.contains(Rollups.QtyByPartFlag))
+    assert(attached.contains(Rollups.QtyDecByOrderkey))
     // transformed (anti-join) defs must never be rewrite-eligible
     assert(!attached.contains(Rollups.CentsByCustStatus))
     // rollup-descent: coarser keys + key-only WHERE over the finest level
@@ -296,7 +323,7 @@ class RollupSpec extends AnyFunSuite {
     cat2.register("lineitem", Tables.df(spark, d, "lineitem"))
     val res = new Pipeline(cat2).run(s"ATTACH ROLLUPS '$d'")
     assert(res.head.df.get.collect().map(_.getString(0))
-      .contains(Rollups.QtyByPartFlag))
+      .contains(Rollups.QtyDecByOrderkey))
   }
 
   test("anti-join rollup (q78): closed-group delta maintained exactly; overlapping delta refused") {
