@@ -352,23 +352,11 @@ final class Catalog(val spark: SparkSession) {
     logEvent("INFO", s"create materialized view $name over ${d.baseTables.mkString(" JOIN ")}")
   }
 
-  /** The defining FROM clause's rows: the base table, inner-joined with the
-    * second table for delta-join views. Key sides resolve by column
-    * membership so `ON a = b` accepts either spelling order. */
-  private def joinFrames(j: MatViews.MatJoin, l: DataFrame, r: DataFrame): DataFrame = {
-    val (lk, rk) =
-      if (l.columns.contains(j.leftKey) && r.columns.contains(j.rightKey))
-        (j.leftKey, j.rightKey)
-      else (j.rightKey, j.leftKey)
-    require(l.columns.contains(lk) && r.columns.contains(rk),
-      s"join keys ${j.leftKey} = ${j.rightKey} do not resolve one column on each side")
-    l.join(r, l(lk) === r(rk), "inner")
-  }
-
-  private def joinedBase(d: MatViews.MatViewDef): DataFrame = d.join match {
-    case None => table(d.base)
-    case Some(j) => joinFrames(j, table(d.base), table(j.table2))
-  }
+  /** The defining FROM clause's rows: the base table folded through the
+    * definition's join chain (r15 multi-join; key sides resolve by column
+    * membership so `ON a = b` accepts either spelling order). */
+  private def joinedBase(d: MatViews.MatViewDef): DataFrame =
+    MatViews.joinedRows(d, table)
 
   /** Attach the durable layout rollups under `dir` (the `_rollup` family a
     * scale build ships, [[Rollups]]) as catalog materialized views: user SQL
@@ -443,12 +431,7 @@ final class Catalog(val spark: SparkSession) {
     * against the big side — maintenance stays O(delta) + one keyed merge. */
   private def viewDelta(
       d: MatViews.MatViewDef, changed: String, delta: DataFrame): DataFrame =
-    d.join match {
-      case None => delta
-      case Some(j) =>
-        if (changed == d.base) joinFrames(j, delta, table(j.table2))
-        else joinFrames(j, table(d.base), delta)
-    }
+    MatViews.joinedRows(d, table, changed, delta)
 
   /** Apply a DML delta to every materialized view reading `base`. */
   private def maintainMatViews(

@@ -47,7 +47,7 @@ object MatViews {
   final case class MatViewDef(
       name: String, base: String, where: Option[String],
       keys: Seq[String], aggs: Seq[MatAgg], sqlText: String,
-      join: Option[MatJoin] = None, order: Seq[String] = Nil,
+      joins: Seq[MatJoin] = Nil, order: Seq[String] = Nil,
       keyExprs: Map[String, String] = Map.empty) {
     /** The grouping expression behind key alias `k` (the alias itself for a
       * plain-column key). Expression keys (`year(o_orderdate) AS yr`, r15)
@@ -58,7 +58,7 @@ object MatViews {
     def keyExpr(k: String): String = keyExprs.getOrElse(k, k)
     def hasMinMax: Boolean = aggs.exists(a => a.fn == "MIN" || a.fn == "MAX")
     /** every table the view reads — dependency + staleness tracking */
-    def baseTables: Seq[String] = base +: join.map(_.table2).toSeq
+    def baseTables: Seq[String] = base +: joins.map(_.table2)
     /** select-list order (keys by name, aggs by alias); older defs that
       * predate the field fall back to keys-then-aggs */
     def selectOrder: Seq[String] =
@@ -137,22 +137,34 @@ object MatViews {
       require(t.matches("[A-Za-z_][A-Za-z0-9_]*"), s"$what must be a single table, got: $t")
       t
     }
-    // FROM t  |  FROM t1 JOIN t2 ON a = b (one inner equi-join — the
-    // delta-join maintainable fragment: Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB)
+    // FROM t [JOIN t2 ON a = b [JOIN t3 ON c = d ...]] — the delta-join
+    // maintainable fragment, r15 generalized to a CHAIN of inner equi-joins:
+    // Δ(A⋈B⋈C) for a single-table delta substitutes the delta for that
+    // table and joins the CURRENT others (one table changes per statement,
+    // so no cross-delta terms arise).
     val joinIdx = topIndexOf(fromSec, " JOIN ")
-    val (base, join) =
-      if (joinIdx < 0) (ident(fromSec, "materialized view base"), None)
+    val (base, joins) =
+      if (joinIdx < 0) (ident(fromSec, "materialized view base"), Nil)
       else {
         val b = ident(fromSec.substring(0, joinIdx).trim, "materialized view base")
-        val rest = fromSec.substring(joinIdx + " JOIN ".length)
-        val onIdx = topIndexOf(rest, " ON ")
-        require(onIdx > 0, "JOIN in a materialized view definition needs ON <col> = <col>")
-        val t2 = ident(rest.substring(0, onIdx).trim, "materialized view join table")
-        val cond = rest.substring(onIdx + " ON ".length).trim
-        val sides = cond.split("=").map(_.trim)
-        require(sides.length == 2 && sides.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
-          s"materialized view join condition must be a single column equality, got: $cond")
-        (b, Some(MatJoin(t2, sides(0), sides(1))))
+        var rest = fromSec.substring(joinIdx + " JOIN ".length)
+        val js = scala.collection.mutable.Buffer.empty[MatJoin]
+        var more = true
+        while (more) {
+          val onIdx = topIndexOf(rest, " ON ")
+          require(onIdx > 0, "JOIN in a materialized view definition needs ON <col> = <col>")
+          val t2 = ident(rest.substring(0, onIdx).trim, "materialized view join table")
+          val tail = rest.substring(onIdx + " ON ".length)
+          val nextJoin = topIndexOf(tail, " JOIN ")
+          val cond = (if (nextJoin < 0) tail else tail.substring(0, nextJoin)).trim
+          val sides = cond.split("=").map(_.trim)
+          require(sides.length == 2 && sides.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+            s"materialized view join condition must be a single column equality, got: $cond")
+          js += MatJoin(t2, sides(0), sides(1))
+          if (nextJoin < 0) more = false
+          else rest = tail.substring(nextJoin + " JOIN ".length)
+        }
+        (b, js.toSeq)
       }
     val where = if (whereIdx > 0) Some(s.substring(whereIdx + 7, gbIdx).trim) else None
     val keys = splitTop(s.substring(gbIdx + " GROUP BY ".length), ',')
@@ -181,7 +193,7 @@ object MatViews {
         s"select item must be a GROUP BY key, <expr> AS <group-by-alias>, or FN(arg) AS alias, got: $item")
     }
     require(aggs.nonEmpty, "materialized view needs at least one aggregate")
-    MatViewDef(name, base, where, keys, aggs, s, join, order.toSeq,
+    MatViewDef(name, base, where, keys, aggs, s, joins, order.toSeq,
       keyExprs.map { case (k, v) => keys.find(_.equalsIgnoreCase(k)).get -> v }.toMap)
   }
 
@@ -289,19 +301,44 @@ object MatViews {
   private def findAgg(mv: MatViewDef, qa: MatAgg): Option[MatAgg] =
     mv.aggs.find(ma => ma.fn == qa.fn && ma.arg == qa.arg)
 
+  /** One inner equi-join step, resolving which side spells which key by
+    * column membership (`ON a = b` accepts either order). */
+  def joinFrames(j: MatJoin, l: DataFrame, r: DataFrame): DataFrame = {
+    val (lk, rk) =
+      if (l.columns.contains(j.leftKey) && r.columns.contains(j.rightKey))
+        (j.leftKey, j.rightKey)
+      else (j.rightKey, j.leftKey)
+    require(l.columns.contains(lk) && r.columns.contains(rk),
+      s"join keys ${j.leftKey} = ${j.rightKey} do not resolve one column on each side")
+    l.join(r, l(lk) === r(rk), "inner")
+  }
+
+  /** The defining FROM clause's rows for `d`, resolving each table through
+    * `tableOf` — optionally substituting `delta` for the single table named
+    * `changed` (the Δ(A⋈B⋈C) single-table-delta rule). */
+  def joinedRows(d: MatViewDef, tableOf: String => DataFrame,
+      changed: String = "", delta: DataFrame = null): DataFrame = {
+    def resolve(t: String): DataFrame =
+      if (changed.nonEmpty && t.equalsIgnoreCase(changed)) delta else tableOf(t)
+    d.joins.foldLeft(resolve(d.base)) { case (acc, j) =>
+      joinFrames(j, acc, resolve(j.table2))
+    }
+  }
+
+  private def sameJoins(a: Seq[MatJoin], b: Seq[MatJoin]): Boolean =
+    a.length == b.length && a.zip(b).forall { case (x, y) =>
+      x.table2.equalsIgnoreCase(y.table2) &&
+        sameColSet(Seq(x.leftKey, x.rightKey), Seq(y.leftKey, y.rightKey))
+    }
+
   /** Can a query parsed as `q` be answered from `mv`'s stored state?
-    * Same base (and join, either key spelling order), syntactically equal
-    * WHERE, set-equal GROUP BY keys, and every query aggregate present in
-    * the view (alias-free). Syntactic matching is the exact-text rewrite
+    * Same base (and join chain, either key spelling order), syntactically
+    * equal WHERE, set-equal GROUP BY keys, and every query aggregate present
+    * in the view (alias-free). Syntactic matching is the exact-text rewrite
     * tier — no predicate subsumption. */
   def matches(mv: MatViewDef, q: MatViewDef): Boolean =
     mv.base.equalsIgnoreCase(q.base) &&
-      ((mv.join, q.join) match {
-        case (None, None) => true
-        case (Some(a), Some(b)) => a.table2.equalsIgnoreCase(b.table2) &&
-          sameColSet(Seq(a.leftKey, a.rightKey), Seq(b.leftKey, b.rightKey))
-        case _ => false
-      }) &&
+      sameJoins(mv.joins, q.joins) &&
       mv.where == q.where &&
       sameColSet(mv.keys, q.keys) &&
       keyDefsAgree(mv, q, q.keys) &&
@@ -536,12 +573,7 @@ object MatViews {
 
   def matchesRollup(mv: MatViewDef, q: MatViewDef): Boolean =
     mv.base.equalsIgnoreCase(q.base) &&
-      ((mv.join, q.join) match {
-        case (None, None) => true
-        case (Some(a), Some(b)) => a.table2.equalsIgnoreCase(b.table2) &&
-          sameColSet(Seq(a.leftKey, a.rightKey), Seq(b.leftKey, b.rightKey))
-        case _ => false
-      }) &&
+      sameJoins(mv.joins, q.joins) &&
       whereSubsumed(mv, q) &&
       q.keys.forall(k => mv.keys.exists(_.equalsIgnoreCase(k))) &&
       keyDefsAgree(mv, q, q.keys) &&

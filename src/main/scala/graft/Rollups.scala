@@ -76,13 +76,34 @@ object Rollups {
     * count per part is a plain row count over the state. */
   val Dates1997ByPartkey = "lineitem_1997_dates_by_partkey"
 
-  /** tpcds_q75's per-(part, year) returns-signed quantity and amount sums —
-    * an EXPRESSION-KEY rollup (`year(o_orderdate) AS yr`, the r15 MatViews
-    * extension): the year is derived per delta row at maintenance time and
-    * stored as an ordinary state column. The brand-level aggregate then
-    * re-sums ~|parts×years| state rows against the part dim instead of
-    * re-joining the full fact (decimal/long sums associate). */
-  val SignedByPartYear = "lineitem_signed_by_part_year"
+  /** tpcds_q75's per-(brand, year) returns-signed quantity and amount sums.
+    * r15 first shipped this at (part, year) grain with a query-time part
+    * join (137M state rows × 20M part dim dominated the remaining 17 s);
+    * the multi-join fragment now folds the part join into the definition,
+    * so the state IS the query's grain — ~|brands×years| rows. */
+  val SignedByBrandYear = "lineitem_signed_by_brand_year"
+
+  /** tpcds_q67's finest lattice level — per-(type, brand) revenue over the
+    * part join; the ROLLUP lattice and rank run over ~|type×brand| rows. */
+  val ValueByTypeBrand = "lineitem_value_by_type_brand"
+
+  /** SSB flight 2 + q4_3: per-(year, brand, type, supplier-nation) revenue
+    * AND profit sums. Supplier geography is keyed by the RAW s_nationkey —
+    * nation/region names resolve through broadcast dims at query time, so
+    * one state serves every region/nation slice (and a second nation join
+    * would collide on column names). All three q2 flights subsume their
+    * part predicates over the p_brand/p_type key columns. */
+  val SsbRevByYearBrandType = "ssb_rev_by_year_brand_type"
+
+  /** SSB flight 3: per-(cust-nation, supp-nation, year-month) revenue.
+    * Month grain because q3_4 slices a single month; the year flights
+    * filter yrmo ranges (year boundaries align exactly). */
+  val SsbRevByNationsYearmo = "ssb_rev_by_nations_yearmo"
+
+  /** SSB q4_1/q4_2: per-(cust-nation, supp-nation, year, part-type) profit
+    * sums — the region filters and groupings of both flights are
+    * re-aggregations over the nationkey/type keys. */
+  val SsbProfitByNationsYearType = "ssb_profit_by_nations_year_type"
 
   /** tpcds_q14's per-(part, returnflag) quantity state: q14's "channels" ARE
     * the returnflag populations, so every piece of the query — the INTERSECT
@@ -189,16 +210,52 @@ object Rollups {
       "SELECT l_partkey, o_orderdate, COUNT(*) AS n " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "WHERE year(o_orderdate) = 1997 GROUP BY l_partkey, o_orderdate"),
-    SignedByPartYear -> parse(
-      SignedByPartYear,
-      "SELECT l_partkey, year(o_orderdate) AS yr, " +
+    SignedByBrandYear -> parse(
+      SignedByBrandYear,
+      "SELECT p_brand, year(o_orderdate) AS yr, " +
         "SUM(CASE WHEN l_returnflag = 'R' THEN -CAST(FLOOR(l_quantity) AS BIGINT) " +
         "ELSE CAST(FLOOR(l_quantity) AS BIGINT) END) AS qty_sum, " +
         "SUM(CASE WHEN l_returnflag = 'R' " +
         "THEN -(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) " +
         "ELSE CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS amt_sum " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "GROUP BY l_partkey, yr"),
+        "JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_brand, yr"),
+    ValueByTypeBrand -> parse(
+      ValueByTypeBrand,
+      "SELECT p_type, p_brand, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_type, p_brand"),
+    SsbRevByYearBrandType -> parse(
+      SsbRevByYearBrandType,
+      "SELECT year(o_orderdate) AS yr, p_brand, p_type, s_nationkey, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) " +
+        "- CAST(0.6 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS profit " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY yr, p_brand, p_type, s_nationkey"),
+    SsbRevByNationsYearmo -> parse(
+      SsbRevByNationsYearmo,
+      "SELECT c_nationkey, s_nationkey, " +
+        "year(o_orderdate) * 100 + month(o_orderdate) AS yrmo, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY c_nationkey, s_nationkey, yrmo"),
+    SsbProfitByNationsYearType -> parse(
+      SsbProfitByNationsYearType,
+      "SELECT c_nationkey, s_nationkey, year(o_orderdate) AS yr, p_type, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) " +
+        "- CAST(0.6 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS profit " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY c_nationkey, s_nationkey, yr, p_type"),
     QtyByPartFlagBrand -> parse(
       QtyByPartFlagBrand,
       "SELECT l_partkey, l_returnflag, p_brand, " +
@@ -314,26 +371,15 @@ object Rollups {
   private[graft] def transformed(name: String): Boolean =
     baseTransforms.contains(name)
 
-  /** The defining FROM clause's rows under `dir`: the base fact, inner-joined
-    * with the second table for delta-join definitions (same key resolution as
-    * Catalog.joinFrames — either ON spelling order). */
-  private def joinFrames(j: MatJoin, l: DataFrame, r: DataFrame): DataFrame = {
-    val (lk, rk) =
-      if (l.columns.contains(j.leftKey) && r.columns.contains(j.rightKey))
-        (j.leftKey, j.rightKey)
-      else (j.rightKey, j.leftKey)
-    l.join(r, l(lk) === r(rk), "inner")
-  }
-
   private def baseRows(spark: SparkSession, dir: String, d: MatViewDef): DataFrame =
     baseTransforms.get(d.name)
       .fold(Tables.df(spark, dir, d.base))(f => f(Tables.df(spark, dir, d.base)))
 
+  /** The defining FROM clause's rows under `dir`: the (transformed) base
+    * fact, folded through the definition's join chain (r15 multi-join). */
   private def joinedRows(spark: SparkSession, dir: String, d: MatViewDef): DataFrame =
-    d.join match {
-      case None => baseRows(spark, dir, d)
-      case Some(j) =>
-        joinFrames(j, baseRows(spark, dir, d), Tables.df(spark, dir, j.table2))
+    d.joins.foldLeft(baseRows(spark, dir, d)) { case (acc, j) =>
+      MatViews.joinFrames(j, acc, Tables.df(spark, dir, j.table2))
     }
 
   // ------------------------------------------------------------ manifest
@@ -490,13 +536,18 @@ object Rollups {
     }
     val deltaRows = baseTransforms.get(name)
       .filter(_ => changedT.equalsIgnoreCase(d.base)).fold(delta)(f => f(delta))
-    val rows = d.join match {
-      case None => deltaRows
-      case Some(j) =>
-        if (changedT.equalsIgnoreCase(d.base))
-          joinFrames(j, deltaRows, Tables.df(spark, dir, j.table2))
-        else joinFrames(j, baseRows(spark, dir, d), delta)
-    }
+    // Δ(A⋈B⋈…): substitute the delta for the ONE changed table and join the
+    // CURRENT others (r15 multi-join chain)
+    val rows =
+      if (changedT.equalsIgnoreCase(d.base))
+        d.joins.foldLeft(deltaRows) { case (acc, j) =>
+          MatViews.joinFrames(j, acc, Tables.df(spark, dir, j.table2))
+        }
+      else d.joins.foldLeft(baseRows(spark, dir, d)) { case (acc, j) =>
+        MatViews.joinFrames(j, acc,
+          if (j.table2.equalsIgnoreCase(changedT)) delta
+          else Tables.df(spark, dir, j.table2))
+      }
     val merged = merge(d, spark.read.parquet(s"$root/v${m.version}"),
       deltaState(d, rows, sign))
     val next = m.version + 1

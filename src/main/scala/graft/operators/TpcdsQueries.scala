@@ -259,14 +259,12 @@ object TpcdsQueries {
     // coarser lattice levels re-aggregate EXACTLY from the finest level's
     // ~|type×brand| rows instead — one full-fact aggregation, two tiny ones.
     // Same rows, same types; DuckDB recomputes the spec ROLLUP.
-    // ... and the finest level itself re-aggregates from the durable
-    // per-part rollup when the layout carries it (decimal sums associate:
-    // Σ_{parts in (type,brand)} Σ_{lines of part} ≡ Σ_{lines of (type,brand)})
-    // — the 600M-row fact join collapses to a 20M-row state join.
-    val base = graft.Rollups.visibleDf(s, dir, graft.Rollups.LineitemByPartkey)
-      .map(_.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_type"), col("p_brand"))
-        .agg(sum(col("value_dec")).as("rev")))
+    // ... and the finest level IS the durable per-(type, brand) state when
+    // the layout carries it (r15 multi-join definition — the part join and
+    // the 600M-row aggregation are both paid at ingest; the earlier
+    // per-part state still needed a 20M-row state ⋈ part join here).
+    val base = graft.Rollups.visibleDf(s, dir, graft.Rollups.ValueByTypeBrand)
+      .map(_.select(col("p_type"), col("p_brand"), col("rev")))
       .getOrElse(t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_type"), col("p_brand"))
@@ -1173,15 +1171,15 @@ object TpcdsQueries {
     val qty = when(col("l_returnflag") === "R", -floor(col("l_quantity")).cast("long"))
       .otherwise(floor(col("l_quantity")).cast("long"))
     val amt = when(col("l_returnflag") === "R", -netRev).otherwise(netRev)
-    // Durable-rollup fast path (r15): the signed (part, year) sums come from
-    // the expression-key IVM state (Rollups.SignedByPartYear) — the brand
-    // aggregate re-sums ~|parts×years| state rows against the part dim
-    // instead of re-joining the 600M-row fact (long/decimal sums associate).
-    // Oracle-gated by tpcds_q75_rollup.
-    val agg = graft.Rollups.visibleDf(s, dir, graft.Rollups.SignedByPartYear)
-      .map(_.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_brand"), col("yr"))
-        .agg(sum(col("qty_sum")).as("qty"), sum(col("amt_sum")).as("amt")))
+    // Durable-rollup fast path (r15): the signed (brand, year) sums ARE the
+    // query's grain (Rollups.SignedByBrandYear, multi-join definition) —
+    // the state read replaces the 600M-row fact join entirely. The first
+    // cut at (part, year) grain left a 137M-state × 20M-part query-time
+    // join that dominated the remaining 17 s. Oracle-gated by
+    // tpcds_q75_rollup.
+    val agg = graft.Rollups.visibleDf(s, dir, graft.Rollups.SignedByBrandYear)
+      .map(_.select(col("p_brand"), col("yr"),
+        col("qty_sum").as("qty"), col("amt_sum").as("amt")))
       .getOrElse(lineorder(s, dir)
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), year(col("o_orderdate")).as("yr"))
@@ -1199,20 +1197,18 @@ object TpcdsQueries {
   }
 
   /** Q75 answered through the durable (part, year) expression-key rollup
-    * ([[graft.Rollups.SignedByPartYear]]), computed inline by the same
+    * ([[graft.Rollups.SignedByBrandYear]]), computed inline by the same
     * MatViews deltaState math the layout persists — proving the derived-key
     * grouping and the two-level signed re-summation against DuckDB's raw
     * three-table recompute. */
   val q75Rollup: Q = Q(
     "tpcds_q75_rollup",
     q75ChannelDelta.oracle.get) { (s, dir) =>
-    val d = graft.Rollups.definition(graft.Rollups.SignedByPartYear)
-    val joined = t(s, dir, "lineitem").join(t(s, dir, "orders"),
-      col("l_orderkey") === col("o_orderkey"))
+    val d = graft.Rollups.definition(graft.Rollups.SignedByBrandYear)
+    val joined = graft.MatViews.joinedRows(d, t(s, dir, _))
     val st = graft.MatViews.visible(d, graft.MatViews.deltaState(d, joined))
-    val agg = st.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_brand"), col("yr"))
-      .agg(sum(col("qty_sum")).as("qty"), sum(col("amt_sum")).as("amt"))
+    val agg = st.select(col("p_brand"), col("yr"),
+      col("qty_sum").as("qty"), col("amt_sum").as("amt"))
     val c = agg.filter(col("yr") === 1997)
       .select(col("p_brand"), col("qty").as("curr_qty"), col("amt").as("curr_amt"))
     val p = agg.filter(col("yr") === 1996)

@@ -24,6 +24,7 @@ class RollupSpec extends AnyFunSuite {
         java.nio.file.Paths.get(s"$d/$t.parquet"),
         java.nio.file.Paths.get(s"$sf/$t.parquet").toAbsolutePath)
     }
+    Rollups.build(spark, d, Rollups.ValueByTypeBrand)
     Rollups.build(spark, d, name)
     d
   }
@@ -176,23 +177,20 @@ class RollupSpec extends AnyFunSuite {
   }
 
   test("join-definition refresh == full rebuild over the grown fact, both signs (q23 states)") {
-    val d = copyDir("lineitem", "orders", "part")
+    val d = copyDir("lineitem", "orders", "part", "customer", "supplier")
     Seq(Rollups.QtyByCustkey, Rollups.Dates1997ByPartkey, Rollups.ProfitByBrandChannel,
       Rollups.QtyByPartFlagBrand, Rollups.RRevByCustYear,
-      Rollups.RevByChannelPriority, Rollups.LateCountsByStatus, Rollups.PromoRevByShipday)
+      Rollups.RevByChannelPriority, Rollups.LateCountsByStatus, Rollups.PromoRevByShipday,
+      Rollups.SignedByBrandYear, Rollups.SsbRevByNationsYearmo)
       .foreach { n =>
         Rollups.build(spark, d, n)
         val delta = Tables.df(spark, sf, "lineitem")
           .filter(col("l_partkey") % 5 === 0) // joins to existing dims
         Rollups.refresh(spark, d, n, delta)
         val def_ = Rollups.definition(n)
-        // join the def's own second table, whichever side spells the key
-        val j = def_.join.get
-        val other = Tables.df(spark, sf, j.table2)
-        val (lk, rk) =
-          if (other.columns.contains(j.rightKey)) (j.leftKey, j.rightKey)
-          else (j.rightKey, j.leftKey)
-        def joined(rows: DataFrame) = rows.join(other, col(lk) === col(rk))
+        // the def's own join chain, with the grown fact substituted in
+        def joined(rows: DataFrame) = MatViews.joinedRows(
+          def_, t => Tables.df(spark, sf, t), "lineitem", rows)
         val direct = MatViews.visible(def_, MatViews.deltaState(def_,
           joined(Tables.df(spark, sf, "lineitem").unionByName(delta))))
         assert(canon(Rollups.visibleDf(spark, d, n).get) === canon(direct), s"$n insert-delta")
@@ -212,12 +210,8 @@ class RollupSpec extends AnyFunSuite {
       val delta = base.filter(col("l_partkey") % 9 === 0) // joins existing orders
       Rollups.refresh(spark, d, n, delta)
       val def_ = Rollups.definition(n)
-      val grown = base.unionByName(delta)
-      val rows = def_.join match {
-        case None => grown
-        case Some(_) => grown.join(Tables.df(spark, sf, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-      }
+      val rows = MatViews.joinedRows(def_, t => Tables.df(spark, sf, t),
+        "lineitem", base.unionByName(delta))
       val direct = MatViews.visible(def_, MatViews.deltaState(def_, rows))
       assert(canon(Rollups.visibleDf(spark, d, n).get) === canon(direct), n)
       // MIN/MAX components cannot un-see a deleted row — the signed path refuses
@@ -247,14 +241,17 @@ class RollupSpec extends AnyFunSuite {
   }
 
   test("q78/q23/q75/q14/q80 bodies pick their rollups up from a layout dir and answer identically") {
-    val d = copyDir("lineitem", "orders", "part", "customer", "supplier", "nation")
+    val d = copyDir("lineitem", "orders", "part", "customer", "supplier",
+      "nation", "region")
     Seq(Rollups.CentsByCustStatus, Rollups.QtyByCustkey,
-      Rollups.Dates1997ByPartkey, Rollups.SignedByPartYear,
+      Rollups.Dates1997ByPartkey, Rollups.SignedByBrandYear,
       Rollups.QtyByPartFlagBrand, Rollups.ProfitByBrandChannel,
       Rollups.PricingByFlagStatusDay, Rollups.LateCountsByStatus,
       Rollups.PromoRevByShipday, Rollups.RevByChannelPriority,
       Rollups.QtyDecByOrderkey, Rollups.OrderCountByCust,
-      Rollups.RRevByCustYear, Rollups.LateByOrderSupp)
+      Rollups.RRevByCustYear, Rollups.LateByOrderSupp,
+      Rollups.ValueByTypeBrand, Rollups.SsbRevByYearBrandType,
+      Rollups.SsbRevByNationsYearmo, Rollups.SsbProfitByNationsYearType)
       .foreach(Rollups.build(spark, d, _))
     Seq(operators.TpcdsQueries.q78ChannelRatio,
       operators.TpcdsQueries.q23FrequentBest,
@@ -262,13 +259,18 @@ class RollupSpec extends AnyFunSuite {
       operators.TpcdsQueries.q14CrossChannel,
       operators.TpcdsQueries.q80ChannelProfitRollup,
       operators.TpcdsQueries.q5RollupChannels,
+      operators.TpcdsQueries.q67TopkRollup,
       operators.RelationalQueries.aggPricingSummary,
       operators.TpchFullQueries.q12LatePriority,
       operators.TpchFullQueries.q13CustomerDistribution,
       operators.TpchFullQueries.q21WaitingSuppliers,
       operators.TpchQueries.q10ReturnedItems,
       operators.TpchQueries.q14PromoEffect,
-      operators.TpchQueries.q18LargeVolume).foreach { q =>
+      operators.TpchQueries.q18LargeVolume,
+      operators.SsbQueries.q2_1, operators.SsbQueries.q2_2,
+      operators.SsbQueries.q3_1, operators.SsbQueries.q3_4,
+      operators.SsbQueries.q4_1, operators.SsbQueries.q4_2,
+      operators.SsbQueries.q4_3).foreach { q =>
       val viaState = q.run(spark, d)
       val recompute = q.run(spark, sf)
       assert(viaState.schema === recompute.schema, q.name)
