@@ -100,10 +100,22 @@ object Rollups {
     * filter yrmo ranges (year boundaries align exactly). */
   val SsbRevByNationsYearmo = "ssb_rev_by_nations_yearmo"
 
-  /** SSB q4_1/q4_2: per-(cust-nation, supp-nation, year, part-type) profit
-    * sums — the region filters and groupings of both flights are
-    * re-aggregations over the nationkey/type keys. */
+  /** SSB q4_1/q4_2 AND TPC-H q8: per-(cust-nation, supp-nation, year,
+    * part-type) profit AND revenue sums — the region filters, the market
+    * nation-share CASE and the groupings of all three are re-aggregations
+    * over the nationkey/type keys. */
   val SsbProfitByNationsYearType = "ssb_profit_by_nations_year_type"
+
+  /** TPC-H q7: per-(cust-nation, supp-nation, SHIP-year) revenue — q7 keys
+    * its year off l_shipdate, so the order-date flight-3 state cannot serve
+    * it; same nationkey-keyed shape otherwise. */
+  val RevByNationsShipYear = "lineitem_rev_by_nations_shipyear"
+
+  /** TPC-H q9: per-(supp-nation, order-year) profit over the '%blue%' part
+    * slice — the part-name predicate is NOT key-derivable, so it lives in
+    * the definition WHERE (the state answers exactly this slice; a def-text
+    * change re-keys the manifest defsha). */
+  val ProfitBlueByNationYear = "lineitem_profit_blue_by_nation_year"
 
   /** tpcds_q14's per-(part, returnflag) quantity state: q14's "channels" ARE
     * the returnflag populations, so every piece of the query — the INTERSECT
@@ -250,12 +262,31 @@ object Rollups {
       SsbProfitByNationsYearType,
       "SELECT c_nationkey, s_nationkey, year(o_orderdate) AS yr, p_type, " +
         "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) " +
-        "- CAST(0.6 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS profit " +
+        "- CAST(0.6 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS profit, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "JOIN supplier ON l_suppkey = s_suppkey " +
         "JOIN part ON l_partkey = p_partkey " +
         "GROUP BY c_nationkey, s_nationkey, yr, p_type"),
+    RevByNationsShipYear -> parse(
+      RevByNationsShipYear,
+      "SELECT c_nationkey, s_nationkey, year(l_shipdate) AS shipyr, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY c_nationkey, s_nationkey, shipyr"),
+    ProfitBlueByNationYear -> parse(
+      ProfitBlueByNationYear,
+      "SELECT s_nationkey, year(o_orderdate) AS yr, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) " +
+        "- CAST(0.1 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS profit " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_name LIKE '%blue%' " +
+        "GROUP BY s_nationkey, yr"),
     QtyByPartFlagBrand -> parse(
       QtyByPartFlagBrand,
       "SELECT l_partkey, l_returnflag, p_brand, " +

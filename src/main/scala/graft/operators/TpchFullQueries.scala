@@ -90,6 +90,25 @@ object TpchFullQueries {
       |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
       |GROUP BY supp_nation, cust_nation, l_year
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, dir) =>
+    // Durable-rollup fast path (r15): per-(cust-nation, supp-nation,
+    // SHIP-year) revenue state ([[graft.Rollups.RevByNationsShipYear]]) —
+    // the nation pair is two cells of the key space and the ship-date range
+    // is year-aligned.
+    val statePath = graft.Rollups.visibleDf(s, dir, graft.Rollups.RevByNationsShipYear)
+      .map { st =>
+        val nk = t(s, dir, "nation").filter(col("n_name").isin("NATION_1", "NATION_2"))
+        val sN = broadcast(nk.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+        val cN = broadcast(nk.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation")))
+        st.filter(col("shipyr").isin(1996, 1997))
+          .join(sN, col("s_nationkey") === col("snk"))
+          .join(cN, col("c_nationkey") === col("cnk"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+            || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("shipyr").as("l_year"))
+          .agg(asDouble(sum(col("rev"))).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      }
+    if (statePath.isDefined) statePath.get else {
     // Semi-join pre-reduction (reference: semi_join_reduction_rule.cpp): the
     // nation-pair predicate restricts both sides to 2/25 of each dim, so the
     // restricted dims broadcast INTO the fact scans — lineitem shrinks 2/25
@@ -116,6 +135,7 @@ object TpchFullQueries {
       .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
       .agg(asDouble(sum(net)).as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
+    }
   }
 
   /** Q8 — national market share within a region, by order year. */
@@ -136,6 +156,29 @@ object TpchFullQueries {
       |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
       |GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, dir) =>
+    // Durable-rollup fast path (r15): q8 is a slice of the SSB q4 state
+    // ([[graft.Rollups.SsbProfitByNationsYearType]], which also carries the
+    // plain revenue sum) — p_type and yr are key columns, the ASIA customer
+    // filter semi-joins the broadcast region keys and the nation-share CASE
+    // resolves the supplier nationkey against the broadcast name dim.
+    val statePath = graft.Rollups.visibleDf(s, dir, graft.Rollups.SsbProfitByNationsYearType)
+      .map { st =>
+        val asiaKeys = t(s, dir, "nation")
+          .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")
+        val nName = t(s, dir, "nation")
+          .select(col("n_nationkey").as("n2k"), col("n_name").as("nation"))
+        st.filter(col("p_type") === "STANDARD" && col("yr").isin(1996, 1997))
+          .join(broadcast(asiaKeys), col("c_nationkey") === col("n_nationkey"), "left_semi")
+          .join(broadcast(nName), col("s_nationkey") === col("n2k"))
+          .groupBy(col("yr").as("o_year"))
+          .agg((asDouble(sum(when(col("nation") === "NATION_5", col("rev"))
+              .otherwise(lit(0).cast("decimal(28,4)"))))
+            / asDouble(sum(col("rev")))).as("mkt_share"))
+          .orderBy("o_year")
+      }
+    if (statePath.isDefined) statePath.get else {
     // Semi-join pre-reduction (reference: semi_join_reduction_rule.cpp):
     // broadcast the p_type-restricted part and the supplier⋈nation dim into
     // the lineitem scan (map-side ~1/5 reduction, zero shuffle), and
@@ -166,6 +209,7 @@ object TpchFullQueries {
           .otherwise(lit(0).cast("decimal(28,4)"))))
         / asDouble(sum(col("volume")))).as("mkt_share"))
       .orderBy("o_year")
+    }
   }
 
   /** Q9 — product type profit by nation and year (supplycost → retailprice share). */
@@ -182,6 +226,20 @@ object TpchFullQueries {
       |    AND p_name LIKE '%blue%')
       |GROUP BY nation, o_year
       |ORDER BY nation, o_year DESC""".stripMargin) { (s, dir) =>
+    // Durable-rollup fast path (r15): per-(supp-nation, order-year) profit
+    // over the '%blue%' slice ([[graft.Rollups.ProfitBlueByNationYear]] —
+    // the part-name predicate lives in the definition WHERE); the query is
+    // a 175-row state read against the broadcast nation names.
+    val statePath = graft.Rollups.visibleDf(s, dir, graft.Rollups.ProfitBlueByNationYear)
+      .map { st =>
+        st.join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name").as("nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("nation"), col("yr").as("o_year"))
+          .agg(asDouble(sum(col("profit"))).as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      }
+    if (statePath.isDefined) statePath.get else {
     val p = t(s, dir, "part").filter(col("p_name").like("%blue%"))
     val amount = net -
       lit(0.1).cast("decimal(2,1)") * dec(col("p_retailprice")) * dec(col("l_quantity"))
@@ -198,6 +256,7 @@ object TpchFullQueries {
       .groupBy("nation", "o_year")
       .agg(asDouble(sum(col("amount"))).as("sum_profit"))
       .orderBy(col("nation"), col("o_year").desc)
+    }
   }
 
   /** Q11 — important part values: group-by vs a scalar-subquery fraction of the

@@ -100,6 +100,25 @@ object TpchQueries {
       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    // Durable-rollup fast path (r15): the SSB flight-3 state
+    // ([[graft.Rollups.SsbRevByNationsYearmo]]) carries q5 whole — the
+    // "local supplier" condition is the c_nationkey = s_nationkey diagonal
+    // of its key space, the date range is month-aligned, and the ASIA
+    // filter + n_name resolve through the broadcast nation⋈region dim.
+    val statePath = graft.Rollups.visibleDf(s, dir, graft.Rollups.SsbRevByNationsYearmo)
+      .map { st =>
+        val asiaN = t(s, dir, "nation")
+          .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        st.filter(col("c_nationkey") === col("s_nationkey") &&
+            col("yrmo").between(199601, 199712))
+          .join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(asDouble(sum(col("rev"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      }
+    if (statePath.isDefined) statePath.get else {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
       .filter(col("o_orderdate") >= "1996-01-01 00:00:00" && col("o_orderdate") < "1998-01-01 00:00:00")
@@ -123,6 +142,7 @@ object TpchQueries {
       .groupBy("n_name")
       .agg(asDouble(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
+    }
   }
 
   /** Q6 — forecasting revenue change: pure scan+filter+global agg. The filter sits

@@ -181,7 +181,8 @@ class RollupSpec extends AnyFunSuite {
     Seq(Rollups.QtyByCustkey, Rollups.Dates1997ByPartkey, Rollups.ProfitByBrandChannel,
       Rollups.QtyByPartFlagBrand, Rollups.RRevByCustYear,
       Rollups.RevByChannelPriority, Rollups.LateCountsByStatus, Rollups.PromoRevByShipday,
-      Rollups.SignedByBrandYear, Rollups.SsbRevByNationsYearmo)
+      Rollups.SignedByBrandYear, Rollups.SsbRevByNationsYearmo,
+      Rollups.ProfitBlueByNationYear)
       .foreach { n =>
         Rollups.build(spark, d, n)
         val delta = Tables.df(spark, sf, "lineitem")
@@ -251,7 +252,8 @@ class RollupSpec extends AnyFunSuite {
       Rollups.QtyDecByOrderkey, Rollups.OrderCountByCust,
       Rollups.RRevByCustYear, Rollups.LateByOrderSupp,
       Rollups.ValueByTypeBrand, Rollups.SsbRevByYearBrandType,
-      Rollups.SsbRevByNationsYearmo, Rollups.SsbProfitByNationsYearType)
+      Rollups.SsbRevByNationsYearmo, Rollups.SsbProfitByNationsYearType,
+      Rollups.RevByNationsShipYear, Rollups.ProfitBlueByNationYear)
       .foreach(Rollups.build(spark, d, _))
     Seq(operators.TpcdsQueries.q78ChannelRatio,
       operators.TpcdsQueries.q23FrequentBest,
@@ -267,6 +269,10 @@ class RollupSpec extends AnyFunSuite {
       operators.TpchQueries.q10ReturnedItems,
       operators.TpchQueries.q14PromoEffect,
       operators.TpchQueries.q18LargeVolume,
+      operators.TpchQueries.q5LocalSupplier,
+      operators.TpchFullQueries.q7VolumeShipping,
+      operators.TpchFullQueries.q8MarketShare,
+      operators.TpchFullQueries.q9ProductProfit,
       operators.SsbQueries.q2_1, operators.SsbQueries.q2_2,
       operators.SsbQueries.q3_1, operators.SsbQueries.q3_4,
       operators.SsbQueries.q4_1, operators.SsbQueries.q4_2,
