@@ -117,16 +117,20 @@ object Rollups {
     * change re-keys the manifest defsha). */
   val ProfitBlueByNationYear = "lineitem_profit_blue_by_nation_year"
 
-  /** tpcds_q14's per-(part, returnflag) quantity state: q14's "channels" ARE
-    * the returnflag populations, so every piece of the query — the INTERSECT
-    * membership (a part carrying all three flags), the global totals behind
-    * the HAVING threshold, and the ROLLUP(channel, brand) body — is a
-    * re-aggregation of this one finest level. p_brand rides in the key (it
-    * is functionally dependent on l_partkey, so the grain is unchanged) so
-    * the ROLLUP needs NO part join at query time — the first cut of this
-    * state without brand spent 2/3 of its query time re-joining 60M state
-    * rows against the 20M-row part dim. */
-  val QtyByPartFlagBrand = "lineitem_qty_by_part_flag_brand"
+  /** tpcds_q14's per-(part, brand) FLAG-PIVOTED quantity state (r15 second
+    * cut): q14's "channels" ARE the returnflag populations and the flag
+    * domain is the closed set {A, N, R} (fixture-verified; a `n_o` catch-all
+    * column counts anything else so the body can detect and refuse a domain
+    * violation), so the three channels pivot into CASE'd aggregate columns
+    * over ONE row per part. That makes the INTERSECT membership ("a part
+    * carrying all three flags") a ROW-LOCAL predicate (n_a>0 ∧ n_n>0 ∧
+    * n_r>0) instead of a |parts×flags|-row shuffle-and-count, and shrinks
+    * the state from |parts×flags| to |parts| rows — the r15 first cut at
+    * (part, flag, brand) grain spent its remaining 12 s at SF100
+    * re-shuffling 60M state rows for the membership count. p_brand rides in
+    * the key (functionally dependent on l_partkey, the grain is unchanged)
+    * so no part join at query time. */
+  val QtyByPartBrandFlags = "lineitem_qty_by_part_brand_flags"
 
   /** tpcds_q80's per-(brand, channel) sales/refunds decimal sums, channel
     * being the EXPRESSION KEY `l_linenumber % 3`. The part join and BOTH
@@ -166,12 +170,18 @@ object Rollups {
     * state rows. */
   val RevByChannelPriority = "lineitem_rev_by_channel_priority"
 
-  /** TPC-H Q18's per-order quantity sums: the r14 plan audit ruled the
-    * zero-exchange bucketed scan + in-bucket aggregate "the floor for this
-    * shape on this box" — this state removes the floor's biggest term by
-    * paying the 600M→|orders| aggregation at ingest; the query filters the
-    * HAVING threshold over |orders| state rows and joins dims from there. */
-  val QtyDecByOrderkey = "lineitem_qtydec_by_orderkey"
+  /** TPC-H Q18's per-order quantity sums AT THE QUERY'S GRAIN (r15 second
+    * cut): the orders join is paid at ingest so (o_orderdate, o_custkey)
+    * ride in the key — the grain is unchanged (o_orderkey is unique in
+    * orders) and the query becomes a ZERO-JOIN state read: filter the HAVING
+    * threshold, project, sort. The customer join in the spec contributes
+    * only c_custkey = o_custkey (row-preserving under the declared FK — the
+    * q80 precedent; the oracle re-runs the spec WITH the join, so an FK
+    * violation fails loudly). The state is written ORDERED BY the quantity
+    * component descending ([[writeOrder]]) so the >250 filter's parquet
+    * min/max stats skip all but the head row groups — guide §6 "sort order
+    * on write determines how well readers can skip". */
+  val QtyDecByOrder = "lineitem_qtydec_by_order"
 
   /** TPC-H Q13's per-customer order counts over the ORDERS base (the only
     * non-lineitem-based state): the left-join zero-count arm re-derives at
@@ -186,11 +196,32 @@ object Rollups {
   // line count, the finest level IS the fact and a durable state buys
   // nothing. Q16 keeps its broadcast-semi-reduced direct plan.
 
-  /** TPC-H Q10's per-(customer, order-year) returned-revenue sums (WHERE
-    * l_returnflag = 'R' lives in the definition; yr is an expression key).
-    * The query's `o_orderdate >= 1997-01-01` cutoff falls on a year
-    * boundary, so `yr >= 1997` selects exactly the same rows. */
-  val RRevByCustYear = "lineitem_rrev_by_cust_year"
+  /** TPC-H Q10's returned-revenue sums AT THE QUERY'S GRAIN (r15 second
+    * cut): the customer join is paid at ingest so (c_name, c_nationkey) ride
+    * in the key — both functionally dependent on o_custkey (customer PK), so
+    * the grain is per-customer and the 15M-row customer⋈aggregate shuffle
+    * the first cut paid per query moves to ingest. The query's `o_orderdate
+    * >= 1997-01-01` cutoff falls on a year boundary, so `year() >= 1997` in
+    * the definition WHERE selects exactly the spec's rows; nation resolves
+    * through the broadcast dim at query time. Unlike q18, the customer join
+    * here is IN the definition, so the state is exact with no FK assumption. */
+  val RRevByCust = "lineitem_rrev_by_customer"
+
+  /** TPC-H Q3's per-order unshipped revenue with ALL THREE query predicates
+    * pinned in the definition WHERE (the q9 '%blue%' precedent): BUILDING
+    * segment, ordered before / shipped after the cutoff. The fixture ships
+    * ~half the lines after 1998-06-15, so no scan layout can skip its way
+    * out of the 600M-row read at query time — but the surviving ORDER set
+    * is ~13.5M rows at SF100, and the query becomes a zero-join state
+    * read + top-10. */
+  val RevBuildingUnshipped = "lineitem_rev_building_unshipped"
+
+  /** tpcds_q23's final-pass slice at (part, customer) grain with the 1998Q1
+    * date predicate pinned in the definition WHERE: the two semi-join
+    * filters (freq parts, best customers) and the final SUM/COUNT are exact
+    * re-aggregations over ~22M state rows at SF100 instead of a fifth full
+    * 600M-row fact⋈orders pass. */
+  val Price9801ByPartCust = "lineitem_9801_price_by_part_cust"
 
   /** TPC-H Q21's per-(order, supplier) lateness profile over F-status
     * orders: supp_late (MAX of the 60-day lateness flag) and late_lines
@@ -287,12 +318,19 @@ object Rollups {
         "JOIN part ON l_partkey = p_partkey " +
         "WHERE p_name LIKE '%blue%' " +
         "GROUP BY s_nationkey, yr"),
-    QtyByPartFlagBrand -> parse(
-      QtyByPartFlagBrand,
-      "SELECT l_partkey, l_returnflag, p_brand, " +
-        "SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS qty_sum, COUNT(*) AS n " +
+    QtyByPartBrandFlags -> parse(
+      QtyByPartBrandFlags,
+      "SELECT l_partkey, p_brand, " +
+        "SUM(CASE WHEN l_returnflag = 'A' THEN CAST(FLOOR(l_quantity) AS BIGINT) ELSE 0 END) AS qty_a, " +
+        "COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS n_a, " +
+        "SUM(CASE WHEN l_returnflag = 'N' THEN CAST(FLOOR(l_quantity) AS BIGINT) ELSE 0 END) AS qty_n, " +
+        "COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS n_n, " +
+        "SUM(CASE WHEN l_returnflag = 'R' THEN CAST(FLOOR(l_quantity) AS BIGINT) ELSE 0 END) AS qty_r, " +
+        "COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_r, " +
+        "SUM(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N', 'R') THEN CAST(FLOOR(l_quantity) AS BIGINT) ELSE 0 END) AS qty_o, " +
+        "COUNT(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N', 'R') THEN 1 END) AS n_o " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
-        "GROUP BY l_partkey, l_returnflag, p_brand"),
+        "GROUP BY l_partkey, p_brand"),
     ProfitByBrandChannel -> parse(
       ProfitByBrandChannel,
       "SELECT p_brand, l_linenumber % 3 AS ch, " +
@@ -341,20 +379,41 @@ object Rollups {
         "COUNT(*) AS n " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY channel, o_orderpriority"),
-    QtyDecByOrderkey -> parse(
-      QtyDecByOrderkey,
-      "SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec " +
-        "FROM lineitem GROUP BY l_orderkey"),
+    QtyDecByOrder -> parse(
+      QtyDecByOrder,
+      "SELECT l_orderkey, o_orderdate, o_custkey, " +
+        "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY l_orderkey, o_orderdate, o_custkey"),
     OrderCountByCust -> parse(
       OrderCountByCust,
       "SELECT o_custkey, COUNT(o_orderkey) AS c_count FROM orders " +
         "WHERE o_orderpriority <> '5-LOW' GROUP BY o_custkey"),
-    RRevByCustYear -> parse(
-      RRevByCustYear,
-      "SELECT o_custkey, year(o_orderdate) AS yr, " +
+    RRevByCust -> parse(
+      RRevByCust,
+      "SELECT o_custkey, c_name, c_nationkey, " +
         "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "WHERE l_returnflag = 'R' GROUP BY o_custkey, yr"),
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE l_returnflag = 'R' AND year(o_orderdate) >= 1997 " +
+        "GROUP BY o_custkey, c_name, c_nationkey"),
+    RevBuildingUnshipped -> parse(
+      RevBuildingUnshipped,
+      "SELECT l_orderkey, o_orderdate, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00' " +
+        "GROUP BY l_orderkey, o_orderdate"),
+    Price9801ByPartCust -> parse(
+      Price9801ByPartCust,
+      "SELECT l_partkey, o_custkey, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS price_sum, COUNT(*) AS n " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE year(o_orderdate) = 1998 AND month(o_orderdate) <= 3 " +
+        "GROUP BY l_partkey, o_custkey"),
     LateByOrderSupp -> parse(
       LateByOrderSupp,
       "SELECT l_orderkey, l_suppkey, " +
@@ -501,6 +560,21 @@ object Rollups {
 
   // --------------------------------------------------------- build/refresh
 
+  /** State write order (guide §6: partitioning and SORT ORDER ON WRITE
+    * determine how well readers can skip). Key: state name → the STORED
+    * component column ordered descending. q18's body filters the quantity
+    * sum (`> 250`, ~1.5 % selective), so writing the state sorted by that
+    * component clusters survivors into the head row groups and the parquet
+    * min/max stats skip the rest of a |orders|-row state. The sort is a
+    * range exchange paid at ingest; row order never changes state VALUES, so
+    * refresh ≡ rebuild is untouched. */
+  private val writeOrder: Map[String, String] =
+    Map(QtyDecByOrder -> "__s_qty_dec")
+
+  private def orderedForWrite(name: String, state: DataFrame): DataFrame =
+    writeOrder.get(name).fold(state)(c =>
+      state.sort(org.apache.spark.sql.functions.col(c).desc_nulls_last))
+
   /** Build (or rebuild) the persisted state of `name` under `dir` from the
     * base fact — one aggregation pass, the ingest-time cost the query path
     * then never pays. State rows ≈ group count (√-ish of the fact), written
@@ -514,7 +588,8 @@ object Rollups {
     val fps = Fingerprints.ofTables(dir, d.baseTables)
     val next = readManifest(root).map(_.version + 1).getOrElse(1L)
     val path = s"$root/v$next"
-    deltaState(d, joinedRows(spark, dir, d)).write.mode("overwrite").parquet(path)
+    orderedForWrite(name, deltaState(d, joinedRows(spark, dir, d)))
+      .write.mode("overwrite").parquet(path)
     // transformed defs pin the closure column's high-water mark over the RAW
     // base — the insert-delta guard for the closed-group contract
     val hwm = closureGuard.get(name).map { c =>
@@ -582,7 +657,7 @@ object Rollups {
     val merged = merge(d, spark.read.parquet(s"$root/v${m.version}"),
       deltaState(d, rows, sign))
     val next = m.version + 1
-    merged.write.mode("overwrite").parquet(s"$root/v$next")
+    orderedForWrite(name, merged).write.mode("overwrite").parquet(s"$root/v$next")
     // owner contract: the base files already carry the delta — pin them NOW
     writeManifest(root, next, Fingerprints.ofTables(dir, d.baseTables), newHwm, defSha(d))
     retireOld(root, next)

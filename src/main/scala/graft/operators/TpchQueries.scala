@@ -39,14 +39,22 @@ object TpchQueries {
       |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
       |GROUP BY l_orderkey, o_orderdate
       |ORDER BY revenue DESC, orderdate, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
-    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-    val o = t(s, dir, "orders").filter(col("o_orderdate") < "1998-06-15 00:00:00")
-    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > "1998-06-15 00:00:00")
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
-      .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(asDouble(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
-      .select(col("l_orderkey"), col("revenue"),
+    // Durable-rollup fast path (r15 second cut): ALL THREE query predicates
+    // (BUILDING segment, ordered-before / shipped-after the cutoff) are
+    // pinned in the state definition's WHERE ([[graft.Rollups
+    // .RevBuildingUnshipped]], the q9 '%blue%' precedent), so on a layout
+    // dir the query is a zero-join per-order state read + top-10. Inline
+    // fallback = identical MatViews deltaState math over the join chain;
+    // Catalyst pushes the definition's single-table predicates below the
+    // joins, so the flat plan matches the old hand-written shape.
+    val d3 = graft.Rollups.definition(graft.Rollups.RevBuildingUnshipped)
+    val perOrder = graft.Rollups.visibleDf(s, dir, graft.Rollups.RevBuildingUnshipped)
+      .getOrElse(graft.MatViews.visible(d3, graft.MatViews.deltaState(d3,
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey")))))
+    perOrder
+      .select(col("l_orderkey"), asDouble(col("rev")).as("revenue"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
       .orderBy(col("revenue").desc, col("orderdate"), col("l_orderkey"))
       .limit(10)
@@ -175,34 +183,28 @@ object TpchQueries {
       |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
-    // Eager aggregation: revenue is summed per o_custkey BEFORE the customer
-    // join. c_custkey is unique in customer, so (c_custkey, c_name, n_name)
-    // groups are 1:1 with custkeys and the post-join aggregate is redundant;
-    // exact-decimal addition keeps the double hash-identical. This turns the
-    // custkey exchange from ~60 M wide rows (revenue terms + customer strings
-    // at SF100) into ≤|custkey| narrow (key, decimal) pairs, and the final
-    // top-20 is a TakeOrderedAndProject over a 1:1 join.
-    val c = t(s, dir, "customer")
+    // Eager aggregation: revenue is summed per o_custkey at the finest level
+    // (the state definition) before any re-aggregation — c_custkey is unique
+    // in customer, so (c_custkey, c_name, n_name) groups are 1:1 with
+    // custkeys and exact-decimal addition keeps the double hash-identical.
     val n = t(s, dir, "nation")
-    // Durable-rollup fast path (r15): per-(cust, order-year) returned
-    // revenue ([[graft.Rollups.RRevByCustYear]]); the 1997-01-01 cutoff is
-    // a year boundary, so `yr >= 1997` selects exactly the spec's rows.
-    // Inline fallback = the same MatViews deltaState math over the
-    // (bucketed) orderkey join.
-    val perCust = graft.Rollups.visibleDf(s, dir, graft.Rollups.RRevByCustYear)
-      .getOrElse {
-        val d10 = graft.Rollups.definition(graft.Rollups.RRevByCustYear)
-        graft.MatViews.visible(d10, graft.MatViews.deltaState(d10,
-          t(s, dir, "lineitem")
-            .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))))
-      }
-      .filter(col("yr") >= 1997)
-      .groupBy(col("o_custkey"))
-      .agg(sum(col("rev")).as("rev_dec"))
-    perCust.join(c, col("o_custkey") === c("c_custkey"))
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .select(col("c_custkey"), col("c_name"), col("n_name"),
-        asDouble(col("rev_dec")).as("revenue"))
+    // Durable-rollup fast path (r15 second cut): the state now carries q10's
+    // OWN grain — the customer join is paid at ingest, (c_name, c_nationkey)
+    // ride in the key (functionally dependent on o_custkey, the customer
+    // PK), and the year cutoff is pinned in the definition WHERE (the
+    // 1997-01-01 boundary aligns with year() >= 1997 exactly). On a layout
+    // dir the 15M-row customer⋈aggregate shuffle the first cut paid per
+    // query is gone; only the broadcast nation dim resolves at query time.
+    // Inline fallback = identical MatViews deltaState math over the chain.
+    val d10 = graft.Rollups.definition(graft.Rollups.RRevByCust)
+    val perCust = graft.Rollups.visibleDf(s, dir, graft.Rollups.RRevByCust)
+      .getOrElse(graft.MatViews.visible(d10, graft.MatViews.deltaState(d10,
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey")))))
+    perCust.join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
+      .select(col("o_custkey").as("c_custkey"), col("c_name"), col("n_name"),
+        asDouble(col("rev")).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -237,18 +239,15 @@ object TpchQueries {
 
   /** Q18 — large volume customers: HAVING over a fact-side group-by joined back.
     *
-    * Eager aggregation: lineitem is pre-aggregated per l_orderkey BEFORE any
-    * join, so the HAVING filter (≈1.5 % of orders qualify at the measured
-    * selectivity) shrinks the stream to two narrow columns before orders or
-    * customer are touched. Sound because o_orderkey is unique in orders (the
-    * 1:N join cannot change per-order sums) and exact-decimal addition is
-    * join-order invariant, so the hash-compared doubles are bit-identical.
-    * The old join-first plan shuffled every lineitem row (with order/customer
-    * attributes riding along) into a compound-key aggregate — at SF100 that
-    * was the #1 heavy-tail query (112 s); this shape leaves one partial-agg
-    * shuffle of lineitem and one orders-side exchange, both narrow. No
-    * broadcast hints: the qualifying set grows with SF (~2.3 M keys at
-    * SF100), so AQE decides broadcast-vs-shuffle from runtime sizes. */
+    * Eager aggregation: lineitem is pre-aggregated per order BEFORE anything
+    * else, so the HAVING filter (≈1.5 % of orders qualify at the measured
+    * selectivity) shrinks the stream to narrow columns first. Sound because
+    * o_orderkey is unique in orders (the 1:N join cannot change per-order
+    * sums) and exact-decimal addition is join-order invariant, so the
+    * hash-compared doubles are bit-identical. The r12 join-first plan
+    * shuffled every lineitem row into a compound-key aggregate (SF100 #1,
+    * 112 s); the r14 eager-agg + bucketed shape got to 51 s; the r15 durable
+    * state at the query's grain removes the remaining joins entirely. */
   val q18LargeVolume: Q = Q(
     "tpch_q18_large_volume",
     """SELECT c_custkey, o_orderkey,
@@ -262,21 +261,23 @@ object TpchQueries {
       |ORDER BY total_qty DESC, o_orderkey""".stripMargin) { (s, dir) =>
     val o = t(s, dir, "orders")
     val l = t(s, dir, "lineitem")
-    val c = t(s, dir, "customer")
-    // Durable-rollup fast path (r15): the per-order quantity sums come from
-    // the layout's state ([[graft.Rollups.QtyDecByOrderkey]]) when fresh —
-    // the in-bucket 600M→|orders| aggregate (the r14 "floor") is paid once
-    // at ingest; otherwise the identical MatViews deltaState math runs
-    // inline (zero-exchange on a bucketed layout), oracle-gated either way.
-    val qualifying = graft.Rollups.visibleDf(s, dir, graft.Rollups.QtyDecByOrderkey)
-      .getOrElse {
-        val d18 = graft.Rollups.definition(graft.Rollups.QtyDecByOrderkey)
-        graft.MatViews.visible(d18, graft.MatViews.deltaState(d18, l))
-      }
-      .filter(col("qty_dec") > 250)
-    qualifying.join(o, col("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
-      .select(col("c_custkey"), col("o_orderkey"),
+    // Durable-rollup fast path (r15 second cut): the state carries the
+    // per-order quantity sums AT THE QUERY'S GRAIN — (o_orderdate,
+    // o_custkey) ride in the key (o_orderkey is unique in orders, grain
+    // unchanged), so on a layout dir the query is a ZERO-JOIN state read:
+    // the orders join was paid at ingest, and the customer join contributes
+    // only c_custkey = o_custkey (row-preserving under the declared FK; the
+    // oracle re-runs the spec WITH the join, so an FK violation fails
+    // loudly). The state is written ordered by qty_dec descending, so the
+    // >250 HAVING filter (~1.5 % selective) skips all but the head parquet
+    // row groups via min/max stats. Inline fallback = identical MatViews
+    // math over the in-bucket join (zero-exchange on a bucketed layout).
+    val d18 = graft.Rollups.definition(graft.Rollups.QtyDecByOrder)
+    val perOrder = graft.Rollups.visibleDf(s, dir, graft.Rollups.QtyDecByOrder)
+      .getOrElse(graft.MatViews.visible(d18, graft.MatViews.deltaState(d18,
+        l.join(o, l("l_orderkey") === o("o_orderkey")))))
+    perOrder.filter(col("qty_dec") > 250)
+      .select(col("o_custkey").as("c_custkey"), col("l_orderkey").as("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
         asDouble(col("qty_dec")).as("total_qty"))
       .orderBy(col("total_qty").desc, col("o_orderkey"))

@@ -345,11 +345,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("tpcds q14: INTERSECT membership is a semi-join chain, no cartesian") {
+  test("tpcds q14: INTERSECT membership is row-local over the flag-pivoted finest level") {
     val p = planOf("tpcds_q14_cross_channel")
-    assert(p.contains("LeftSemi"), s"cross_items must gate the fact via semi join:\n$p")
+    // r15 second cut: the state pivots the three channels into columns of
+    // ONE row per part, so "sold in all channels" is a plain Filter
+    // (n_a>0 ∧ n_n>0 ∧ n_r>0) — no |parts×flags|-row semi join remains
+    assert(!p.contains("LeftSemi"),
+      s"membership must be the row-local flag-count predicate, not a semi join:\n$p")
+    assert(p.contains("Generate"),
+      s"the three channels must unpivot in one generator pass:\n$p")
     assert(!p.contains("CartesianProduct"),
-      s"only the 1-row totals may nested-loop (broadcast), never a cartesian:\n$p")
+      s"never a cartesian:\n$p")
   }
 
   test("tpcds q23: both CTE filters reach the fact as semi joins") {

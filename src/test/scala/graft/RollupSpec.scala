@@ -156,9 +156,8 @@ class RollupSpec extends AnyFunSuite {
     assert(Rollups.visibleDf(spark, d, name).get.count() === newCount)
   }
 
-  test("no-join refresh == full rebuild, both signs (q14/q18/q13 states)") {
-    Seq((Rollups.QtyDecByOrderkey, "lineitem", "l_orderkey"),
-      (Rollups.OrderCountByCust, "orders", "o_orderkey"))
+  test("no-join refresh == full rebuild, both signs (q13 state)") {
+    Seq((Rollups.OrderCountByCust, "orders", "o_orderkey"))
       .foreach { case (n, table, keyCol) =>
         val d = copyDir(table)
         Rollups.build(spark, d, n)
@@ -179,10 +178,11 @@ class RollupSpec extends AnyFunSuite {
   test("join-definition refresh == full rebuild over the grown fact, both signs (q23 states)") {
     val d = copyDir("lineitem", "orders", "part", "customer", "supplier")
     Seq(Rollups.QtyByCustkey, Rollups.Dates1997ByPartkey, Rollups.ProfitByBrandChannel,
-      Rollups.QtyByPartFlagBrand, Rollups.RRevByCustYear,
+      Rollups.QtyByPartBrandFlags, Rollups.RRevByCust,
       Rollups.RevByChannelPriority, Rollups.LateCountsByStatus, Rollups.PromoRevByShipday,
       Rollups.SignedByBrandYear, Rollups.SsbRevByNationsYearmo,
-      Rollups.ProfitBlueByNationYear)
+      Rollups.ProfitBlueByNationYear, Rollups.QtyDecByOrder,
+      Rollups.RevBuildingUnshipped, Rollups.Price9801ByPartCust)
       .foreach { n =>
         Rollups.build(spark, d, n)
         val delta = Tables.df(spark, sf, "lineitem")
@@ -224,8 +224,8 @@ class RollupSpec extends AnyFunSuite {
   }
 
   test("a changed DEFINITION refuses the stored state (defsha pin)") {
-    val n = Rollups.QtyDecByOrderkey
-    val d = copyDir("lineitem")
+    val n = Rollups.QtyDecByOrder
+    val d = copyDir("lineitem", "orders")
     Rollups.build(spark, d, n)
     assert(Rollups.visibleDf(spark, d, n).isDefined)
     // simulate a def edit: rewrite the manifest with a different defsha
@@ -241,21 +241,51 @@ class RollupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("different definition"))
   }
 
+  test("q18 state is written ordered by the quantity component (row-group skip layout)") {
+    val d = copyDir("lineitem", "orders")
+    Rollups.build(spark, d, Rollups.QtyDecByOrder)
+    // per-file value ranges from a sorted write must not overlap (beyond a
+    // shared boundary value) — exactly the property parquet min/max skipping
+    // needs for the >250 HAVING filter
+    val root = s"$d/_rollup/${Rollups.QtyDecByOrder}/v1"
+    val ranges = spark.read.parquet(root)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("__s_qty_dec")).as("lo"), max(col("__s_qty_dec")).as("hi"))
+      .collect()
+      .map(r => (r.getDecimal(1), r.getDecimal(2)))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2.compareTo(b._1) <= 0,
+        s"state files carry overlapping qty ranges (unsorted write): $a vs $b")
+      case _ => ()
+    }
+    // and the q18 body's HAVING filter reaches the state scan, where those
+    // min/max stats actually skip
+    val plan = operators.TpchQueries.q18LargeVolume.run(spark, d)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("_rollup"), "q18 on a layout dir must read the state")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(__s_qty_dec"),
+      s"the qty filter must be pushed into the state scan:\n$plan")
+  }
+
   test("q78/q23/q75/q14/q80 bodies pick their rollups up from a layout dir and answer identically") {
     val d = copyDir("lineitem", "orders", "part", "customer", "supplier",
       "nation", "region")
     Seq(Rollups.CentsByCustStatus, Rollups.QtyByCustkey,
       Rollups.Dates1997ByPartkey, Rollups.SignedByBrandYear,
-      Rollups.QtyByPartFlagBrand, Rollups.ProfitByBrandChannel,
+      Rollups.QtyByPartBrandFlags, Rollups.ProfitByBrandChannel,
       Rollups.PricingByFlagStatusDay, Rollups.LateCountsByStatus,
       Rollups.PromoRevByShipday, Rollups.RevByChannelPriority,
-      Rollups.QtyDecByOrderkey, Rollups.OrderCountByCust,
-      Rollups.RRevByCustYear, Rollups.LateByOrderSupp,
+      Rollups.QtyDecByOrder, Rollups.OrderCountByCust,
+      Rollups.RRevByCust, Rollups.LateByOrderSupp,
       Rollups.ValueByTypeBrand, Rollups.SsbRevByYearBrandType,
       Rollups.SsbRevByNationsYearmo, Rollups.SsbProfitByNationsYearType,
-      Rollups.RevByNationsShipYear, Rollups.ProfitBlueByNationYear)
+      Rollups.RevByNationsShipYear, Rollups.ProfitBlueByNationYear,
+      Rollups.RevBuildingUnshipped, Rollups.Price9801ByPartCust)
       .foreach(Rollups.build(spark, d, _))
-    Seq(operators.TpcdsQueries.q78ChannelRatio,
+    Seq(operators.TpchQueries.q3ShippingPriority,
+      operators.TpcdsQueries.q78ChannelRatio,
       operators.TpcdsQueries.q23FrequentBest,
       operators.TpcdsQueries.q75ChannelDelta,
       operators.TpcdsQueries.q14CrossChannel,
@@ -296,14 +326,15 @@ class RollupSpec extends AnyFunSuite {
   }
 
   test("durable rollups attach as catalog MVs: user SQL rewrites onto the state") {
-    val d = copyDir("lineitem")
+    val d = copyDir("lineitem", "orders")
     Rollups.build(spark, d, Rollups.PricingByFlagStatusDay)
-    Rollups.build(spark, d, Rollups.QtyDecByOrderkey)
+    Rollups.build(spark, d, Rollups.QtyDecByOrder)
     val cat = new Catalog(spark)
     cat.register("lineitem", Tables.df(spark, d, "lineitem"))
+    cat.register("orders", Tables.df(spark, d, "orders"))
     val attached = cat.attachLayoutRollups(d)
     assert(attached.contains(Rollups.PricingByFlagStatusDay))
-    assert(attached.contains(Rollups.QtyDecByOrderkey))
+    assert(attached.contains(Rollups.QtyDecByOrder))
     // transformed (anti-join) defs must never be rewrite-eligible
     assert(!attached.contains(Rollups.CentsByCustStatus))
     // rollup-descent: coarser keys + key-only WHERE over the finest level
@@ -329,9 +360,10 @@ class RollupSpec extends AnyFunSuite {
     // and the SQL surface: ATTACH ROLLUPS through the Pipeline
     val cat2 = new Catalog(spark)
     cat2.register("lineitem", Tables.df(spark, d, "lineitem"))
+    cat2.register("orders", Tables.df(spark, d, "orders"))
     val res = new Pipeline(cat2).run(s"ATTACH ROLLUPS '$d'")
     assert(res.head.df.get.collect().map(_.getString(0))
-      .contains(Rollups.QtyDecByOrderkey))
+      .contains(Rollups.QtyDecByOrder))
   }
 
   test("anti-join rollup (q78): closed-group delta maintained exactly; overlapping delta refused") {
