@@ -442,32 +442,48 @@ object RelationalQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
     // Durable-rollup finest level (r15): per-(flag, status, shipdate)
-    // pricing components ([[graft.Rollups.PricingByFlagStatusDay]]) — the
-    // Spark analog of the reference's chunk statistics. The `shipdate <=`
-    // cutoff filters state rows, and every aggregate re-derives
-    // associatively (SUM/COUNT re-sum, AVG from the exact totals, MIN/MAX
-    // fold). Without a layout the identical finest level is computed inline
-    // by the same MatViews deltaState math, keeping this oracle gate over
-    // the state math on plain fixture dirs.
-    val det = graft.Rollups.visibleDf(s, dir, graft.Rollups.PricingByFlagStatusDay)
-      .getOrElse {
-        val d = graft.Rollups.definition(graft.Rollups.PricingByFlagStatusDay)
-        graft.MatViews.visible(d,
-          graft.MatViews.deltaState(d, t(s, dir, "lineitem")))
-      }
-    det.filter(col("l_shipdate") <= "1998-09-02 00:00:00")
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(
-        asDouble(sum(col("sum_qty"))).as("sum_qty"),
-        asDouble(sum(col("sum_base_price"))).as("sum_base_price"),
-        asDouble(sum(col("sum_disc_price"))).as("sum_disc_price"),
-        asDouble(sum(col("sum_charge"))).as("sum_charge"),
-        (asDouble(sum(col("sum_qty"))) / sum(col("count_order"))).as("avg_qty"),
-        (asDouble(sum(col("sum_base_price"))) / sum(col("count_order"))).as("avg_price"),
-        asDouble(min(col("min_qty"))).as("min_qty"),
-        asDouble(max(col("max_qty"))).as("max_qty"),
-        sum(col("count_order")).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+    // pricing components ([[graft.Rollups.PricingByFlagStatusDay]]). The
+    // `shipdate <=` cutoff filters state rows, and every aggregate
+    // re-derives associatively (SUM/COUNT re-sum, AVG from the exact
+    // totals, MIN/MAX fold). Without a layout the r14 direct single-pass
+    // aggregate runs instead (r16: the r15 inline finest-level
+    // decomposition added an extra exchange that cost −26% at sf0.1 with
+    // no inline benefit; the state math stays oracle-gated end-to-end by
+    // the stateful-dir verify gate).
+    graft.Rollups.visibleDf(s, dir, graft.Rollups.PricingByFlagStatusDay) match {
+      case Some(det) =>
+        det.filter(col("l_shipdate") <= "1998-09-02 00:00:00")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            asDouble(sum(col("sum_qty"))).as("sum_qty"),
+            asDouble(sum(col("sum_base_price"))).as("sum_base_price"),
+            asDouble(sum(col("sum_disc_price"))).as("sum_disc_price"),
+            asDouble(sum(col("sum_charge"))).as("sum_charge"),
+            (asDouble(sum(col("sum_qty"))) / sum(col("count_order"))).as("avg_qty"),
+            (asDouble(sum(col("sum_base_price"))) / sum(col("count_order"))).as("avg_price"),
+            asDouble(min(col("min_qty"))).as("min_qty"),
+            asDouble(max(col("max_qty"))).as("max_qty"),
+            sum(col("count_order")).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      case None =>
+        val price = dec(col("l_extendedprice"))
+        val disc = dec(col("l_discount"))
+        val tax = dec(col("l_tax"))
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= "1998-09-02 00:00:00")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+            asDouble(sum(price)).as("sum_base_price"),
+            asDouble(sum(price * (lit(1) - disc))).as("sum_disc_price"),
+            asDouble(sum(price * (lit(1) - disc) * (lit(1) + tax))).as("sum_charge"),
+            (asDouble(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+            (asDouble(sum(price)) / count(lit(1))).as("avg_price"),
+            asDouble(min(col("l_quantity"))).as("min_qty"),
+            asDouble(max(col("l_quantity"))).as("max_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+    }
   }
 
   /** COUNT(DISTINCT) (reference: WindowFunction::CountDistinct,

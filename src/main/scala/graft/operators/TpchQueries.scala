@@ -223,18 +223,27 @@ object TpchQueries {
     // Durable-rollup finest level (r15): per-shipdate promo/total sums over
     // the part join ([[graft.Rollups.PromoRevByShipday]]) — the date-range
     // filter selects ~180 state rows and the ratio re-derives from exact
-    // decimal re-sums. Inline fallback = the same MatViews deltaState math.
-    val det = graft.Rollups.visibleDf(s, dir, graft.Rollups.PromoRevByShipday)
-      .getOrElse {
-        val d = graft.Rollups.definition(graft.Rollups.PromoRevByShipday)
-        graft.MatViews.visible(d, graft.MatViews.deltaState(d,
-          t(s, dir, "lineitem")
-            .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))))
-      }
-    det.filter(col("l_shipdate") >= "1997-01-01 00:00:00" &&
-        col("l_shipdate") < "1997-07-01 00:00:00")
-      .agg((lit(100.0) * asDouble(sum(col("promo_rev")))
-        / asDouble(sum(col("total_rev")))).as("promo_revenue"))
+    // decimal re-sums. Without a layout the r14 direct filtered join +
+    // single aggregate runs instead (r16: the r15 inline per-shipdate
+    // decomposition added an exchange that cost −19% at sf0.1; the state
+    // math stays oracle-gated by the stateful-dir verify gate).
+    graft.Rollups.visibleDf(s, dir, graft.Rollups.PromoRevByShipday) match {
+      case Some(det) =>
+        det.filter(col("l_shipdate") >= "1997-01-01 00:00:00" &&
+            col("l_shipdate") < "1997-07-01 00:00:00")
+          .agg((lit(100.0) * asDouble(sum(col("promo_rev")))
+            / asDouble(sum(col("total_rev")))).as("promo_revenue"))
+      case None =>
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= "1997-01-01 00:00:00" &&
+            col("l_shipdate") < "1997-07-01 00:00:00")
+        val p = t(s, dir, "part")
+        val net = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .agg((lit(100.0) * asDouble(sum(when(col("p_type").like("PROMO%"), net)
+              .otherwise(lit(0).cast("decimal(18,2)"))))
+            / asDouble(sum(net))).as("promo_revenue"))
+    }
   }
 
   /** Q18 — large volume customers: HAVING over a fact-side group-by joined back.
