@@ -461,6 +461,45 @@ object Rollups {
   private[graft] def transformed(name: String): Boolean =
     baseTransforms.contains(name)
 
+  /** FK-elided spec joins (r16): definitions that DROP a row-preserving
+    * spec join under a declared FK — q18's customer join (contributes only
+    * c_custkey = o_custkey) and q80's orders join (contributes no columns).
+    * Entries are (childTable, childKey, parentTable, parentKey): the state
+    * equals the spec iff every child key has a parent match. [[build]] and
+    * [[refresh]] VERIFY that containment and refuse to publish on violation
+    * (loud failure at ingest; queries keep falling back to the spec-exact
+    * inline path), and the parent table's fingerprint is pinned in the
+    * manifest alongside the definition's own tables ([[pinnedTables]]) so a
+    * parent rewrite refuses the stored state instead of silently serving
+    * rows the spec would now drop — this was the repo's one by-design
+    * silent-divergence path (r15 verdict) and is now closed. */
+  private[graft] val fkElisions: Map[String, (String, String, String, String)] = Map(
+    QtyDecByOrder -> (("orders", "o_custkey", "customer", "c_custkey")),
+    ProfitByBrandChannel -> (("lineitem", "l_orderkey", "orders", "o_orderkey")))
+
+  /** Every table whose fingerprint pins the state: the definition's FROM
+    * chain plus the FK-elided parent (whose rows the spec joins but the
+    * definition deliberately does not read). */
+  private def pinnedTables(name: String): Seq[String] =
+    defs(name).baseTables ++ fkElisions.get(name).map(_._3).toSeq
+
+  /** Refuse to publish a state whose FK elision does not hold on this data:
+    * one anti-join existence probe at ingest (limit 1 — the probe stops at
+    * the first orphan). `childRows` narrows the check to a refresh delta. */
+  private def checkFkElision(spark: SparkSession, dir: String, name: String,
+      childRows: Option[DataFrame] = None): Unit =
+    fkElisions.get(name).foreach { case (ct, ck, pt, pk) =>
+      import org.apache.spark.sql.functions.col
+      val child = childRows.getOrElse(Tables.df(spark, dir, ct)).select(col(ck))
+      val orphan = child.join(Tables.df(spark, dir, pt).select(col(pk)),
+        col(ck) === col(pk), "left_anti").limit(1).count()
+      require(orphan == 0L,
+        s"rollup $name: FK elision violated — $ct.$ck carries values absent " +
+          s"from $pt.$pk, so the state would answer differently from the " +
+          "declared SQL. Refusing to publish; queries fall back to the " +
+          "inline spec-exact path.")
+    }
+
   private def baseRows(spark: SparkSession, dir: String, d: MatViewDef): DataFrame =
     baseTransforms.get(d.name)
       .fold(Tables.df(spark, dir, d.base))(f => f(Tables.df(spark, dir, d.base)))
@@ -585,9 +624,10 @@ object Rollups {
     // fingerprint BEFORE reading (the ANN buildAll discipline): a concurrent
     // base rewrite mid-build leaves a mismatched manifest (→ recompute),
     // never a manifest that blesses half-old half-new state
-    val fps = Fingerprints.ofTables(dir, d.baseTables)
+    val fps = Fingerprints.ofTables(dir, pinnedTables(name))
     val next = readManifest(root).map(_.version + 1).getOrElse(1L)
     val path = s"$root/v$next"
+    checkFkElision(spark, dir, name)
     orderedForWrite(name, deltaState(d, joinedRows(spark, dir, d)))
       .write.mode("overwrite").parquet(path)
     // transformed defs pin the closure column's high-water mark over the RAW
@@ -654,12 +694,19 @@ object Rollups {
           if (j.table2.equalsIgnoreCase(changedT)) delta
           else Tables.df(spark, dir, j.table2))
       }
+    // FK-elision guard on the delta: inserted child rows must keep the
+    // containment the elided spec join relies on (a violating delta is
+    // refused BEFORE any state is written)
+    fkElisions.get(name).foreach { case (ct, _, _, _) =>
+      if (sign > 0 && ct.equalsIgnoreCase(changedT))
+        checkFkElision(spark, dir, name, Some(delta))
+    }
     val merged = merge(d, spark.read.parquet(s"$root/v${m.version}"),
       deltaState(d, rows, sign))
     val next = m.version + 1
     orderedForWrite(name, merged).write.mode("overwrite").parquet(s"$root/v$next")
     // owner contract: the base files already carry the delta — pin them NOW
-    writeManifest(root, next, Fingerprints.ofTables(dir, d.baseTables), newHwm, defSha(d))
+    writeManifest(root, next, Fingerprints.ofTables(dir, pinnedTables(name)), newHwm, defSha(d))
     retireOld(root, next)
   }
 
@@ -678,7 +725,7 @@ object Rollups {
             "(no manifest.json) — rebuild with Rollups.build / ScaleUpLayout --rollup-only")
         None
       case Some(m) =>
-        val current = Fingerprints.ofTables(dir, defs(name).baseTables)
+        val current = Fingerprints.ofTables(dir, pinnedTables(name))
         val sha = defSha(defs(name))
         if (!m.defSha.contains(sha)) {
           System.err.println(s"graft: REFUSING rollup state at $root — the DEFINITION " +

@@ -463,7 +463,10 @@ object RelationalQueries {
             (asDouble(sum(col("sum_base_price"))) / sum(col("count_order"))).as("avg_price"),
             asDouble(min(col("min_qty"))).as("min_qty"),
             asDouble(max(col("max_qty"))).as("max_qty"),
-            sum(col("count_order")).as("count_order"))
+            // every group carries ≥1 state row, so the SUM is never null —
+            // coalesce only pins the non-nullable schema the direct
+            // count(*) path declares
+            coalesce(sum(col("count_order")), lit(0L)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       case None =>
         val price = dec(col("l_extendedprice"))

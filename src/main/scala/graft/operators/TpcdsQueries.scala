@@ -1293,14 +1293,19 @@ object TpcdsQueries {
     // addition associates and the part join is paid at ingest, so the whole
     // ROLLUP re-aggregates ~|brands×3| state rows. The spec's orders join
     // is row-preserving under the declared l_orderkey FK and contributes no
-    // columns; the oracle runs the spec WITH it, so the gate would catch
-    // any fixture violating the FK. Without a layout the same finest level
-    // is computed inline by the identical MatViews deltaState math.
+    // columns; the STATE path relies on it soundly (build/refresh verify
+    // the containment and pin the orders fingerprint —
+    // [[graft.Rollups.fkElisions]]), while the r16 INLINE fallback is
+    // spec-exact: a left-semi join on orders (o_orderkey unique ⇒ semi ≡
+    // the spec's inner join; zero-exchange on a bucketed layout).
     val det = graft.Rollups.visibleDf(s, dir, graft.Rollups.ProfitByBrandChannel)
       .getOrElse {
         val d = graft.Rollups.definition(graft.Rollups.ProfitByBrandChannel)
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+          .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
         graft.MatViews.visible(d, graft.MatViews.deltaState(d,
-          t(s, dir, "lineitem").join(t(s, dir, "part"),
+          li.join(t(s, dir, "part"),
             col("l_partkey") === col("p_partkey"))))
       }
     val channel = when(col("ch") === 0, "store")

@@ -282,10 +282,21 @@ object TpchQueries {
     // row groups via min/max stats. Inline fallback = identical MatViews
     // math over the in-bucket join (zero-exchange on a bucketed layout).
     val d18 = graft.Rollups.definition(graft.Rollups.QtyDecByOrder)
+    // r16: the INLINE fallback is spec-exact — after the ~1.5 %-selective
+    // HAVING filter it left-semi joins customer (c_custkey unique ⇒ semi ≡
+    // the spec's inner join), so an FK-violating dir diverges nowhere. The
+    // state path stays zero-join: build/refresh verify the FK containment
+    // and the customer fingerprint is pinned ([[graft.Rollups.fkElisions]]).
     val perOrder = graft.Rollups.visibleDf(s, dir, graft.Rollups.QtyDecByOrder)
-      .getOrElse(graft.MatViews.visible(d18, graft.MatViews.deltaState(d18,
-        l.join(o, l("l_orderkey") === o("o_orderkey")))))
-    perOrder.filter(col("qty_dec") > 250)
+      .map(_.filter(col("qty_dec") > 250))
+      .getOrElse {
+        val c = t(s, dir, "customer")
+        graft.MatViews.visible(d18, graft.MatViews.deltaState(d18,
+            l.join(o, l("l_orderkey") === o("o_orderkey"))))
+          .filter(col("qty_dec") > 250)
+          .join(c, col("o_custkey") === c("c_custkey"), "left_semi")
+      }
+    perOrder
       .select(col("o_custkey").as("c_custkey"), col("l_orderkey").as("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
         asDouble(col("qty_dec")).as("total_qty"))

@@ -225,7 +225,7 @@ class RollupSpec extends AnyFunSuite {
 
   test("a changed DEFINITION refuses the stored state (defsha pin)") {
     val n = Rollups.QtyDecByOrder
-    val d = copyDir("lineitem", "orders")
+    val d = copyDir("lineitem", "orders", "customer")
     Rollups.build(spark, d, n)
     assert(Rollups.visibleDf(spark, d, n).isDefined)
     // simulate a def edit: rewrite the manifest with a different defsha
@@ -242,7 +242,7 @@ class RollupSpec extends AnyFunSuite {
   }
 
   test("q18 state is written ordered by the quantity component (row-group skip layout)") {
-    val d = copyDir("lineitem", "orders")
+    val d = copyDir("lineitem", "orders", "customer")
     Rollups.build(spark, d, Rollups.QtyDecByOrder)
     // per-file value ranges from a sorted write must not overlap (beyond a
     // shared boundary value) — exactly the property parquet min/max skipping
@@ -326,7 +326,7 @@ class RollupSpec extends AnyFunSuite {
   }
 
   test("durable rollups attach as catalog MVs: user SQL rewrites onto the state") {
-    val d = copyDir("lineitem", "orders")
+    val d = copyDir("lineitem", "orders", "customer")
     Rollups.build(spark, d, Rollups.PricingByFlagStatusDay)
     Rollups.build(spark, d, Rollups.QtyDecByOrder)
     val cat = new Catalog(spark)
@@ -406,5 +406,74 @@ class RollupSpec extends AnyFunSuite {
     val bad = li.coalesce(1).limit(2)
     val e = intercept[IllegalArgumentException] { Rollups.refresh(spark, d, n, bad) }
     assert(e.getMessage.contains("high-water mark"))
+  }
+
+  // ------------------------------------------------------------- r16 tier:
+  // FK-elision guard — q18/q80 drop a row-preserving spec join; a dir whose
+  // data violates that FK must fail LOUDLY at ingest, never serve a state
+  // that silently answers differently from the declared SQL.
+
+  test("FK-elision guard: q18 build REFUSES a dir where orders.o_custkey has no customer") {
+    val d = copyDir("lineitem", "orders", "customer")
+    // corrupt the FK: one order points at a customer key that does not exist
+    val o = spark.read.parquet(s"$d/orders.parquet")
+    val corrupted = o.withColumn("o_custkey",
+      when(col("o_orderkey") === o.agg(min(col("o_orderkey"))).head.getLong(0),
+        lit(999999999L)).otherwise(col("o_custkey")))
+      .cache()
+    corrupted.count() // materialize before overwriting the source file
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$d/orders.parquet"))
+    corrupted.coalesce(1).write.parquet(s"$d/orders.parquet")
+    corrupted.unpersist()
+    val e = intercept[IllegalArgumentException] {
+      Rollups.build(spark, d, Rollups.QtyDecByOrder)
+    }
+    assert(e.getMessage.contains("FK elision violated"))
+    assert(Rollups.visibleDf(spark, d, Rollups.QtyDecByOrder).isEmpty,
+      "a refused build must publish nothing")
+    // and the q18 body still answers the declared SQL exactly on that dir
+    // (inline fallback is spec-exact: the customer semi join drops the orphan)
+    val got = operators.TpchQueries.q18LargeVolume.run(spark, d)
+    Tables.df(spark, d, "orders").createOrReplaceTempView("fk_o")
+    Tables.df(spark, d, "lineitem").createOrReplaceTempView("fk_l")
+    Tables.df(spark, d, "customer").createOrReplaceTempView("fk_c")
+    val want = spark.sql(
+      """SELECT c_custkey, o_orderkey,
+        |  date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM fk_o JOIN fk_l ON o_orderkey = l_orderkey
+        |JOIN fk_c ON c_custkey = o_custkey
+        |GROUP BY c_custkey, o_orderkey, o_orderdate
+        |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin)
+    assert(canon(got) === canon(want))
+  }
+
+  test("FK-elision guard: a refresh delta with orphan child keys is refused before any write") {
+    val d = copyDir("lineitem", "orders", "customer")
+    Rollups.build(spark, d, Rollups.QtyDecByOrder)
+    val v1 = Rollups.visibleDf(spark, d, Rollups.QtyDecByOrder)
+    assert(v1.isDefined, "valid-FK dir must build and serve")
+    val maxOk = Tables.df(spark, d, "orders").agg(max(col("o_orderkey"))).head.getLong(0)
+    val badOrders = Tables.df(spark, d, "orders").limit(1)
+      .withColumn("o_orderkey", lit(maxOk + 1L))
+      .withColumn("o_custkey", lit(999999999L))
+    val e = intercept[IllegalArgumentException] {
+      Rollups.refresh(spark, d, Rollups.QtyDecByOrder, badOrders, changed = "orders")
+    }
+    assert(e.getMessage.contains("FK elision violated"))
+  }
+
+  test("FK-elision pin: rewriting the ELIDED parent table refuses the stored state") {
+    val d = copyDir("lineitem", "orders", "customer")
+    Rollups.build(spark, d, Rollups.QtyDecByOrder)
+    assert(Rollups.visibleDf(spark, d, Rollups.QtyDecByOrder).isDefined)
+    // customer is NOT in the definition's FROM, but the spec joins it — a
+    // rewrite must refuse the state (the pinned parent fingerprint moved)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$d/customer.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    assert(Rollups.visibleDf(spark, d, Rollups.QtyDecByOrder).isEmpty,
+      "a parent rewrite after build must refuse the state, not serve it silently")
   }
 }
