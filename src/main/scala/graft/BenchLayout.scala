@@ -21,17 +21,29 @@ import org.apache.spark.sql.SparkSession
 object BenchLayout {
   def main(args: Array[String]): Unit = {
     val (src, dst) = (args(0), args(1))
+    // optional 3rd arg (r16): files per unpartitioned table — the core-
+    // scaling probe needs every fact scan to open as ≥32 independent tasks
+    // so an 8-vs-32-core bench can discriminate (the fixture's single-row-
+    // group files cap every scan stage at ONE task regardless of cores)
+    val files = args.lift(2).map(_.toInt).getOrElse(8)
     val spark = GraftSession.tuned(
       SparkSession.builder().master("local[32]").appName("graft-bench-layout"),
       shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val partCols = Map("lineitem" -> "l_returnflag", "orders" -> "o_orderpriority")
+    val singleFile = Set("region", "nation") // tiny dims: splitting buys nothing
     Tables.names.foreach { t =>
       val df = Tables.df(spark, src, t)
       val out = s"$dst/$t.parquet"
       partCols.get(t) match {
-        case Some(c) => Layout.writePartitioned(df, out, c)
-        case None    => df.repartition(8).write.mode("overwrite").parquet(out)
+        // round-robin spread BEFORE the hive write: each of the N tasks
+        // emits one file per partition value, so the fact lands as
+        // N × |values| splittable files instead of one per value
+        case Some(c) => Layout.writePartitioned(
+          df.repartition(math.max(1, files / 2)), out, c)
+        case None if singleFile(t) =>
+          df.coalesce(1).write.mode("overwrite").parquet(out)
+        case None => df.repartition(files).write.mode("overwrite").parquet(out)
       }
     }
     val f = SparkEntry.queries("tpch_q10_returned_items")(spark, dst)
