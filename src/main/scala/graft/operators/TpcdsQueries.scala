@@ -577,9 +577,15 @@ object TpcdsQueries {
       .getOrElse(graft.MatViews.visible(dSlice, graft.MatViews.deltaState(dSlice,
         t(s, dir, "lineitem").join(t(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey")))))
+    // r16 semi-join order (guide §3): `best` is the near-max-spend set —
+    // SF-invariant small (the 2·cq > max gate admits a handful of
+    // customers per 150k, ~thousands at SF100) — so it broadcasts and
+    // prunes the slice FIRST; the freq semi join then sees a tiny left
+    // side, and its right side reuses the partitioning the d>=4
+    // aggregation already established (no second exchange of the slice).
     finalSlice
+      .join(broadcast(best), Seq("o_custkey"), "left_semi")
       .join(freq, Seq("l_partkey"), "left_semi")
-      .join(best, Seq("o_custkey"), "left_semi")
       .agg(asDouble(sum(col("price_sum"))).as("revenue"),
         // COUNT(*) over an empty slice is 0, not NULL — mirror it exactly
         coalesce(sum(col("n")), lit(0L)).as("n_sales"))

@@ -551,13 +551,23 @@ object TpchFullQueries {
           t(s, dir, "lineitem")
             .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))))
       }
-    // per order, via a window on the SAME partitioning: sort only, no exchange
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+    // r16 (guide §2.1/§2.4): the EXISTS/NOT-EXISTS cascade needs only
+    // per-order AGGREGATES, not per-row window values — one hash
+    // aggregation replaces the window's exchange + FULL SORT of the
+    // |F-order × supplier| state (194M rows at SF100; the sort dominated
+    // the query). A qualifying order has >1 suppliers and EXACTLY ONE
+    // late one, so that supplier's key and late-line count ride out of
+    // the same aggregate via MAX(CASE) — no join back to the detail rows.
+    // Measured solo at SF100: 34.0 s (window) → see OPTIMIZATION_r16.md.
     perSupp
-      .withColumn("nsupp", count(lit(1)).over(w))
-      .withColumn("nlate", sum(col("supp_late")).over(w))
-      .filter(col("supp_late") === 1 && col("nsupp") > 1 && col("nlate") === 1)
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).as("nsupp"),
+        sum(col("supp_late")).as("nlate"),
+        max(when(col("supp_late") === 1, col("l_suppkey"))).as("late_supp"),
+        max(when(col("supp_late") === 1, col("late_lines"))).as("late_lines"))
+      .filter(col("nlate") === 1 && col("nsupp") > 1)
+      .join(broadcast(sup), col("late_supp") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(sum(col("late_lines")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
